@@ -1,0 +1,488 @@
+package graft.sql
+
+import graft.core.{Geom, Mercator}
+import graft.core.Geom.{Geometry => GGeometry, GPoint, GPolygon, GMultiPolygon}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Geometry => JtsGeometry, GeometryFactory, PrecisionModel}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.operation.buffer.BufferParameters
+import org.locationtech.jts.simplify.TopologyPreservingSimplifier
+
+/** Catalyst scalar expressions for the telluric geometry surface
+  * (SURVEY.md §2.2; reference op lists at
+  * `/root/reference/telluric/vectors.py:26-80`).
+  *
+  * GGeometry wire type is `BinaryType` holding little-endian ISO WKB
+  * (interops with JTS and external tools; no UDT registration games).
+  *
+  * Codegen: every expression generates a call on a reference object
+  * (`ctx.addReferenceObj`) rather than falling back, so operators stay
+  * inside WholeStageCodegen; foldable geometry arguments are parsed once
+  * per task and cached on the expression instance (the same idea as the
+  * reference's prepared geometries, `collections.py:146`).
+  */
+object GeomSqlOps {
+  // JTS bridge — one factory; WKB readers are not thread-safe → per-call.
+  private val factory = new GeometryFactory(new PrecisionModel(), 4326)
+  def readJts(wkb: Array[Byte]): JtsGeometry = new WKBReader(factory).read(wkb)
+  def writeJts(g: JtsGeometry): Array[Byte] = new WKBWriter(2, 2).write(g)
+}
+
+/** Unary geometry-ish expression: compute on the unboxed child value. */
+abstract class GraftUnary extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  /** public so generated code can call it */
+  def compute(input: Any): Any
+  override def nullSafeEval(input: Any): Any = compute(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[GraftUnary].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${CodeGenerator.boxedType(dataType)}) $ref.compute($c);")
+  }
+}
+
+abstract class GraftBinary extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  def compute(a: Any, b: Any): Any
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[GraftBinary].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (${CodeGenerator.boxedType(dataType)}) $ref.compute($a, $b);")
+  }
+}
+
+abstract class GraftTernary extends TernaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  def compute(a: Any, b: Any, c: Any): Any
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = compute(a, b, c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[GraftTernary].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = (${CodeGenerator.boxedType(dataType)}) $ref.compute($a, $b, $c);")
+  }
+}
+
+/** Caches the parsed form of a foldable geometry argument per instance. */
+trait FoldableGeomCache { self: Expression =>
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedGeom: GGeometry = _
+  protected def parsedGeom(wkb: Array[Byte]): GGeometry = {
+    if (cachedGeom == null || (cachedBytes ne wkb)) {
+      cachedGeom = Geom.fromWkb(wkb)
+      cachedBytes = wkb
+    }
+    cachedGeom
+  }
+  @transient private var cachedJtsBytes: Array[Byte] = _
+  @transient private var cachedJts: JtsGeometry = _
+  protected def parsedJts(wkb: Array[Byte]): JtsGeometry = {
+    if (cachedJts == null || (cachedJtsBytes ne wkb)) {
+      cachedJts = GeomSqlOps.readJts(wkb)
+      cachedJtsBytes = wkb
+    }
+    cachedJts
+  }
+}
+
+// ----------------------------------------------------------- constructors
+
+/** st_point(x, y) → WKB point. */
+case class StPoint(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = BinaryType
+  def compute(a: Any, b: Any): Any =
+    Geom.toWkb(GPoint(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_point"
+}
+
+/** st_makebbox(xmin,ymin,xmax,ymax) → WKB rectangle polygon
+  * (GeoVector.from_bounds, vectors.py:330-348). */
+case class StMakeBBox(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val Seq(a, b, c, d) = vs.map(_.asInstanceOf[Double])
+      Geom.toWkb(Geom.polygonFromBounds(a, b, c, d))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  override def prettyName: String = "st_makebbox"
+}
+
+case class StGeomFromGeoJson(child: Expression) extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  def compute(v: Any): Any = Geom.toWkb(Geom.fromGeoJson(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromgeojson"
+}
+
+case class StAsGeoJson(child: Expression) extends GraftUnary {
+  override def dataType: DataType = StringType
+  def compute(v: Any): Any =
+    UTF8String.fromString(Geom.toGeoJson(Geom.fromWkb(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asgeojson"
+}
+
+case class StGeomFromText(child: Expression) extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  def compute(v: Any): Any =
+    GeomSqlOps.writeJts(new WKTReader().read(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromtext"
+}
+
+case class StAsText(child: Expression) extends GraftUnary {
+  override def dataType: DataType = StringType
+  def compute(v: Any): Any =
+    UTF8String.fromString(new WKTWriter().write(GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_astext"
+}
+
+// ------------------------------------------------------------- accessors
+
+abstract class GeomToDouble extends GraftUnary {
+  override def dataType: DataType = DoubleType
+  protected def fromGeom(g: GGeometry): Double
+  def compute(v: Any): Any = fromGeom(Geom.fromWkb(v.asInstanceOf[Array[Byte]]))
+}
+
+/** st_x / st_y (vectors.py:68-80 nonvector properties). */
+case class StX(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g match {
+    case GPoint(x, _) => x
+    case other => other.bbox.xmin
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_x"
+}
+case class StY(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g match {
+    case GPoint(_, y) => y
+    case other => other.bbox.ymin
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_y"
+}
+/** bounds accessors left/bottom/right/top (vectors.py:197-205). */
+case class StXMin(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g.bbox.xmin
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_xmin"
+}
+case class StYMin(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g.bbox.ymin
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_ymin"
+}
+case class StXMax(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g.bbox.xmax
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_xmax"
+}
+case class StYMax(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = g.bbox.ymax
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_ymax"
+}
+
+/** st_area: planar shoelace area (vectors delegated `area` is computed in
+  * the geometry's own plane; telluric's `GeoVector.area` reprojects to
+  * Eckert IV first — that variant is st_area_eck4). */
+case class StArea(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = Geom.planarArea(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_area"
+}
+/** Equal-area m² matching telluric `area` (vectors.py:424-428). */
+case class StAreaEck4(child: Expression) extends GeomToDouble {
+  protected def fromGeom(g: GGeometry): Double = Geom.areaEckertIV(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_area_eck4"
+}
+
+abstract class GeomPredicate extends GraftUnary {
+  override def dataType: DataType = BooleanType
+}
+
+case class StIsEmpty(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any = Geom.fromWkb(v.asInstanceOf[Array[Byte]]).isEmpty
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_isempty"
+}
+case class StIsValid(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any = GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]).isValid
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_isvalid"
+}
+case class StIsSimple(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any = GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]).isSimple
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_issimple"
+}
+
+// ------------------------------------------------- unary constructive ops
+
+abstract class JtsUnaryOp extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  protected def op(g: JtsGeometry): JtsGeometry
+  def compute(v: Any): Any = GeomSqlOps.writeJts(op(GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]])))
+}
+
+/** GEOM_PROPERTIES (vectors.py:26-32). */
+case class StBoundary(child: Expression) extends JtsUnaryOp {
+  protected def op(g: JtsGeometry): JtsGeometry = g.getBoundary
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_boundary"
+}
+case class StCentroid(child: Expression) extends JtsUnaryOp {
+  protected def op(g: JtsGeometry): JtsGeometry = g.getCentroid
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_centroid"
+}
+case class StConvexHull(child: Expression) extends JtsUnaryOp {
+  protected def op(g: JtsGeometry): JtsGeometry = g.convexHull()
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_convexhull"
+}
+case class StEnvelope(child: Expression) extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  def compute(v: Any): Any = {
+    val bb = Geom.fromWkb(v.asInstanceOf[Array[Byte]]).bbox
+    Geom.toWkb(Geom.polygonFromBounds(bb.xmin, bb.ymin, bb.xmax, bb.ymax))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_envelope"
+}
+
+/** st_buffer(geom, dist[, cap_style]) — cap styles 1=round 2=flat 3=square
+  * (shapely CAP_STYLE codes; polygonize uses flat for lines, round for
+  * points — vectors.py:506-520). */
+case class StBuffer(first: Expression, second: Expression, third: Expression)
+    extends GraftTernary {
+  override def dataType: DataType = BinaryType
+  def compute(g: Any, d: Any, cap: Any): Any = {
+    val jts = GeomSqlOps.readJts(g.asInstanceOf[Array[Byte]])
+    val params = new BufferParameters()
+    cap.asInstanceOf[Int] match {
+      case 1 => params.setEndCapStyle(BufferParameters.CAP_ROUND)
+      case 2 => params.setEndCapStyle(BufferParameters.CAP_FLAT)
+      case 3 => params.setEndCapStyle(BufferParameters.CAP_SQUARE)
+      case _ =>
+    }
+    val op = new org.locationtech.jts.operation.buffer.BufferOp(jts, params)
+    GeomSqlOps.writeJts(op.getResultGeometry(d.asInstanceOf[Double]))
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "st_buffer"
+}
+
+/** st_simplify(geom, tol) — shapely default preserve_topology=True. */
+case class StSimplify(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = BinaryType
+  def compute(g: Any, tol: Any): Any =
+    GeomSqlOps.writeJts(TopologyPreservingSimplifier.simplify(
+      GeomSqlOps.readJts(g.asInstanceOf[Array[Byte]]), tol.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_simplify"
+}
+
+/** st_transform(geom, srcSrid, dstSrid) — closed-form 4326↔3857
+  * (vectors.py:474-479 reproject; util/projections.py:13-47). */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends GraftTernary {
+  override def dataType: DataType = BinaryType
+  def compute(g: Any, s: Any, d: Any): Any =
+    Geom.toWkb(Geom.reproject(Geom.fromWkb(g.asInstanceOf[Array[Byte]]),
+      s.asInstanceOf[Int], d.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "st_transform"
+}
+
+// ------------------------------------------------ binary predicates / ops
+
+/** st_contains(geom, pt_or_geom): hot path is ray-casting PIP on our own
+  * packed rings (north_rule); general geometry pairs delegate to JTS. */
+case class StContains(left: Expression, right: Expression)
+    extends GraftBinary with FoldableGeomCache {
+  override def dataType: DataType = BooleanType
+  def compute(a: Any, b: Any): Any = {
+    val container =
+      if (left.foldable) parsedGeom(a.asInstanceOf[Array[Byte]])
+      else Geom.fromWkb(a.asInstanceOf[Array[Byte]])
+    Geom.fromWkb(b.asInstanceOf[Array[Byte]]) match {
+      case GPoint(x, y) => Geom.contains(x, y, container)
+      case _ =>
+        GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]])
+          .contains(GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]]))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_contains"
+}
+
+case class StWithin(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = BooleanType
+  def compute(a: Any, b: Any): Any =
+    StContains(right, left).compute(b, a)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_within"
+}
+
+abstract class JtsBinaryPredicate extends GraftBinary {
+  override def dataType: DataType = BooleanType
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean
+  def compute(a: Any, b: Any): Any = {
+    val ga = GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]])
+    val gb = GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]])
+    test(ga, gb)
+  }
+}
+
+/** st_intersects with a cheap bbox pre-test (GEOM_BINARY_PREDICATES,
+  * vectors.py:53-67). */
+case class StIntersects(left: Expression, right: Expression)
+    extends GraftBinary with FoldableGeomCache {
+  override def dataType: DataType = BooleanType
+  def compute(a: Any, b: Any): Any = {
+    val wa = a.asInstanceOf[Array[Byte]]
+    val wb = b.asInstanceOf[Array[Byte]]
+    val bba = Geom.fromWkb(wa).bbox
+    val gb = Geom.fromWkb(wb)
+    if (!bba.intersects(gb.bbox)) false
+    else gb match {
+      // point probe: intersects == containment for areal, equality for point
+      case GPoint(x, y) =>
+        Geom.fromWkb(wa) match {
+          case p: GPolygon      => Geom.polygonContains(x, y, p)
+          case m: GMultiPolygon => m.polys.exists(Geom.polygonContains(x, y, _))
+          case _                => GeomSqlOps.readJts(wa).intersects(GeomSqlOps.readJts(wb))
+        }
+      case _ => GeomSqlOps.readJts(wa).intersects(GeomSqlOps.readJts(wb))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersects"
+}
+
+case class StDisjoint(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.disjoint(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_disjoint"
+}
+case class StEquals(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.equalsTopo(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_equals"
+}
+case class StTouches(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.touches(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_touches"
+}
+case class StCrosses(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.crosses(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_crosses"
+}
+case class StOverlaps(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.overlaps(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_overlaps"
+}
+case class StCovers(left: Expression, right: Expression) extends JtsBinaryPredicate {
+  protected def test(a: JtsGeometry, b: JtsGeometry): Boolean = a.covers(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_covers"
+}
+
+/** st_equals_exact(a,b,tol) — the reference's golden-file comparator
+  * (vectors.py:496-504). */
+case class StEqualsExact(first: Expression, second: Expression, third: Expression)
+    extends GraftTernary {
+  override def dataType: DataType = BooleanType
+  def compute(a: Any, b: Any, tol: Any): Any =
+    GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]]).equalsExact(
+      GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]]), tol.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "st_equals_exact"
+}
+
+abstract class JtsBinaryOp extends GraftBinary {
+  override def dataType: DataType = BinaryType
+  protected def op(a: JtsGeometry, b: JtsGeometry): JtsGeometry
+  def compute(a: Any, b: Any): Any =
+    GeomSqlOps.writeJts(op(GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]]),
+      GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]])))
+}
+
+/** GEOM_BINARY_OPERATIONS (vectors.py:33-38). */
+case class StIntersection(left: Expression, right: Expression) extends JtsBinaryOp {
+  protected def op(a: JtsGeometry, b: JtsGeometry): JtsGeometry = a.intersection(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersection"
+}
+case class StUnion(left: Expression, right: Expression) extends JtsBinaryOp {
+  protected def op(a: JtsGeometry, b: JtsGeometry): JtsGeometry = a.union(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_union"
+}
+case class StDifference(left: Expression, right: Expression) extends JtsBinaryOp {
+  protected def op(a: JtsGeometry, b: JtsGeometry): JtsGeometry = a.difference(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_difference"
+}
+case class StSymDifference(left: Expression, right: Expression) extends JtsBinaryOp {
+  protected def op(a: JtsGeometry, b: JtsGeometry): JtsGeometry = a.symDifference(b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_symdifference"
+}
+
+/** st_distance — planar cartesian distance (JTS). */
+case class StDistance(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = DoubleType
+  def compute(a: Any, b: Any): Any = {
+    (Geom.fromWkb(a.asInstanceOf[Array[Byte]]), Geom.fromWkb(b.asInstanceOf[Array[Byte]])) match {
+      case (GPoint(x1, y1), GPoint(x2, y2)) =>
+        val dx = x1 - x2; val dy = y1 - y2
+        math.sqrt(dx * dx + dy * dy)
+      case _ =>
+        GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]])
+          .distance(GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]]))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_distance"
+}

@@ -1,0 +1,19 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for SQL-layer suites. */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestBase.session
+  override def afterAll(): Unit = { /* shared session stays up for the run */ }
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
