@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, GraftRegistrar}
+import org.apache.spark.sql.functions._
+import graft.model.{Pages, PolygonLayer}
+import graft.sql.{functions => G}
+import scala.collection.immutable.ListMap
+
+/** Driver contract (see builder prompt): one entry per implemented operator
+  * from SURVEY.md §2, each with a DuckDB-runnable oracle over the same
+  * parquet tables. Column names are aligned between the Spark plan and the
+  * oracle SQL (the driver hash-compares by sorted column name). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the pages PIP spatial join on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.pipJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_cells_z12" -> (Queries.cellsZ12 _),
+    "q02_pip_join" -> (Queries.pipJoin _),
+    "q03_dissolve_lang_envelope" -> (Queries.dissolveLangEnvelope _),
+  )
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_cells_z12" -> Oracles.cellsZ12,
+    "q02_pip_join" -> Oracles.pipJoin,
+    "q03_dissolve_lang_envelope" -> Oracles.dissolveLangEnvelope,
+  )
+}
+
+object Queries {
+
+  /** Batched cell encoding: every volume page → z12 XYZ cell → per-cell
+    * counts. One shuffle (partial+final HashAggregate); the scan reads only
+    * the two lineitem key columns. */
+  def cellsZ12(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.volumePages(spark, sfDir)
+    pages
+      .select(G.st_tile(col("lon"), col("lat"), 12).as("cell"), col("pid"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"), max(col("pid")).as("max_pid"))
+      .select(G.tile_x(col("cell")).as("x"), G.tile_y(col("cell")).as("y"),
+        col("n"), col("min_pid"), col("max_pid"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** The headline PIP join: pages points × broadcast polygon layer,
+    * bbox pre-filter + exact ray-cast refine (SURVEY.md §2.4). The polygon
+    * side is tiny → broadcast hash join, zero shuffle on the probe side;
+    * per-polygon aggregation is the only exchange. */
+  def pipJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.volumePages(spark, sfDir)
+    val polys = PolygonLayer.toDF(spark)
+    pages.join(
+        broadcast(polys),
+        col("lon") >= col("xmin") && col("lon") <= col("xmax") &&
+          col("lat") >= col("ymin") && col("lat") <= col("ymax") &&
+          G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pid")).as("min_pid"),
+        max(col("pid")).as("max_pid"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"))
+      .orderBy(col("poly_id"))
+  }
+
+  /** dissolve-by-property with envelope aggregate (collections.py:210-220
+    * dissolve + the envelopes_union shortcut, vectors.py:359-381). */
+  def dissolveLangEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.volumePages(spark, sfDir)
+    pages
+      .select(col("lang"), G.st_point(col("lon"), col("lat")).as("g"), col("pid"))
+      .groupBy(col("lang"))
+      .agg(G.st_envelope_agg(col("g")).as("env"), count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        G.st_xmin(col("env")).as("xmin"), G.st_ymin(col("env")).as("ymin"),
+        G.st_xmax(col("env")).as("xmax"), G.st_ymax(col("env")).as("ymax"))
+      .orderBy(col("lang"))
+  }
+}
+
+object Oracles {
+  import Pages.PagesSql._
+
+  private def withVolume(body: String): String =
+    s"WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")})\n$body"
+
+  val cellsZ12: String = withVolume(
+    s"""SELECT ${tileXSql("lon", 12)} AS x, ${tileYSql("lat", 12)} AS y,
+       |       count(*) AS n, min(pid) AS min_pid, max(pid) AS max_pid
+       |FROM pages GROUP BY 1, 2 ORDER BY x, y""".stripMargin)
+
+  val pipJoin: String = {
+    val perPoly = PolygonLayer.polys.map { case (id, _) =>
+      s"""SELECT $id AS poly_id, count(*) AS n, min(pid) AS min_pid,
+         |       max(pid) AS max_pid,
+         |       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+         |FROM pages WHERE ${PolygonLayer.containsSql(id, "lon", "lat")}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    withVolume(s"SELECT * FROM (\n$perPoly\n) ORDER BY poly_id")
+  }
+
+  val dissolveLangEnvelope: String = withVolume(
+    """SELECT lang, count(*) AS n, min(lon) AS xmin, min(lat) AS ymin,
+      |       max(lon) AS xmax, max(lat) AS ymax
+      |FROM pages GROUP BY lang ORDER BY lang""".stripMargin)
 }
