@@ -20,12 +20,22 @@ object SparkEntry {
     "q01_cells_z12" -> (Queries.cellsZ12 _),
     "q02_pip_join" -> (Queries.pipJoin _),
     "q03_dissolve_lang_envelope" -> (Queries.dissolveLangEnvelope _),
+    "q04_knn" -> (graft.queries.GeoQueries.knn _),
+    "q05_tiles_explode" -> (graft.queries.GeoQueries.tilesExplode _),
+    "q06_rasterize_counts" -> (graft.queries.GeoQueries.rasterizeCounts _),
+    "q07_pyramid" -> (graft.queries.GeoQueries.pyramid _),
+    "q08_vectorize" -> (graft.queries.GeoQueries.vectorize _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_cells_z12" -> Oracles.cellsZ12,
     "q02_pip_join" -> Oracles.pipJoin,
     "q03_dissolve_lang_envelope" -> Oracles.dissolveLangEnvelope,
+    "q04_knn" -> graft.queries.GeoOracles.knn,
+    "q05_tiles_explode" -> graft.queries.GeoOracles.tilesExplode,
+    "q06_rasterize_counts" -> graft.queries.GeoOracles.rasterizeCounts,
+    "q07_pyramid" -> graft.queries.GeoOracles.pyramid,
+    "q08_vectorize" -> graft.queries.GeoOracles.vectorize,
   )
 }
 

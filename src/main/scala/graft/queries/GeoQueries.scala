@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{Pages, PolygonLayer}
+import graft.sql.{functions => G}
+
+/** Geospatial operator queries (SURVEY.md §2.3, §2.4, §2.9) with
+  * oracle-replicable outputs. */
+object GeoQueries {
+
+  /** Fixed kNN probes (qid, lon, lat); #3 sits in the injected hot cell,
+    * #4 exercises the antimeridian ring wrap. */
+  val knnQueries: Seq[(Int, Double, Double)] = Seq(
+    (1, -50.35, 10.15),
+    (2, 100.25, -30.45),
+    (3, 2.295, 48.855),
+    (4, 179.0, 0.0),
+    (5, -120.5, 60.5))
+
+  val KnnK = 10
+  val KnnZoom = 6
+  val KnnRings = 2
+
+  /** kNN by cell-ring expansion (north rule; SURVEY.md §2.4): probe cell at
+    * z6 + Chebyshev rings ≤2 → broadcast candidate-cell list → equi-join on
+    * the page's z6 cell → per-probe top-k window. Metric: squared planar
+    * degree distance (deterministic, tie-broken by pid). The ring radius is
+    * chosen so the k-th neighbor is provably inside the ring box at the
+    * test densities; the general iterative-doubling variant lives in
+    * graft.jobs.KnnJob. */
+  def knn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Pages.volumePages(spark, sfDir)
+      .select(col("pid"), col("lon"), col("lat"),
+        G.st_tile(col("lon"), col("lat"), KnnZoom).as("cell"))
+    val probes = knnQueries.toDF("qid", "qlon", "qlat")
+      .select(col("qid"), col("qlon"), col("qlat"),
+        G.cell_ring(G.st_tile(col("qlon"), col("qlat"), KnnZoom), lit(KnnRings))
+          .as(Seq("cell", "ring")))
+    val dsq = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+      (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("pid"))
+    pages.join(broadcast(probes), "cell")
+      .select(col("qid"), col("pid"), dsq.as("dsq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnK)
+      .select(col("qid"), col("rank"), col("pid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Polygon pages exploded into slippy tiles at z∈{6,8} via the
+    * tiles_for Generator (vectors.py:522-538 tiles()). */
+  def tilesExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    val polys = Pages.polygonPages(spark, sfDir)
+    polys
+      .select(col("pid"),
+        G.tiles_for(G.st_makebbox(col("xmin"), col("ymin"), col("xmax"), col("ymax")),
+          array(lit(6), lit(8))).as(Seq("cell", "x", "y", "z")))
+      .groupBy(col("z"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"))
+      .orderBy(col("z"), col("x"), col("y"))
+  }
+
+  /** Rasterize-as-aggregation: burn point counts into a 64×64 pixel grid
+    * per z4 tile (i.e. z10 cells reinterpreted as (tile, pixel)) — the
+    * scale path of FeatureCollection.rasterize (SURVEY.md §2.9); sparse
+    * representation (zero pixels absent, NODATA=0 per rasterization.py:14).
+    */
+  def rasterizeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.volumePages(spark, sfDir)
+    pages
+      .select(G.st_tile(col("lon"), col("lat"), 10).as("cell"))
+      .select(G.tile_x(col("cell")).as("cx"), G.tile_y(col("cell")).as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("value"))
+      .select((col("cx") / 64).cast("bigint").as("tx"),
+        (col("cy") / 64).cast("bigint").as("ty"),
+        pmod(col("cx"), lit(64L)).as("px"), pmod(col("cy"), lit(64L)).as("py"),
+        col("value"))
+      .orderBy(col("tx"), col("ty"), col("px"), col("py"))
+  }
+
+  /** Zoom-pyramid rollup (overview build, georaster.py:896-906): z12 cell
+    * counts cascaded to z10/z8/z6 by tile_parent — 2×2 reduction per level,
+    * reusing the previous level's aggregates (partial-agg reuse). */
+  def pyramid(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Pages.volumePages(spark, sfDir)
+      .select(G.st_tile(col("lon"), col("lat"), 12).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val levels = Iterator.iterate((base, 12)) { case (df, z) =>
+      (df.select(G.tile_parent(col("cell"), lit(2)).as("cell"), col("n"))
+        .groupBy("cell").agg(sum(col("n")).as("n")), z - 2)
+    }.take(4).map(_._1).toSeq
+    levels.reduce(_ unionByName _)
+      .select(G.tile_z(col("cell")).as("z"), G.tile_x(col("cell")).as("x"),
+        G.tile_y(col("cell")).as("y"), col("n"))
+      .orderBy(col("z"), col("x"), col("y"))
+  }
+
+  /** Vectorize round-trip (georaster.py:1835-1843, graft extension):
+    * threshold the z12 count raster (n ≥ 3), dissolve per z8 ancestor,
+    * emit the dissolved region's envelope in Web-Mercator meters via
+    * st_envelope_agg over tile footprints. */
+  def vectorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Pages.volumePages(spark, sfDir)
+      .select(G.st_tile(col("lon"), col("lat"), 12).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 3)
+    cells
+      .select(G.tile_parent(col("cell"), lit(4)).as("parent"),
+        col("n"), G.tile_bounds_3857(col("cell")).as("b"))
+      .groupBy(col("parent"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"),
+        min(col("b.left")).as("mleft"), min(col("b.bottom")).as("mbottom"),
+        max(col("b.right")).as("mright"), max(col("b.top")).as("mtop"))
+      .select(G.tile_x(col("parent")).as("x"), G.tile_y(col("parent")).as("y"),
+        col("n_cells"), col("n_points"), col("mleft"), col("mbottom"),
+        col("mright"), col("mtop"))
+      .orderBy(col("x"), col("y"))
+  }
+}
+
+object GeoOracles {
+  import Pages.PagesSql._
+
+  private def withVolume(body: String): String =
+    s"WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")})\n$body"
+
+  val knn: String = {
+    val probes = GeoQueries.knnQueries
+      .map { case (q, x, y) => s"($q, $x, $y)" }.mkString(", ")
+    withVolume(
+      s"""SELECT qid, CAST(rank AS INTEGER) AS rank, pid FROM (
+         |  SELECT q.qid, p.pid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |           (p.lon - q.qlon) * (p.lon - q.qlon) +
+         |           (p.lat - q.qlat) * (p.lat - q.qlat), p.pid) AS rank
+         |  FROM pages p CROSS JOIN (VALUES $probes) AS q(qid, qlon, qlat)
+         |) WHERE rank <= ${GeoQueries.KnnK} ORDER BY qid, rank""".stripMargin)
+  }
+
+  val tilesExplode: String = {
+    def level(z: Int): String =
+      s"""SELECT $z AS z, unnest(generate_series(ulx, lrx)) AS x, uly, lry, pid
+         |FROM (
+         |  SELECT pid,
+         |    ${tileXSql("xmin", z)} AS ulx, ${tileXSql("xmax - 1e-11", z)} AS lrx,
+         |    ${tileYSql("ymax", z)} AS uly, ${tileYSql("ymin + 1e-11", z)} AS lry
+         |  FROM polys
+         |)""".stripMargin
+    s"""WITH pages AS (${volumeCte("lineitem")}),
+       |polys AS (${polygonCte("lineitem")}),
+       |xr AS (${level(6)} UNION ALL ${level(8)}),
+       |xy AS (SELECT z, x, unnest(generate_series(uly, lry)) AS y, pid FROM xr)
+       |SELECT z, x, y, count(*) AS n, min(pid) AS min_pid
+       |FROM xy GROUP BY z, x, y ORDER BY z, x, y""".stripMargin
+  }
+
+  val rasterizeCounts: String = withVolume(
+    s"""SELECT CAST(FLOOR(cx / 64.0) AS BIGINT) AS tx, CAST(FLOOR(cy / 64.0) AS BIGINT) AS ty,
+       |       cx % 64 AS px, cy % 64 AS py, value
+       |FROM (
+       |  SELECT cx, cy, count(*) AS value FROM (
+       |    SELECT ${tileXSql("lon", 10)} AS cx, ${tileYSql("lat", 10)} AS cy FROM pages
+       |  ) GROUP BY cx, cy
+       |) ORDER BY tx, ty, px, py""".stripMargin)
+
+  val pyramid: String =
+    s"""WITH pages AS (${volumeCte("lineitem")}),
+       |base AS (
+       |  SELECT ${tileXSql("lon", 12)} AS x, ${tileYSql("lat", 12)} AS y, count(*) AS n
+       |  FROM pages GROUP BY 1, 2
+       |)
+       |SELECT z, x, y, n FROM (
+       |  SELECT 12 AS z, x, y, n FROM base
+       |  UNION ALL SELECT 10, x // 4, y // 4, CAST(sum(n) AS BIGINT) FROM base GROUP BY 2, 3
+       |  UNION ALL SELECT 8, x // 16, y // 16, CAST(sum(n) AS BIGINT) FROM base GROUP BY 2, 3
+       |  UNION ALL SELECT 6, x // 64, y // 64, CAST(sum(n) AS BIGINT) FROM base GROUP BY 2, 3
+       |) ORDER BY z, x, y""".stripMargin
+
+  val vectorize: String =
+    s"""WITH pages AS (${volumeCte("lineitem")}),
+       |base AS (
+       |  SELECT ${tileXSql("lon", 12)} AS x, ${tileYSql("lat", 12)} AS y, count(*) AS n
+       |  FROM pages GROUP BY 1, 2 HAVING count(*) >= 3
+       |)
+       |SELECT x // 16 AS x, y // 16 AS y, count(*) AS n_cells,
+       |       CAST(sum(n) AS BIGINT) AS n_points,
+       |       -- operation order mirrors Mercator.xyBounds exactly:
+       |       -- left = x*ts - CE/2; right = left + ts; top = CE/2 - y*ts;
+       |       -- bottom = top - ts  (float addition is not associative)
+       |       min(x * ((2*PI()*6378137) / 4096.0) - (2*PI()*6378137)/2) AS mleft,
+       |       min(((2*PI()*6378137)/2 - y * ((2*PI()*6378137) / 4096.0)) - ((2*PI()*6378137) / 4096.0)) AS mbottom,
+       |       max((x * ((2*PI()*6378137) / 4096.0) - (2*PI()*6378137)/2) + ((2*PI()*6378137) / 4096.0)) AS mright,
+       |       max((2*PI()*6378137)/2 - y * ((2*PI()*6378137) / 4096.0)) AS mtop
+       |FROM base GROUP BY 1, 2 ORDER BY x, y""".stripMargin
+}
