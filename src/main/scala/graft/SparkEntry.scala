@@ -25,6 +25,23 @@ object SparkEntry {
     "q06_rasterize_counts" -> (graft.queries.GeoQueries.rasterizeCounts _),
     "q07_pyramid" -> (graft.queries.GeoQueries.pyramid _),
     "q08_vectorize" -> (graft.queries.GeoQueries.vectorize _),
+    "q09_text_identity" -> (graft.queries.TextQueries.textIdentity _),
+    "q10_sort_topn" -> (graft.queries.TextQueries.sortTopN _),
+    "q11_groupby_having" -> (graft.queries.TextQueries.groupbyHaving _),
+    "q12_union_concat" -> (graft.queries.TextQueries.unionConcat _),
+    "q13_slice" -> (graft.queries.TextQueries.slice _),
+    "q14_dedup_exact" -> (graft.queries.TextQueries.dedupExact _),
+    "q15_token_stats" -> (graft.queries.TextQueries.tokenStats _),
+    "q16_langid" -> (graft.queries.TextQueries.langId _),
+    "q17_minhash_sigs" -> (graft.queries.TextQueries.minhashSigs _),
+    "q18_minhash_groups" -> (graft.queries.TextQueries.minhashGroups _),
+    "q19_simhash" -> (graft.queries.TextQueries.simhash _),
+    "q20_emb_knn_cosine" -> (graft.queries.EmbQueries.knnCosine _),
+    "q21_emb_lsh_buckets" -> (graft.queries.EmbQueries.lshBuckets _),
+    "q22_emb_dedup" -> (graft.queries.EmbQueries.embDedup _),
+    "q23_window_topk" -> (graft.queries.RelQueries.windowTopK _),
+    "q24_multi_join_agg" -> (graft.queries.RelQueries.multiJoinAgg _),
+    "q25_sessionize" -> (graft.queries.RelQueries.sessionize _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -36,6 +53,23 @@ object SparkEntry {
     "q06_rasterize_counts" -> graft.queries.GeoOracles.rasterizeCounts,
     "q07_pyramid" -> graft.queries.GeoOracles.pyramid,
     "q08_vectorize" -> graft.queries.GeoOracles.vectorize,
+    "q09_text_identity" -> graft.queries.TextOracles.textIdentity,
+    "q10_sort_topn" -> graft.queries.TextOracles.sortTopN,
+    "q11_groupby_having" -> graft.queries.TextOracles.groupbyHaving,
+    "q12_union_concat" -> graft.queries.TextOracles.unionConcat,
+    "q13_slice" -> graft.queries.TextOracles.slice,
+    "q14_dedup_exact" -> graft.queries.TextOracles.dedupExact,
+    "q15_token_stats" -> graft.queries.TextOracles.tokenStats,
+    "q16_langid" -> graft.queries.TextOracles.langId,
+    "q17_minhash_sigs" -> graft.queries.TextOracles.minhashSigs,
+    "q18_minhash_groups" -> graft.queries.TextOracles.minhashGroups,
+    // q19_simhash: custom Expression, no SQL-expressible oracle → rows-only
+    "q20_emb_knn_cosine" -> graft.queries.EmbOracles.knnCosine,
+    "q21_emb_lsh_buckets" -> graft.queries.EmbOracles.lshBuckets,
+    "q22_emb_dedup" -> graft.queries.EmbOracles.embDedup,
+    "q23_window_topk" -> graft.queries.RelOracles.windowTopK,
+    "q24_multi_join_agg" -> graft.queries.RelOracles.multiJoinAgg,
+    "q25_sessionize" -> graft.queries.RelOracles.sessionize,
   )
 }
 

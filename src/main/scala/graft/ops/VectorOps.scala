@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sql.{functions => G}
+
+/** telluric's BaseCollection/FeatureCollection operator surface
+  * (`/root/reference/telluric/collections.py:59-364`) re-expressed as
+  * relational combinators over a DataFrame with a WKB `geom` column.
+  *
+  * Where the reference is order-sensitive (stable `sort`, first-seen group
+  * order in `groupby`, `collections.py:158-208`), the combinators carry an
+  * explicit `row_idx` ordinal — Spark has no implicit input order at scale,
+  * so order becomes data, which is exactly how the semantics survive a
+  * shuffle. */
+class FeatureCollection(val df: DataFrame, val geomCol: String = "geom") {
+  import FeatureCollection._
+
+  private def geom: Column = col(geomCol)
+
+  /** filter(intersects): spatial selection vs a probe geometry —
+    * `overlaps ∨ intersects` with prepared-geometry semantics
+    * (collections.py:138-156). Broadcast-literal fast path. */
+  def filterIntersects(probeWkb: Array[Byte]): FeatureCollection =
+    wrap(df.where(G.st_intersects(geom, lit(probeWkb)) ||
+      G.st_overlaps(geom, lit(probeWkb))))
+
+  /** stable sort by property (collections.py:158-177): secondary key on
+    * row_idx when present preserves Python's stable-sort contract. */
+  def sortBy(prop: String, desc: Boolean = false): FeatureCollection = {
+    val key = if (desc) col(prop).desc else col(prop).asc
+    val keys = if (df.columns.contains(RowIdx)) Seq(key, col(RowIdx).asc) else Seq(key)
+    wrap(df.orderBy(keys: _*))
+  }
+
+  /** apply(**kwargs): add/overwrite property columns
+    * (collections.py:342-364); new keys append at the end. */
+  def applyProps(props: (String, Column)*): FeatureCollection =
+    wrap(props.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) })
+
+  /** map(f): typed feature→feature transform (collections.py:222-226). */
+  def mapRows(f: DataFrame => DataFrame): FeatureCollection = wrap(f(df))
+
+  /** fc + other (collections.py:73-80): schema-union concat; properties
+    * missing on one side become null (the save-time fill-in of
+    * collections.py:489-496). */
+  def concat(other: FeatureCollection): FeatureCollection =
+    wrap(df.unionByName(other.df, allowMissingColumns = true))
+
+  /** fc[a:b] slicing (collections.py:405-408) — window row_number over a
+    * deterministic order carried by row_idx. */
+  def slice(start: Int, end: Int): FeatureCollection = {
+    require(df.columns.contains(RowIdx), "slice needs a row_idx ordinal")
+    val w = Window.orderBy(col(RowIdx))
+    wrap(df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > start && col("__rn") <= end)
+      .drop("__rn"))
+  }
+
+  /** dissolve(by, agg): per-group cascaded union + property aggregation
+    * (collections.py:210-220). */
+  def dissolve(by: String, aggExprs: (String, Column)*): DataFrame =
+    df.groupBy(col(by))
+      .agg(G.st_union_agg(geom).as(geomCol),
+        aggExprs.map { case (n, c) => c.as(n) }: _*)
+
+  /** groupby(by).agg — first-seen group order is reconstructible via
+    * min(row_idx) (collections.py:179-208). */
+  def groupbyAgg(by: String, aggExprs: (String, Column)*): DataFrame = {
+    val base = df.groupBy(col(by))
+    val aggs = aggExprs.map { case (n, c) => c.as(n) } ++
+      (if (df.columns.contains(RowIdx)) Seq(min(col(RowIdx)).as("first_seen")) else Nil)
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** HAVING-style group filter (collections.py:639-650): keep whole groups
+    * whose aggregate passes, then semi-join members back. */
+  def groupbyFilter(by: String, aggCond: Column): FeatureCollection = {
+    val keep = df.groupBy(col(by)).agg(count(lit(1)).as("__n"))
+      .where(aggCond).select(col(by))
+    wrap(df.join(keep, Seq(by), "left_semi"))
+  }
+
+  /** Collection-level accessors (collections.py:87-116). */
+  def isEmptyCollection: Boolean = df.isEmpty
+  def envelope: Array[Byte] =
+    df.agg(G.st_envelope_agg(geom)).collect().head.getAs[Array[Byte]](0)
+  def cascadedUnion: Array[Byte] =
+    df.agg(G.st_union_agg(geom)).collect().head.getAs[Array[Byte]](0)
+  def convexHull: Array[Byte] =
+    df.agg(G.st_convexhull(G.st_union_agg(geom))).collect().head.getAs[Array[Byte]](0)
+
+  /** save: parquet sink with geometry as WKB (GeoJSON text via
+    * st_asgeojson for interop sinks) — collections.py:312-335. */
+  def save(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
+  private def wrap(d: DataFrame): FeatureCollection = new FeatureCollection(d, geomCol)
+}
+
+object FeatureCollection {
+  val RowIdx = "row_idx"
+
+  /** Attach the ordinal that makes order-sensitive reference semantics
+    * shuffle-safe. */
+  def withRowIdx(df: DataFrame, orderCol: String): DataFrame =
+    df.withColumn(RowIdx, row_number().over(Window.orderBy(col(orderCol))))
+}

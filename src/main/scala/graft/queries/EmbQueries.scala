@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Pages
+
+/** Similarity search over the embeddings table (builder prompt: ANN as a
+  * first-class component). Brute-force cosine top-k is the correctness
+  * baseline; random-hyperplane LSH bucketing is the scale path (candidates
+  * shrink from N to N/2^bits per probe before exact scoring). */
+object EmbQueries {
+
+  val Dim = 64
+  val K = 5
+  val NumProbes = 3
+  val LshBits = 8
+
+  /** Deterministic pseudo-random hyperplane weights — same integer
+    * arithmetic on both sides of the oracle. */
+  def planeWeights(j: Int): Seq[Double] =
+    (0 until Dim).map(i => (((j * Dim + i) * Pages.M1) % Pages.P % 2001L - 1000L).toDouble)
+
+  /** exact left-fold dot product: zip_with + aggregate mirrors the
+    * sequential i-order accumulation of the SQL oracle bit-for-bit. */
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotLit(a: Column, w: Seq[Double]): Column =
+    dotCols(a, array(w.map(lit): _*))
+
+  /** Brute-force cosine top-k: probes (vec_id < NumProbes) broadcast against
+    * all vectors; rank by exact cosine desc, vec_id asc. */
+  def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val probes = emb.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("norm").as("qnorm"))
+    val cos = (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(probes))
+      .select(col("qid"), col("vec_id"), cos)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket histogram (the ANN scale path). */
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bucket = (0 until LshBits).map { j =>
+      when(dotLit(col("embedding"), planeWeights(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Embedding near-dup pairs: LSH bucket-join candidates → exact cosine
+    * refine ≥ 0.95 (embedding-cosine near-dup dedup). */
+  def embDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val bucket = (0 until LshBits).map { j =>
+      when(dotLit(col("embedding"), planeWeights(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = emb.select(col("vec_id"), col("embedding"), col("norm"), bucket.as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, "bucket")
+      .where(col("a") < col("b"))
+      .withColumn("cos", dotCols(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= 0.95)
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+}
+
+object EmbOracles {
+  import EmbQueries._
+
+  /** sequential-order dot product in DuckDB (list_sum over an index
+    * transform — same i-order as the Spark left fold). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def dotLitSql(a: String, w: Seq[Double]): String = {
+    val lst = w.mkString("[", ", ", "]")
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * ($lst)[i]))"
+  }
+
+  val knnCosine: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |           FROM embeddings),
+       |p AS (SELECT vec_id AS qid, embedding AS qemb, norm AS qnorm FROM e WHERE vec_id < $NumProbes),
+       |s AS (SELECT p.qid, e.vec_id,
+       |             ${dotSql("e.embedding", "p.qemb")} / (p.qnorm * e.norm) AS cos
+       |      FROM e CROSS JOIN p)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM s
+       |) WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  private def bucketSql(emb: String): String =
+    (0 until LshBits).map { j =>
+      s"(CASE WHEN ${dotLitSql(emb, planeWeights(j))} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val lshBuckets: String =
+    s"""SELECT bucket, count(*) AS n, min(vec_id) AS min_vec FROM (
+       |  SELECT vec_id, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings
+       |) GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val embDedup: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |         CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT x.vec_id AS a, y.vec_id AS b
+       |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm) >= 0.95
+       |ORDER BY a, b""".stripMargin
+}
+
+/** Relational/TPC-H-shaped coverage: window top-k, multi-join agg,
+  * sessionization (stateful windowing over the events stream table). */
+object RelQueries {
+
+  def windowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.where(col("o_custkey") <= 100)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** customer ⋈ orders ⋈ nation: the small sides broadcast; quantity sums
+    * stay integral (exact). */
+  def multiJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        min(col("o_orderkey")).as("min_order"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user via lag window —
+    * the stateful/stream-shaped op over the events table. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.where(col("user_id") < 50)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"))
+      .orderBy(col("user_id"))
+  }
+}
+
+object RelOracles {
+  val windowTopK: String =
+    """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders WHERE o_custkey <= 100
+      |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  val multiJoinAgg: String =
+    """SELECT n_name, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       min(o_orderkey) AS min_order
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val sessionize: String =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events, min(event_id) AS min_event
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events WHERE user_id < 50
+      |  )
+      |) GROUP BY user_id ORDER BY user_id""".stripMargin
+}

@@ -83,6 +83,8 @@ object GraftFunctions {
     "tiles_for" -> (a => TilesFor(a(0), a(1))),
     "cell_ring" -> (a => CellRing(a(0), a(1))),
     "grid_cells" -> (a => GridCells(a(0), a(1), a(2))),
+    // text
+    "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     // aggregates
     "st_envelope_agg" -> agg(EnvelopeAgg(_)) _,
     "st_union_agg" -> agg(UnionAgg(_)) _,
