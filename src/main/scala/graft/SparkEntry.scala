@@ -42,6 +42,9 @@ object SparkEntry {
     "q23_window_topk" -> (graft.queries.RelQueries.windowTopK _),
     "q24_multi_join_agg" -> (graft.queries.RelQueries.multiJoinAgg _),
     "q25_sessionize" -> (graft.queries.RelQueries.sessionize _),
+    "q26_merge_first_wins" -> (graft.queries.RasterQueries.mergeFirstWins _),
+    "q27_merge_index" -> (graft.queries.RasterQueries.mergeIndex _),
+    "q28_raster_histogram" -> (graft.queries.RasterQueries.histogram _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -70,6 +73,9 @@ object SparkEntry {
     "q23_window_topk" -> graft.queries.RelOracles.windowTopK,
     "q24_multi_join_agg" -> graft.queries.RelOracles.multiJoinAgg,
     "q25_sessionize" -> graft.queries.RelOracles.sessionize,
+    "q26_merge_first_wins" -> graft.queries.RasterOracles.mergeFirstWins,
+    "q27_merge_index" -> graft.queries.RasterOracles.mergeIndex,
+    "q28_raster_histogram" -> graft.queries.RasterOracles.histogram,
   )
 }
 
