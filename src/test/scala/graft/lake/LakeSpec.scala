@@ -1,0 +1,134 @@
+package graft.lake
+
+import graft.sql.SparkTestBase
+import graft.jobs.{KnnJob, PyramidJob, SpatialJoinJob}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Checkpoint/resume + lineage contracts (north rule; SURVEY.md §2.11). */
+class LakeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshRoot(name: String): String = {
+    val p = Files.createTempDirectory(s"lake_$name")
+    p.toString
+  }
+
+  test("stage commit is atomic and resumable: second run reads, not recomputes") {
+    val root = freshRoot("resume")
+    val lake = new LakeTable(root)
+    var builds = 0
+    def run() = StageRunner.stage(spark, lake, "s1") {
+      builds += 1
+      spark.range(100).toDF("id")
+    }
+    assert(run().count() === 100)
+    assert(builds === 1)
+    assert(run().count() === 100)
+    assert(builds === 1) // resumed from manifest, no recompute
+    assert(lake.manifest("s1").get.contains("\"row_count\":\"100\""))
+  }
+
+  test("partial write without manifest is invisible and retried") {
+    val root = freshRoot("partial")
+    val lake = new LakeTable(root)
+    // simulate a crashed writer: data dir exists, no manifest
+    spark.range(5).toDF("id").write.parquet(s"$root/s1/data")
+    assert(!lake.isCommitted("s1"))
+    val out = StageRunner.stage(spark, lake, "s1")(spark.range(7).toDF("id"))
+    assert(out.count() === 7)
+    assert(lake.isCommitted("s1"))
+  }
+
+  test("lineage rows carry per-partition counts and checksums") {
+    val root = freshRoot("lineage")
+    val lake = new LakeTable(root)
+    StageRunner.stage(spark, lake, "s1") {
+      spark.range(1000).toDF("id").repartition(4)
+    }
+    val lin = lake.readLineage(spark, "s1")
+    assert(lin.columns.toSet === Set("partition_id", "output_rows", "checksum", "stage", "wall_ms"))
+    val total = lin.agg(sum(col("output_rows"))).collect().head.getLong(0)
+    assert(total === 1000L)
+    assert(lin.select("stage").distinct().collect().head.getString(0) === "s1")
+  }
+
+  test("spatial join job: stages commit; rerun resumes; result matches q02 oracle shape") {
+    val root = freshRoot("join")
+    val out = SpatialJoinJob.run(spark, sf, root)
+    val rows = out.orderBy("poly_id").collect()
+    assert(rows.length === 6)
+    // poly 6 captures every hot row (sf0.001: 481 hot pages inside)
+    assert(rows.last.getAs[Long]("n_hot") === rows.last.getAs[Long]("n"))
+    // all three stages committed
+    val lake = new LakeTable(root)
+    assert(Seq("s1_attach_cells", "s2_pip_join", "s3_agg").forall(lake.isCommitted))
+    // resume: rerun returns same rows without recomputation
+    val again = SpatialJoinJob.run(spark, sf, root).orderBy("poly_id").collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
+  test("salted shuffle plan produces identical rows to the broadcast plan") {
+    val root1 = freshRoot("bc")
+    val broadcastRows = SpatialJoinJob.run(spark, sf, root1)
+      .orderBy("poly_id").collect().map(_.toSeq).toSeq
+    // force the salted path by dropping the broadcast threshold
+    val root2 = freshRoot("salt")
+    val saved = SpatialJoinJob.BroadcastRowThreshold
+    val shuffled = {
+      // re-run the salted branch directly (threshold is a val — drive the
+      // branch through its internals)
+      val lake = new graft.lake.LakeTable(root2)
+      import graft.model.{Pages, PolygonLayer}
+      import graft.sql.{functions => G}
+      val pages = Pages.volumePages(spark, sf)
+        .select(col("pid"), col("lon"), col("lat"), col("is_hot"),
+          G.st_tile(col("lon"), col("lat"), 12).as("cell"))
+      val polys = PolygonLayer.toDF(spark)
+      val polyCells = polys
+        .select(col("poly_id"), col("poly"),
+          G.tiles_for(col("poly"), array(lit(8))).as(Seq("cell8", "x", "y", "z")))
+        .crossJoin(spark.range(SpatialJoinJob.SaltBuckets).select(col("id").cast("int").as("salt")))
+      val salted = pages
+        .withColumn("cell8", G.tile_parent(col("cell"), lit(4)))
+        .withColumn("salt", pmod(hash(col("pid")), lit(SpatialJoinJob.SaltBuckets)).cast("int"))
+      salted.join(polyCells, Seq("cell8", "salt"))
+        .where(G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"),
+          max(col("pid")).as("max_pid"),
+          sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"))
+        .orderBy(col("poly_id")).collect().map(_.toSeq).toSeq
+    }
+    assert(shuffled === broadcastRows)
+  }
+
+  test("iterative kNN job matches the exact oracle ranking") {
+    val root = freshRoot("knn")
+    val probes = graft.queries.GeoQueries.knnQueries
+    val out = KnnJob.run(spark, sf, probes, k = 10, zoom = 6, lakeRoot = root)
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // exact reference ranking via full scan
+    import graft.model.Pages
+    val pages = Pages.volumePages(spark, sf).select("pid", "lon", "lat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = probes.flatMap { case (q, qx, qy) =>
+      pages.map { case (pid, x, y) =>
+        (q, pid, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+      }.sortBy { case (_, pid, d) => (d, pid) }.take(10).zipWithIndex
+        .map { case ((qq, pid, _), i) => (qq, i + 1, pid) }
+    }
+    assert(got.sorted.toSeq === expected.sorted)
+  }
+
+  test("pyramid job: per-level stages resume; totals conserved") {
+    val root = freshRoot("pyr")
+    val top = PyramidJob.run(spark, sf, root)
+    val lake = new LakeTable(root)
+    assert(Seq(12, 10, 8, 6).forall(z => lake.isCommitted(s"pyramid_z$z")))
+    val base = lake.read(spark, "pyramid_z12").agg(sum("n")).collect().head.getLong(0)
+    val topN = top.agg(sum("n")).collect().head.getLong(0)
+    assert(base === topN) // rollup conserves counts
+  }
+}
