@@ -106,7 +106,7 @@ object Queries {
         broadcast(polys),
         col("lon") >= col("xmin") && col("lon") <= col("xmax") &&
           col("lat") >= col("ymin") && col("lat") <= col("ymax") &&
-          G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+          G.st_contains_xy(col("poly"), col("lon"), col("lat")))
       .groupBy(col("poly_id"))
       .agg(count(lit(1)).as("n"),
         min(col("pid")).as("min_pid"),

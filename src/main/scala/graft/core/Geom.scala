@@ -53,10 +53,11 @@ object Geom {
     def bbox: BBox = lines.map(bboxOf).reduceOption(_ union _).getOrElse(EmptyBBox)
     def isEmpty: Boolean = lines.isEmpty
   }
-  /** rings(0) = exterior shell, rest = holes; rings closed (first==last). */
+  /** rings(0) = exterior shell, rest = holes; rings closed (first==last).
+    * bbox cached: PIP tests it per candidate row. */
   final case class GPolygon(rings: Array[Array[Pt]]) extends Geometry {
     def shell: Array[Pt] = rings(0)
-    def bbox: BBox = if (rings.isEmpty) EmptyBBox else bboxOf(rings(0))
+    lazy val bbox: BBox = if (rings.isEmpty) EmptyBBox else bboxOf(rings(0))
     def isEmpty: Boolean = rings.isEmpty || rings(0).isEmpty
   }
   final case class GMultiPolygon(polys: Array[GPolygon]) extends Geometry {

@@ -114,6 +114,23 @@ object Mercator {
     TileId(xt, yt, z)
   }
 
+  /** Allocation-free packed variant of [[tileAt]] — the per-row hot path. */
+  def tileAtPacked(lng: Double, lat: Double, z: Int): Long = {
+    val x = lng / 360.0 + 0.5
+    val sinlat = math.sin(math.toRadians(lat))
+    val y = 0.5 - 0.25 * math.log((1.0 + sinlat) / (1.0 - sinlat)) / math.Pi
+    val z2 = math.pow(2.0, z)
+    val xt =
+      if (x <= 0.0) 0L
+      else if (x >= 1.0) (z2 - 1).toLong
+      else math.floor((x + Epsilon) * z2).toLong
+    val yt =
+      if (y <= 0.0) 0L
+      else if (y >= 1.0) (z2 - 1).toLong
+      else math.floor((y + Epsilon) * z2).toLong
+    TileId.pack(xt, yt, z)
+  }
+
   /** All tiles intersecting a WGS84 bbox at the given zooms
     * (mercantile.tiles semantics: clamp, antimeridian split, LL_EPSILON
     * shrink on the lower-right corner). Row-major per zoom:

@@ -37,7 +37,7 @@ object SpatialJoinJob {
         pages.join(broadcast(polys),
           col("lon") >= col("xmin") && col("lon") <= col("xmax") &&
             col("lat") >= col("ymin") && col("lat") <= col("ymax") &&
-            G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+            G.st_contains_xy(col("poly"), col("lon"), col("lat")))
           .select(col("pid"), col("poly_id"), col("is_hot"))
       } else {
         // salted cell-equi shuffle join: explode polygons into z8 cover
@@ -50,7 +50,7 @@ object SpatialJoinJob {
           .withColumn("cell8", G.tile_parent(col("cell"), lit(4)))
           .withColumn("salt", pmod(hash(col("pid")), lit(SaltBuckets)).cast("int"))
         salted.join(polyCells, Seq("cell8", "salt"))
-          .where(G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+          .where(G.st_contains_xy(col("poly"), col("lon"), col("lat")))
           .select(col("pid"), col("poly_id"), col("is_hot"))
       }
     }

@@ -149,14 +149,17 @@ object PolygonLayer {
     Geom.polygon(polys.find(_._1 == id).get._2: _*)
   def wkb(id: Int): Array[Byte] = Geom.toWkb(geom(id))
 
-  /** Spark rows (poly_id, wkb, xmin, ymin, xmax, ymax). */
+  /** Spark rows (poly_id, wkb, bbox, and the shell as packed coordinate
+    * arrays xs/ys for the in-place st_contains_ring hot path). */
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     polys.map { case (id, vs) =>
       val g = Geom.polygon(vs: _*)
       val bb = g.bbox
-      (id, Geom.toWkb(g), bb.xmin, bb.ymin, bb.xmax, bb.ymax)
-    }.toDF("poly_id", "poly", "xmin", "ymin", "xmax", "ymax")
+      val shell = g.shell
+      (id, Geom.toWkb(g), bb.xmin, bb.ymin, bb.xmax, bb.ymax,
+        shell.map(_.x), shell.map(_.y))
+    }.toDF("poly_id", "poly", "xmin", "ymin", "xmax", "ymax", "xs", "ys")
   }
 
   /** Half-plane containment predicate in ANSI SQL for a convex CCW polygon:

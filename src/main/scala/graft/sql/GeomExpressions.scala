@@ -30,6 +30,43 @@ object GeomSqlOps {
   private val factory = new GeometryFactory(new PrecisionModel(), 4326)
   def readJts(wkb: Array[Byte]): JtsGeometry = new WKBReader(factory).read(wkb)
   def writeJts(g: JtsGeometry): Array[Byte] = new WKBWriter(2, 2).write(g)
+
+  /** Content-keyed per-thread parse cache. UnsafeRow.getBinary copies bytes
+    * on every access, so instance-keyed caching never hits on join build
+    * sides; keying on content makes repeated literals/broadcast polygons
+    * parse once per thread (the reference's prepared-geometry idea,
+    * collections.py:146). Bounded: cleared if it ever exceeds 1024 shapes. */
+  final class ParseCache {
+    private val Slots = 256 // power of two
+    private val keys = new Array[Array[Byte]](Slots)
+    private val vals = new Array[GGeometry](Slots)
+    private def hash(b: Array[Byte]): Int = {
+      var h = b.length * 0x9E3779B1
+      if (b.length >= 8) {
+        h ^= (b(5) & 0xFF) << 16
+        h ^= (b(b.length - 8) & 0xFF) << 8
+        h ^= (b(b.length / 2) & 0xFF)
+        h ^= ((b(b.length - 1) & 0xFF) << 24)
+      }
+      h * 0x85EBCA6B
+    }
+    def get(wkb: Array[Byte]): GGeometry = {
+      val slot = hash(wkb) & (Slots - 1)
+      val k = keys(slot)
+      if (k != null && java.util.Arrays.equals(k, wkb)) vals(slot)
+      else {
+        val g = Geom.fromWkb(wkb)
+        keys(slot) = wkb.clone()
+        vals(slot) = g
+        g
+      }
+    }
+  }
+  private val geomCache = new ThreadLocal[ParseCache] {
+    override def initialValue() = new ParseCache
+  }
+  /** Allocation-free on hit (open-address probe, full-array equality). */
+  def parseCached(wkb: Array[Byte]): GGeometry = geomCache.get().get(wkb)
 }
 
 /** Unary geometry-ish expression: compute on the unboxed child value. */
@@ -324,9 +361,7 @@ case class StContains(left: Expression, right: Expression)
     extends GraftBinary with FoldableGeomCache {
   override def dataType: DataType = BooleanType
   def compute(a: Any, b: Any): Any = {
-    val container =
-      if (left.foldable) parsedGeom(a.asInstanceOf[Array[Byte]])
-      else Geom.fromWkb(a.asInstanceOf[Array[Byte]])
+    val container = GeomSqlOps.parseCached(a.asInstanceOf[Array[Byte]])
     Geom.fromWkb(b.asInstanceOf[Array[Byte]]) match {
       case GPoint(x, y) => Geom.contains(x, y, container)
       case _ =>
@@ -467,6 +502,83 @@ case class StSymDifference(left: Expression, right: Expression) extends JtsBinar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_symdifference"
+}
+
+/** st_contains_xy(poly, lon, lat) — the allocation-free PIP hot path: no
+  * point WKB is built, the container parse is content-cached per thread.
+  * This is the expression the 10^12-row join runs per candidate pair. */
+case class StContainsXY(first: Expression, second: Expression, third: Expression)
+    extends GraftTernary {
+  override def dataType: DataType = BooleanType
+  def compute(poly: Any, lon: Any, lat: Any): Any =
+    computePrim(poly.asInstanceOf[Array[Byte]],
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  /** primitive-signature entry point — the generated code calls this, so
+    * per-row evaluation allocates nothing (no autoboxing). */
+  def computePrim(poly: Array[Byte], lon: Double, lat: Double): Boolean =
+    Geom.contains(lon, lat, GeomSqlOps.parseCached(poly))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[StContainsXY].getName)
+    nullSafeCodeGen(ctx, ev, (p, x, y) =>
+      s"${ev.value} = $ref.computePrim($p, $x, $y);")
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "st_contains_xy"
+}
+
+/** st_contains_ring(xs, ys, lon, lat) — ray-cast PIP over a polygon shell
+  * stored as two packed double arrays. Reads coordinates IN PLACE via
+  * ArrayData (UnsafeArrayData view, no copy, no parse) — the columnar form
+  * of the PIP join's build side: the broadcast rows' coordinate bytes stay
+  * hot in cache instead of being copied per probe row (WKB BinaryType
+  * columns copy on every UnsafeRow.getBinary). This is the expression the
+  * trillion-row join evaluates per candidate pair. */
+case class StContainsRing(xs: Expression, ys: Expression,
+                          lon: Expression, lat: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def first: Expression = xs
+  override def second: Expression = ys
+  override def third: Expression = lon
+  override def fourth: Expression = lat
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  def computePrim(xsD: org.apache.spark.sql.catalyst.util.ArrayData,
+                  ysD: org.apache.spark.sql.catalyst.util.ArrayData,
+                  px: Double, py: Double): Boolean = {
+    val n = xsD.numElements()
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = ysD.getDouble(i)
+      val yj = ysD.getDouble(j)
+      if ((yi > py) != (yj > py)) {
+        val xi = xsD.getDouble(i)
+        val xj = xsD.getDouble(j)
+        if (px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    computePrim(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[StContainsRing].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = $ref.computePrim($a, $b, $c, $d);")
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(xs = a, ys = b, lon = c, lat = d)
+  override def prettyName: String = "st_contains_ring"
 }
 
 /** st_distance — planar cartesian distance (JTS). */

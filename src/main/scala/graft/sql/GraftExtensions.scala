@@ -54,6 +54,8 @@ object GraftFunctions {
     "st_transform" -> (a => StTransform(a(0), a(1), a(2))),
     // binary predicates
     "st_contains" -> (a => StContains(a(0), a(1))),
+    "st_contains_xy" -> (a => StContainsXY(a(0), a(1), a(2))),
+    "st_contains_ring" -> (a => StContainsRing(a(0), a(1), a(2), a(3))),
     "st_within" -> (a => StWithin(a(0), a(1))),
     "st_intersects" -> (a => StIntersects(a(0), a(1))),
     "st_disjoint" -> (a => StDisjoint(a(0), a(1))),

@@ -22,10 +22,19 @@ import org.apache.spark.sql.types._
 case class StTile(first: Expression, second: Expression, third: Expression)
     extends GraftTernary {
   override def dataType: DataType = LongType
-  def compute(lon: Any, lat: Any, z: Any): Any = {
-    val t = Mercator.tileAt(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+  def compute(lon: Any, lat: Any, z: Any): Any =
+    computePrim(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
       z.asInstanceOf[Int])
-    t.packed
+  /** primitive-signature entry point (no autoboxing in generated code). */
+  def computePrim(lon: Double, lat: Double, z: Int): Long =
+    Mercator.tileAtPacked(lon, lat, z)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[StTile].getName)
+    nullSafeCodeGen(ctx, ev, (lon, lat, z) =>
+      s"${ev.value} = $ref.computePrim($lon, $lat, $z);")
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
     copy(first = a, second = b, third = c)

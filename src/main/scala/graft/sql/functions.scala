@@ -41,6 +41,10 @@ object functions {
     f("st_transform", g, srcSrid, dstSrid)
 
   def st_contains(a: Column, b: Column): Column = f("st_contains", a, b)
+  def st_contains_xy(poly: Column, lon: Column, lat: Column): Column =
+    f("st_contains_xy", poly, lon, lat)
+  def st_contains_ring(xs: Column, ys: Column, lon: Column, lat: Column): Column =
+    f("st_contains_ring", xs, ys, lon, lat)
   def st_within(a: Column, b: Column): Column = f("st_within", a, b)
   def st_intersects(a: Column, b: Column): Column = f("st_intersects", a, b)
   def st_disjoint(a: Column, b: Column): Column = f("st_disjoint", a, b)

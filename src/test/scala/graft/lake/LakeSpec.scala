@@ -94,7 +94,7 @@ class LakeSpec extends SparkTestBase {
         .withColumn("cell8", G.tile_parent(col("cell"), lit(4)))
         .withColumn("salt", pmod(hash(col("pid")), lit(SpatialJoinJob.SaltBuckets)).cast("int"))
       salted.join(polyCells, Seq("cell8", "salt"))
-        .where(G.st_contains(col("poly"), G.st_point(col("lon"), col("lat"))))
+        .where(G.st_contains_xy(col("poly"), col("lon"), col("lat")))
         .groupBy(col("poly_id"))
         .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"),
           max(col("pid")).as("max_pid"),
