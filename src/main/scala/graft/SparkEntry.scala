@@ -45,6 +45,9 @@ object SparkEntry {
     "q26_merge_first_wins" -> (graft.queries.RasterQueries.mergeFirstWins _),
     "q27_merge_index" -> (graft.queries.RasterQueries.mergeIndex _),
     "q28_raster_histogram" -> (graft.queries.RasterQueries.histogram _),
+    "q29_event_windows" -> (graft.queries.StreamQueries.eventWindows _),
+    "q30_multimodal_frames" -> (graft.queries.StreamQueries.multimodalFrames _),
+    "q31_json_props" -> (graft.queries.StreamQueries.jsonProps _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -76,6 +79,9 @@ object SparkEntry {
     "q26_merge_first_wins" -> graft.queries.RasterOracles.mergeFirstWins,
     "q27_merge_index" -> graft.queries.RasterOracles.mergeIndex,
     "q28_raster_histogram" -> graft.queries.RasterOracles.histogram,
+    "q29_event_windows" -> graft.queries.StreamOracles.eventWindows,
+    "q30_multimodal_frames" -> graft.queries.StreamOracles.multimodalFrames,
+    "q31_json_props" -> graft.queries.StreamOracles.jsonProps,
   )
 }
 

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Pages
+import graft.ops.MultimodalOps
+
+/** Streaming-shaped, multimodal, and JSON-property queries. */
+object StreamQueries {
+
+  /** 15-minute tumbling windows per event_type — the batch face of
+    * EventStream.windowedCounts (unified batch/stream semantics). Money
+    * kept integral (cents) so the oracle compares exactly. */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** multimodal plumbing at query level: html payload → frame rows →
+    * per-doc frame stats (the decode/feature kernels are spec-tested;
+    * here the oracle checks the batch shape arithmetic). */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.documentsPages(spark, sfDir)
+      .select(col("doc_id"), col("html").as("payload"))
+    MultimodalOps.frameSample(pages, stride = 32)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_len")).as("total_len"),
+        min(col("frame_len")).as("min_frame_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON property access over the events props column
+    * (features.py:144-151 property access, via JSON at scale). */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_mod"))
+}
+
+object StreamOracles {
+  val eventWindows: String =
+    """SELECT win_start, event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM (
+      |  SELECT (epoch_us(ts) // 900000000) * 900 AS win_start, event_type, value
+      |  FROM events
+      |) GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
+
+  val multimodalFrames: String =
+    """SELECT doc_id,
+      |       CAST(CEIL(CAST(blen AS DOUBLE) / 32.0) AS BIGINT) AS n_frames,
+      |       CAST(blen AS BIGINT) AS total_len,
+      |       CAST(CASE WHEN blen % 32 = 0 THEN 32 ELSE blen % 32 END AS INTEGER) AS min_frame_len
+      |FROM (
+      |  SELECT doc_id, octet_length(encode('<html>' || text || '</html>')) AS blen
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
+  val jsonProps: String =
+    """SELECT CAST(k % 10 AS INTEGER) AS k_mod, count(*) AS n,
+      |       min(event_id) AS min_event, CAST(max(k) AS INTEGER) AS max_k
+      |FROM (
+      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events
+      |) GROUP BY 1 ORDER BY k_mod""".stripMargin
+}
