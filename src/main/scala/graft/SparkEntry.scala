@@ -48,6 +48,8 @@ object SparkEntry {
     "q29_event_windows" -> (graft.queries.StreamQueries.eventWindows _),
     "q30_multimodal_frames" -> (graft.queries.StreamQueries.multimodalFrames _),
     "q31_json_props" -> (graft.queries.StreamQueries.jsonProps _),
+    "q32_anti_join" -> (graft.queries.JoinQueries.antiJoin _),
+    "q33_range_join" -> (graft.queries.JoinQueries.rangeJoin _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -82,6 +84,8 @@ object SparkEntry {
     "q29_event_windows" -> graft.queries.StreamOracles.eventWindows,
     "q30_multimodal_frames" -> graft.queries.StreamOracles.multimodalFrames,
     "q31_json_props" -> graft.queries.StreamOracles.jsonProps,
+    "q32_anti_join" -> graft.queries.JoinOracles.antiJoin,
+    "q33_range_join" -> graft.queries.JoinOracles.rangeJoin,
   )
 }
 
