@@ -26,6 +26,43 @@ class FeatureCollection(val df: DataFrame, val geomCol: String = "geom") {
     wrap(df.where(G.st_intersects(geom, lit(probeWkb)) ||
       G.st_overlaps(geom, lit(probeWkb))))
 
+  /** Cell-indexed variant of filterIntersects — the
+    * `Filter(ST_Intersects(g, lit)) → cell ∈ cells(probe) + refine`
+    * rewrite (SURVEY.md §4): at a trillion rows the IN-list on the packed
+    * cell column prunes partitions/row groups via parquet min-max stats
+    * BEFORE the exact geometry test runs. Requires (or computes) a cell
+    * column at `zoom`. Result ≡ filterIntersects (metamorphic-tested). */
+  def filterIntersectsIndexed(probeWkb: Array[Byte], zoom: Int,
+                              cellCol: String = "cell"): FeatureCollection = {
+    val bb = graft.core.Geom.fromWkb(probeWkb).bbox
+    val cells = graft.core.Mercator
+      .tilesFor(bb.xmin, bb.ymin, bb.xmax, bb.ymax, Seq(zoom)).map(_.packed)
+    val withCell =
+      if (df.columns.contains(cellCol)) df
+      else df.withColumn(cellCol,
+        G.st_tile(G.st_x(geom), G.st_y(geom), lit(zoom)))
+    wrap(withCell
+      .where(col(cellCol).isin(cells: _*))
+      .where(G.st_intersects(geom, lit(probeWkb)) ||
+        G.st_overlaps(geom, lit(probeWkb))))
+  }
+
+  /** assets attachment (features.py:287-336): named raster references as a
+    * map<string, struct<href,bands,type,product>> column. */
+  def withAsset(name: String, href: String, bands: Seq[String],
+                assetType: String, product: String): FeatureCollection = {
+    val entry = struct(lit(href).as("href"),
+      array(bands.map(lit): _*).as("bands"),
+      lit(assetType).as("type"), lit(product).as("product"))
+    val m = map(lit(name), entry)
+    wrap(
+      if (df.columns.contains("assets"))
+        // copy_with merge semantics: new keys override (features.py:262-280)
+        df.withColumn("assets", map_concat(
+          map_filter(col("assets"), (k, _) => k =!= name), m))
+      else df.withColumn("assets", m))
+  }
+
   /** stable sort by property (collections.py:158-177): secondary key on
     * row_idx when present preserves Python's stable-sort contract. */
   def sortBy(prop: String, desc: Boolean = false): FeatureCollection = {

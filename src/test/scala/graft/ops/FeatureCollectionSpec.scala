@@ -117,6 +117,32 @@ class FeatureCollectionSpec extends SparkTestBase {
     assert(fc.df.where(col("prop1") === 2).select("double").collect().head.getInt(0) === 4)
   }
 
+  test("metamorphic: indexed filter ≡ plain filterIntersects (SURVEY.md §4 rewrite)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      (pt(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80), i)
+    }
+    val fc = new FeatureCollection(rows.toDF("geom", "id"))
+    val probe = Geom.toWkb(Geom.polygon((10.3, -20.7), (55.9, -18.2), (47.1, 24.5), (12.0, 18.8)))
+    val plain = fc.filterIntersects(probe).df.select("id").collect().map(_.getInt(0)).sorted
+    val indexed = fc.filterIntersectsIndexed(probe, zoom = 5)
+      .df.select("id").collect().map(_.getInt(0)).sorted
+    assert(indexed.toSeq === plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("assets: attach + copy_with override merge (features.py:262-336)") {
+    val fc = new FeatureCollection(Seq((pt(0, 0), 1)).toDF("geom", "id"))
+      .withAsset("rgb", "s3://x/rgb.tif", Seq("red", "green", "blue"), "raster", "visual")
+      .withAsset("nir", "s3://x/nir.tif", Seq("nir"), "raster", "nir")
+      .withAsset("rgb", "s3://x/rgb_v2.tif", Seq("red", "green", "blue"), "raster", "visual")
+    val row = fc.df.select(col("assets")).collect().head
+    val m = row.getMap[String, org.apache.spark.sql.Row](0)
+    assert(m.keys.toSet === Set("rgb", "nir"))
+    assert(m("rgb").getAs[String]("href") === "s3://x/rgb_v2.tif") // override wins
+    assert(m("nir").getAs[Seq[String]]("bands") === Seq("nir"))
+  }
+
   test("property_names on empty collection (test_collections.py:496-499)") {
     val fc = new FeatureCollection(Seq.empty[(Array[Byte], Int)].toDF("geom", "p"))
     assert(fc.isEmptyCollection)

@@ -287,6 +287,30 @@ class RasterSpec extends AnyFunSuite {
     assert(r.numPixels === 100 && r.numPixelsNodata === 0)
   }
 
+  test("get_window mask semantics on the maskedRaster fixture (test_georaster_tiling.py:446-492)") {
+    // data rows {0,1,1,1; 0,2,0,2; 0,3,3,3}, col 0 masked
+    val data = Array[Double](0, 1, 1, 1, 0, 2, 0, 2, 0, 3, 3, 3)
+    val mask = Array(true, false, false, false,
+                     true, false, false, false,
+                     true, false, false, false)
+    val affine = Affine(1, 0, 0, 0, -1.0001, 3.0 * 1.0001) // scale(1,-1.0001)*translate(0,-3)
+    val r = MRaster(Array(data, data.clone(), data.clone()), mask, 4, 3,
+      Affine(1, 0, 0, 0, -1.0001, 3.0003), 4326, Seq("1", "2", "3"), "uint8", None)
+    // window inside the unmasked region → nothing masked
+    val small = TileServe.getWindow(r, Windows.Window(1, 0, 3, 3), 3, 3,
+      r.affine)
+    assert(!small.mask.exists(identity))
+    // window one column beyond the raster → last column masked, rest not
+    val big = TileServe.getWindow(r, Windows.Window(1, 0, 4, 3), 4, 3, r.affine)
+    for (row <- 0 until 3) {
+      assert(big.masked(3, row), s"boundless col should be masked row=$row")
+      for (colI <- 0 until 3)
+        assert(!big.masked(colI, row), s"($colI,$row)")
+    }
+    // values flow through
+    assert(big.get(0, 0, 0) === 1.0 && big.get(2, 2, 2) === 3.0)
+  }
+
   test("colorize maps one band to rgb (georaster.py:2093-2146)") {
     val r = bw(Seq("1")).copy(dtype = "uint8")
     val c = r.colorize(v => if (v > 0) (255, 0, 0) else (0, 0, 255))
