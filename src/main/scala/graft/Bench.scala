@@ -25,7 +25,7 @@ object Bench {
   /** work amplification for the scaling job (same job & input at both
     * parallelism levels; makes the join compute-bound rather than
     * fixed-overhead-bound at small SF). */
-  val Rep = 256
+  val Rep = 1024
 
   /** Scaling-job polygon layer: the 6 query polygons densified to 64
     * vertices (circumscribed 64-gons) — admin-boundary-like complexity, so
