@@ -50,6 +50,8 @@ object SparkEntry {
     "q31_json_props" -> (graft.queries.StreamQueries.jsonProps _),
     "q32_anti_join" -> (graft.queries.JoinQueries.antiJoin _),
     "q33_range_join" -> (graft.queries.JoinQueries.rangeJoin _),
+    "q34_hll_cells" -> (graft.queries.MiscQueries.hllCells _),
+    "q35_grid_cells" -> (graft.queries.MiscQueries.gridCells _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -86,6 +88,8 @@ object SparkEntry {
     "q31_json_props" -> graft.queries.StreamOracles.jsonProps,
     "q32_anti_join" -> graft.queries.JoinOracles.antiJoin,
     "q33_range_join" -> graft.queries.JoinOracles.rangeJoin,
+    // q34_hll_cells: HLL sketch values are engine-specific → rows-only
+    "q35_grid_cells" -> graft.queries.MiscOracles.gridCells,
   )
 }
 

@@ -100,6 +100,97 @@ object RasterOps {
     }
   }
 
+  /** limit_to_bands (georaster.py:1680-1689): order preserved, missing
+    * bands error. */
+  def limitToBands(r: MRaster, bands: Seq[String]): MRaster = {
+    val idx = bands.map { b =>
+      val i = r.bandNames.indexOf(b)
+      if (i < 0) throw new IllegalArgumentException(s"band $b is not in the raster")
+      i
+    }
+    r.copy(image = idx.map(r.image(_)).toArray, bandNames = bands)
+  }
+
+  /** mask(vector, mask_shape_nodata) (georaster.py:1850-1871): burn the
+    * shapes into a boolean grid (pixel-center rule, same kernel as
+    * rasterize); default masks pixels OUTSIDE the shapes, `maskShape=true`
+    * masks pixels inside. */
+  def maskByVector(r: MRaster, shapes: Seq[Geom.Geometry],
+                   maskShapeNodata: Boolean = false): MRaster = {
+    val burned = Rasterize.rasterize(shapes, r.crs,
+      Some {
+        val (x0, y0) = r.affine(0, 0)
+        val (x1, y1) = r.affine(r.width.toDouble, r.height.toDouble)
+        (math.min(x0, x1), math.min(y0, y1), math.max(x0, x1), math.max(y0, y1))
+      },
+      (math.abs(r.affine.a), math.abs(r.affine.e)),
+      fillValue = Some(1.0), dtypeOpt = Some("uint8"))
+    val inside = burned.image(0).map(_ == 1.0)
+    val newMask = r.mask.zipWithIndex.map { case (m, i) =>
+      m || (if (maskShapeNodata) inside(i) else !inside(i))
+    }
+    r.copy(mask = newMask)
+  }
+
+  /** mask_by_value(nodata) (georaster.py:1873-1881). */
+  def maskByValue(r: MRaster, nodata: Double): MRaster = {
+    val n = r.width * r.height
+    val newMask = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      var allNodata = true
+      var b = 0
+      while (b < r.numBands && allNodata) {
+        if (r.image(b)(i) != nodata) allNodata = false
+        b += 1
+      }
+      newMask(i) = allNodata
+      i += 1
+    }
+    r.copy(mask = newMask, nodata = Some(nodata))
+  }
+
+  /** __invert__ (georaster.py:1845-1848): flip the mask. */
+  def invertMask(r: MRaster): MRaster = r.copy(mask = r.mask.map(!_))
+
+  /** get_tile for a WGS84 raster (the cross-CRS path of
+    * georaster.py:2067-2082): crop with the 10% TELLURIC_GET_TILE_BUFFER,
+    * closed-form reproject of the sampling grid, resize to 256² —
+    * resampling is nearest (cubic parity documented approximate,
+    * SURVEY.md §7 risk 3). */
+  def getTile4326(r: MRaster, x: Long, y: Long, z: Int): MRaster = {
+    require(r.crs == 4326, "getTile4326 expects EPSG:4326 input")
+    val b = Mercator.xyBounds(x, y, z)
+    val res = Mercator.resolution(z)
+    val out = MRaster.filled(256, 256, 0.0, r.bandNames,
+      Affine(res, 0.0, b.left, 0.0, -res, b.top), 3857, r.dtype, r.nodata,
+      allMasked = true)
+    val inv = r.affine.inverse
+    val img = Array.fill(r.numBands)(new Array[Double](256 * 256))
+    val mask = Array.fill(256 * 256)(true)
+    var row = 0
+    while (row < 256) {
+      var colI = 0
+      while (colI < 256) {
+        // output pixel center in 3857 → lon/lat → source pixel (nearest)
+        val mx = b.left + (colI + 0.5) * res
+        val my = b.top - (row + 0.5) * res
+        val (lon, lat) = Mercator.metersToLngLat(mx, my)
+        val sc = math.floor(inv.a * lon + inv.b * lat + inv.c).toInt
+        val sr = math.floor(inv.d * lon + inv.e * lat + inv.f).toInt
+        if (sc >= 0 && sc < r.width && sr >= 0 && sr < r.height && !r.masked(sc, sr)) {
+          val i = row * 256 + colI
+          var bd = 0
+          while (bd < r.numBands) { img(bd)(i) = r.get(bd, sc, sr); bd += 1 }
+          mask(i) = false
+        }
+        colI += 1
+      }
+      row += 1
+    }
+    out.copy(image = img, mask = mask)
+  }
+
   class HistogramStretchingError extends IllegalArgumentException("degenerate stretch range")
 
   /** stretch_histogram (util/histogram.py:10-53): percentile-or-value clip

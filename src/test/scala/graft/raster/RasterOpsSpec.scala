@@ -100,6 +100,57 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(z >= 15)
   }
 
+  test("limit_to_bands preserves order, errors on missing (georaster.py:1680-1689)") {
+    val img = Array(Array.fill(4)(1.0), Array.fill(4)(2.0), Array.fill(4)(3.0))
+    val r = MRaster(img, Array.fill(4)(false), 2, 2, Affine.northUp(0, 2, 1, 1),
+      3857, Seq("red", "green", "blue"), "uint8", None)
+    val sel = RasterOps.limitToBands(r, Seq("blue", "red"))
+    assert(sel.bandNames === Seq("blue", "red"))
+    assert(sel.get(0, 0, 0) === 3.0 && sel.get(1, 0, 0) === 1.0)
+    intercept[IllegalArgumentException](RasterOps.limitToBands(r, Seq("nir")))
+  }
+
+  test("mask by vector: outside-default and inverted (georaster.py:1850-1871)") {
+    val r = gradient(10, 10)
+    val shape = Geom.polygonFromBounds(2, 2, 6, 6)
+    val outside = RasterOps.maskByVector(r, Seq(shape))
+    assert(outside.masked(0, 0))          // outside the shape → masked
+    assert(!outside.masked(3, 5))         // inside stays
+    val inside = RasterOps.maskByVector(r, Seq(shape), maskShapeNodata = true)
+    assert(!inside.masked(0, 0))
+    assert(inside.masked(3, 5))
+    // pixel counts complement (mask ∪ original false mask)
+    assert(outside.numPixelsNodata + inside.numPixelsNodata === r.numPixels)
+  }
+
+  test("mask_by_value and invert (georaster.py:1845-1881)") {
+    val img = Array(Array(0.0, 5.0, 0.0, 7.0))
+    val r = MRaster(img, Array.fill(4)(false), 2, 2, Affine.northUp(0, 2, 1, 1),
+      3857, Seq("1"), "uint8", None)
+    val m = RasterOps.maskByValue(r, 0.0)
+    assert(m.mask.toSeq === Seq(true, false, true, false))
+    assert(RasterOps.invertMask(m).mask.toSeq === Seq(false, true, false, true))
+  }
+
+  test("cross-CRS get_tile: 4326 raster → 3857 tile, canonical affine") {
+    // a WGS84 raster covering the whole bbox of tile (2,2,2)
+    val (w, s, e, n) = graft.core.Mercator.lngLatBounds(2, 2, 2)
+    val width = 256; val height = 256
+    val r = MRaster(Array(Array.fill(width * height)(9.0)),
+      Array.fill(width * height)(false), width, height,
+      Affine.northUp(w, n, (e - w) / width, (n - s) / height), 4326,
+      Seq("1"), "uint8", None)
+    val t = RasterOps.getTile4326(r, 2, 2, 2)
+    assert(t.crs === 3857)
+    assert(t.width === 256 && t.height === 256)
+    assert(math.abs(t.affine.a - graft.core.Mercator.resolution(2)) < 1e-9)
+    assert(!t.mask.exists(identity))
+    assert(t.image(0).forall(_ === 9.0))
+    // a disjoint tile leaves everything masked
+    val miss = RasterOps.getTile4326(r, 0, 0, 2)
+    assert(miss.mask.forall(identity))
+  }
+
   private object Mercantile {
     def tileBounds(x: Long, y: Long, z: Int): (Double, Double, Double, Double) =
       graft.core.Mercator.lngLatBounds(x, y, z)
