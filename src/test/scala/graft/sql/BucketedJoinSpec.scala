@@ -1,0 +1,50 @@
+package graft.sql
+
+import graft.model.Pages
+import graft.sql.{functions => G}
+import org.apache.spark.sql.functions._
+
+/** Bucketing evidence (SURVEY.md §4 partitioning/shuffle): two layers
+  * bucketed by the packed cell key join WITHOUT a shuffle — the co-located
+  * cell-equi join that makes repeated layer×layer joins at 10^12 rows
+  * affordable (bucket once, join many times). */
+class BucketedJoinSpec extends SparkTestBase {
+
+  test("bucketed cell tables join with zero Exchange") {
+    val sf = "/root/testdata/sf0.001"
+    val pages = Pages.volumePages(spark, sf)
+      .select(col("pid"), col("lon"), col("lat"),
+        G.st_tile(col("lon"), col("lat"), 8).as("cell"))
+    val a = pages.where(pmod(col("pid"), lit(2)) === 0)
+    val b = pages.where(pmod(col("pid"), lit(2)) === 1)
+    spark.sql("DROP TABLE IF EXISTS cells_a")
+    spark.sql("DROP TABLE IF EXISTS cells_b")
+    a.write.bucketBy(8, "cell").sortBy("cell").saveAsTable("cells_a")
+    b.write.bucketBy(8, "cell").sortBy("cell").saveAsTable("cells_b")
+
+    val ta = spark.table("cells_a")
+    val tb = spark.table("cells_b")
+    val joined = ta.join(tb.withColumnRenamed("pid", "pid_b")
+        .withColumnRenamed("lon", "lon_b").withColumnRenamed("lat", "lat_b"),
+      "cell")
+      .groupBy("cell").agg(count(lit(1)).as("pairs"))
+    // force a sort-merge join so the bucketing (not a broadcast) carries it
+    val smjJoined = ta.hint("merge")
+      .join(tb.withColumnRenamed("pid", "pid_b")
+        .withColumnRenamed("lon", "lon_b").withColumnRenamed("lat", "lat_b"),
+        "cell")
+    // execute first so AQE finalizes the plan, then inspect it
+    val got = smjJoined.count()
+    val plan = smjJoined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(600))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(900)}")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      plan.take(900))
+    // correctness: same pairs as the unbucketed join
+    val expected = a.join(b.select(col("cell"), col("pid").as("pid_b")), "cell").count()
+    assert(got === expected)
+    spark.sql("DROP TABLE cells_a")
+    spark.sql("DROP TABLE cells_b")
+  }
+}

@@ -12,7 +12,10 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("local[4]", shufflePartitions = 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
