@@ -146,8 +146,8 @@ object Bench {
     val polys = densePolys(spark)
     headlineJob(pages, polys) // warm codegen/JIT
     rayKernelWall(cpus) // warm
-    val walls = (1 to 4).map(_ => time(headlineJob(pages, polys))._2)
-    val kernelWall = (1 to 2).map(_ => rayKernelWall(cpus)).min
+    val walls = (1 to 3).map(_ => time(headlineJob(pages, polys))._2)
+    val kernelWall = rayKernelWall(cpus)
     println(s"GRAFT_SCALE cpus=$cpus rows=$rows wall=${walls.min} kernel=$kernelWall all=${walls.map(w => f"$w%.2f").mkString(",")}")
     spark.stop()
   }
