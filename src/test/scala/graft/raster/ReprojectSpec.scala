@@ -1,0 +1,104 @@
+package graft.raster
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** calc_transform parameter matrix + error contracts, mirroring
+  * tests/test_georaster_reproject.py (23 cases) over the engine's working
+  * CRS pair. */
+class ReprojectSpec extends AnyFunSuite {
+
+  private def src(w: Int = 100, h: Int = 50, crs: Int = 4326): MRaster =
+    MRaster.filled(w, h, 7.0, Seq("1"), Affine.northUp(10, 40, 0.1, 0.2), crs,
+      "uint8", None) // bounds (10, 30, 20, 40)
+
+  test("invalid-param combinations raise with the reference's messages") {
+    val r = src()
+    val e1 = intercept[IllegalArgumentException](
+      Reproject.calcTransform(r, targetAlignedPixels = true))
+    assert(e1.getMessage.contains("cannot be used without resolution"))
+    val e2 = intercept[IllegalArgumentException](
+      Reproject.calcTransform(r, resolution = Some((1, 1)),
+        srcBounds = Some((0, 0, 1, 1)), targetAlignedPixels = true))
+    assert(e2.getMessage.contains("cannot be used with src_bounds or dst_bounds"))
+    val e3 = intercept[IllegalArgumentException](
+      Reproject.calcTransform(r, dimensions = Some((5, 5)), resolution = Some((1, 1))))
+    assert(e3.getMessage.contains("dimensions cannot be used"))
+    val e4 = intercept[IllegalArgumentException](
+      Reproject.calcTransform(r, srcBounds = Some((0, 0, 1, 1)),
+        dstBounds = Some((0, 0, 1, 1))))
+    assert(e4.getMessage.contains("may not be specified simultaneously"))
+    val e5 = intercept[IllegalArgumentException](
+      Reproject.calcTransform(r, dstCrs = Some(3857), srcBounds = Some((0, 0, 1, 1))))
+    assert(e5.getMessage.contains("resolution is required"))
+  }
+
+  test("no params → identity grid") {
+    val r = src()
+    val g = Reproject.calcTransform(r)
+    assert(g.dstCrs === r.crs && g.transform === r.affine)
+    assert(g.width === r.width && g.height === r.height)
+  }
+
+  test("same-CRS resolution change") {
+    val g = Reproject.calcTransform(src(), resolution = Some((0.5, 0.5)))
+    assert(g.width === 20 && g.height === 20) // 10° x 10° at 0.5°
+    assert(g.transform.a === 0.5 && g.transform.e === -0.5)
+    assert(g.transform.c === 10.0 && g.transform.f === 40.0)
+  }
+
+  test("same-CRS dimensions change computes resolution") {
+    val g = Reproject.calcTransform(src(), dimensions = Some((50, 25)))
+    assert(g.width === 50 && g.height === 25)
+    assert(g.transform.a === 0.2 && g.transform.e === -0.4)
+  }
+
+  test("same-CRS src_bounds uses source resolution by default") {
+    val g = Reproject.calcTransform(src(), srcBounds = Some((12.0, 32.0, 14.0, 36.0)))
+    assert(g.transform.c === 12.0 && g.transform.f === 36.0)
+    assert(g.width === 20 && g.height === 20) // 2°/0.1, 4°/0.2
+  }
+
+  test("cross-CRS default transform preserves coverage") {
+    val g = Reproject.calcTransform(src(), dstCrs = Some(3857))
+    assert(g.dstCrs === 3857)
+    // 10..20 lon → ~1113 km; bounds must cover the reprojected extent
+    val (xmin, _, xmax, _) = Reproject.transformBounds(4326, 3857, (10, 30, 20, 40))
+    assert(math.abs(g.transform.c - xmin) < 1e-6)
+    assert(g.transform.c + g.transform.a * g.width >= xmax - g.transform.a)
+  }
+
+  test("target_aligned_pixels snaps bounds to the resolution grid") {
+    val g = Reproject.calcTransform(src(), resolution = Some((0.3, 0.3)),
+      targetAlignedPixels = true)
+    assert(math.abs(g.transform.c / 0.3 - math.rint(g.transform.c / 0.3)) < 1e-9)
+    assert(math.abs(g.transform.f / 0.3 - math.rint(g.transform.f / 0.3)) < 1e-9)
+  }
+
+  test("metamorphic: reproject 4326→3857→4326 preserves data (nearest)") {
+    val r = src()
+    val m = Reproject.reproject(r, dstCrs = Some(3857))
+    assert(m.crs === 3857)
+    assert(m.numPixelsData > 0)
+    val back = Reproject.reproject(m, dstCrs = Some(4326),
+      resolution = Some((0.1, 0.2)))
+    assert(back.crs === 4326)
+    // constant-fill raster survives the round trip wherever unmasked
+    val vals = back.image(0).zip(back.mask).collect { case (v, false) => v }
+    assert(vals.nonEmpty && vals.forall(_ === 7.0))
+  }
+
+  test("reproject matches getTile4326 on a tile-aligned target") {
+    // same sampling rule ⇒ same pixels for a 4326 source onto a 3857 grid
+    val (w, s, e, n) = graft.core.Mercator.lngLatBounds(2, 2, 2)
+    val r = MRaster.filled(128, 128, 3.0, Seq("1"),
+      Affine.northUp(w, n, (e - w) / 128, (n - s) / 128), 4326, "uint8", None)
+    val viaTile = RasterOps.getTile4326(r, 2, 2, 2)
+    val b = graft.core.Mercator.xyBounds(2, 2, 2)
+    val res = graft.core.Mercator.resolution(2)
+    val viaReproject = Reproject.reproject(r, dstCrs = Some(3857),
+      resolution = Some((res, res)), dstBounds = Some((b.left, b.bottom, b.right, b.top)))
+    assert(viaReproject.width === 256 && viaReproject.height === 256)
+    assert(viaReproject.image(0).toSeq === viaTile.image(0).toSeq)
+    assert(viaReproject.mask.toSeq === viaTile.mask.toSeq)
+  }
+}
