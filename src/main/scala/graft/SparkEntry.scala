@@ -34,7 +34,7 @@ object SparkEntry {
     "q15_token_stats" -> (graft.queries.TextQueries.tokenStats _),
     "q16_langid" -> (graft.queries.TextQueries.langId _),
     "q17_minhash_sigs" -> (graft.queries.TextQueries.minhashSigs _),
-    "q18_minhash_groups" -> (graft.queries.TextQueries.minhashGroups _),
+    "q18_minhash_pairs" -> (graft.queries.TextQueries.minhashPairs _),
     "q19_simhash" -> (graft.queries.TextQueries.simhash _),
     "q20_emb_knn_cosine" -> (graft.queries.EmbQueries.knnCosine _),
     "q21_emb_lsh_buckets" -> (graft.queries.EmbQueries.lshBuckets _),
@@ -52,6 +52,8 @@ object SparkEntry {
     "q33_range_join" -> (graft.queries.JoinQueries.rangeJoin _),
     "q34_hll_cells" -> (graft.queries.MiscQueries.hllCells _),
     "q35_grid_cells" -> (graft.queries.MiscQueries.gridCells _),
+    "q36_minhash_groups" -> (graft.queries.TextQueries.minhashGroups _),
+    "q37_simhash_neardup" -> (graft.queries.TextQueries.simhashNeardup _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -72,8 +74,8 @@ object SparkEntry {
     "q15_token_stats" -> graft.queries.TextOracles.tokenStats,
     "q16_langid" -> graft.queries.TextOracles.langId,
     "q17_minhash_sigs" -> graft.queries.TextOracles.minhashSigs,
-    "q18_minhash_groups" -> graft.queries.TextOracles.minhashGroups,
-    // q19_simhash: custom Expression, no SQL-expressible oracle → rows-only
+    "q18_minhash_pairs" -> graft.queries.TextOracles.minhashPairs,
+    "q19_simhash" -> graft.queries.TextOracles.simhash,
     "q20_emb_knn_cosine" -> graft.queries.EmbOracles.knnCosine,
     "q21_emb_lsh_buckets" -> graft.queries.EmbOracles.lshBuckets,
     "q22_emb_dedup" -> graft.queries.EmbOracles.embDedup,
@@ -90,6 +92,8 @@ object SparkEntry {
     "q33_range_join" -> graft.queries.JoinOracles.rangeJoin,
     // q34_hll_cells: HLL sketch values are engine-specific → rows-only
     "q35_grid_cells" -> graft.queries.MiscOracles.gridCells,
+    "q36_minhash_groups" -> graft.queries.TextOracles.minhashGroups,
+    "q37_simhash_neardup" -> graft.queries.TextOracles.simhashNeardup,
   )
 }
 
@@ -156,11 +160,15 @@ object Oracles {
        |FROM pages GROUP BY 1, 2 ORDER BY x, y""".stripMargin)
 
   val pipJoin: String = {
+    // HAVING count(*)>0 keeps the oracle symmetric with the Spark inner
+    // join + groupBy, which emits no row for a polygon with zero pages
+    // (ungrouped aggregates would emit n=0/NULL rows) — ADVICE.md r1.
     val perPoly = PolygonLayer.polys.map { case (id, _) =>
       s"""SELECT $id AS poly_id, count(*) AS n, min(pid) AS min_pid,
          |       max(pid) AS max_pid,
          |       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
-         |FROM pages WHERE ${PolygonLayer.containsSql(id, "lon", "lat")}""".stripMargin
+         |FROM pages WHERE ${PolygonLayer.containsSql(id, "lon", "lat")}
+         |HAVING count(*) > 0""".stripMargin
     }.mkString("\nUNION ALL\n")
     withVolume(s"SELECT * FROM (\n$perPoly\n) ORDER BY poly_id")
   }

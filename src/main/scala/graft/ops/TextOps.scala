@@ -63,24 +63,93 @@ object TextOps {
   /** Exact-dup key. */
   def textHash(text: Column): Column = md5(text)
 
-  /** MinHash signature j over 8-char shingles (stride 3, first 200 chars):
-    * min over shingles of md5(j || ':' || shingle) — hex-string min is a
-    * total order shared by every SQL engine. Composition of built-ins →
-    * whole-stage codegen. */
-  def minhashSig(text: Column, j: Int): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(least(length(text), lit(200)) - 7, lit(1)), lit(3)),
-      p => md5(concat(lit(s"$j:"), substring(text, lit(p).cast("int"), lit(8))))))
+  // ---------------------------------------------------------------- MinHash
+  // Production parameterization (VERDICT r1 #2): 128 permutations over
+  // 8-char stride-1 shingles of the FULL text. Per shingle ONE md5 → 60-bit
+  // base hash (15 hex nibbles, so it stays positive in signed 64-bit on
+  // both engines) → hp = h60 mod P; permutation j is the universal hash
+  // (A_j·hp + B_j) mod P with A_j,B_j derived from j by the same integer
+  // arithmetic on both sides. A_j·hp < P² ≈ 10¹⁸ < 2⁶³ — overflow-free.
+  val NumPerms = 128
+  val ShingleWidth = 8
+  val MinhashP = 1000000007L
+  /** b×r banding: 32 bands × 4 rows; near-dup threshold = 90/128 matching
+    * sigs (Jaccard ≈ 0.70 with collision prob 1-(1-s⁴)³² ≈ 1 at s=0.7). */
+  val Bands = 32
+  val BandRows = 4
+  val MatchThreshold = 90
 
-  /** the 4-band signature struct used for LSH bucketing */
-  def minhashSigs(text: Column): Seq[Column] =
-    (1 to 4).map(j => minhashSig(text, j).as(s"sig$j"))
+  def permA(j: Int): Long = (j * graft.model.Pages.M1 + 7) % (MinhashP - 1) + 1
+  def permB(j: Int): Long = (j * graft.model.Pages.M2 + graft.model.Pages.A2) % MinhashP
 
-  /** ANSI-SQL mirror of [[minhashSig]] for the DuckDB oracle. */
-  def minhashSigSql(textExpr: String, j: Int): String =
-    s"""list_min(list_transform(
-       |  generate_series(1, GREATEST(LEAST(length($textExpr), 200) - 7, 1), 3),
-       |  p -> md5('$j:' || substr($textExpr, CAST(p AS INTEGER), 8))))""".stripMargin
+  /** band keys: array of 32 "s_{4k},..,s_{4k+3}" strings over the packed
+    * signature array (slice is 1-based). */
+  def bandKeys(sigs: Column): Column =
+    array((0 until Bands).map { k =>
+      array_join(transform(slice(sigs, k * BandRows + 1, BandRows),
+        s => s.cast("string")), ",")
+    }: _*)
+
+  /** matching-signature count between two packed signature arrays —
+    * n_match/128 estimates Jaccard. */
+  def sigMatches(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  // ---- ANSI-SQL mirrors (DuckDB oracle) ----
+
+  /** per-doc exploded shingle base hashes: SELECT doc_id, h FROM ... */
+  def shingleHashSql(table: String): String =
+    s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 15), q ->
+       |    CAST(strpos('0123456789abcdef', substr(hx, CAST(q AS INTEGER), 1)) - 1 AS BIGINT)
+       |      * (CAST(1 AS BIGINT) << CAST(4 * (15 - q) AS INTEGER)))) AS BIGINT) % $MinhashP AS h
+       |FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, GREATEST(length(text) - ${ShingleWidth - 1}, 1), 1),
+       |    p -> md5(substr(text, CAST(p AS INTEGER), $ShingleWidth)))) AS hx
+       |  FROM $table)""".stripMargin
+
+  /** the 128-permutation table derived arithmetically from j. */
+  def permsSql: String =
+    s"""SELECT j, (j * ${graft.model.Pages.M1} + 7) % ${MinhashP - 1} + 1 AS a,
+       |       (j * ${graft.model.Pages.M2} + ${graft.model.Pages.A2}) % $MinhashP AS b
+       |FROM generate_series(0, ${NumPerms - 1}) t(j)""".stripMargin
+
+  /** per-(doc, j) MinHash signatures: SELECT doc_id, j, sig FROM ... */
+  def sigsSql(table: String): String =
+    s"""SELECT doc_id, j, min((p.a * sh.h + p.b) % $MinhashP) AS sig
+       |FROM (${shingleHashSql(table)}) sh
+       |CROSS JOIN (${permsSql}) p
+       |GROUP BY doc_id, j""".stripMargin
+
+  /** ANSI-SQL mirror of [[SimHash64]] (q19 gains a real oracle — VERDICT
+    * r1 #2): per-token md5 → 64-bit big-endian value decomposed nibble by
+    * nibble from the hex string; per-bit vote sign; the signed 64-bit
+    * reassembly keeps every intermediate inside BIGINT range
+    * (S − b63·(2⁶³−1) − b63 ≡ two's-complement bit63). Emits
+    * SELECT doc_id, simhash. */
+  def simhashSql(table: String): String =
+    s"""SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash
+       |FROM $table d LEFT JOIN (
+       |  SELECT doc_id,
+       |    (CAST(sum(CASE WHEN j = 63 THEN 0
+       |                   ELSE bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END) AS BIGINT)
+       |     - CAST(max(CASE WHEN j = 63 THEN bit ELSE 0 END) AS BIGINT) * 9223372036854775807
+       |     - CAST(max(CASE WHEN j = 63 THEN bit ELSE 0 END) AS BIGINT)) AS sh
+       |  FROM (
+       |    SELECT doc_id, j,
+       |      CASE WHEN sum(CASE WHEN ((CAST(strpos('0123456789abcdef',
+       |                     substr(hx, CAST(16 - j // 4 AS INTEGER), 1)) - 1 AS BIGINT)
+       |                   // (CAST(1 AS BIGINT) << CAST(j % 4 AS INTEGER))) % 2) = 1
+       |                THEN 1 ELSE -1 END) > 0
+       |           THEN 1 ELSE 0 END AS bit
+       |    FROM (SELECT doc_id, md5(tok) AS hx FROM (
+       |            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                 t -> t <> '')) AS tok
+       |            FROM $table))
+       |    CROSS JOIN generate_series(0, 63) g(j)
+       |    GROUP BY doc_id, j)
+       |  GROUP BY doc_id) s ON d.doc_id = s.doc_id""".stripMargin
 
   def occurrencesSql(textExpr: String, pat: String): String = {
     val esc = pat.replace("'", "''")
@@ -100,6 +169,45 @@ object TextOps {
       s"(CASE WHEN $conds THEN '$l' ELSE $acc END)"
     }
   }
+}
+
+/** minhash128(text): the packed 128-long MinHash signature array (see
+  * TextOps MinHash section for the exact arithmetic mirrored by the SQL
+  * oracle). One md5 per shingle, 128 multiply-mods per shingle — a single
+  * custom Expression beats 128 separate higher-order-function columns by
+  * hashing each shingle once. Character positions use SQL substring
+  * semantics (UTF8String.substringSQL) so the DuckDB mirror is exact on
+  * multi-byte text. */
+case class MinHash128(child: Expression) extends GraftUnary {
+  import TextOps._
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  private lazy val as: Array[Long] = Array.tabulate(NumPerms)(permA)
+  private lazy val bs: Array[Long] = Array.tabulate(NumPerms)(permB)
+  def compute(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String]
+    val last = math.max(text.numChars() - (ShingleWidth - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = Array.fill(NumPerms)(Long.MaxValue)
+    var p = 1
+    while (p <= last) {
+      val d = md.digest(text.substringSQL(p, ShingleWidth).getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      val hp = (h >>> 4) % MinhashP // top 15 nibbles = 60 bits, positive
+      var j = 0
+      while (j < NumPerms) {
+        val s = (as(j) * hp + bs(j)) % MinhashP
+        if (s < sigs(j)) sigs(j) = s
+        j += 1
+      }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sigs)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash128"
 }
 
 /** simhash64(text): 64-bit SimHash over whitespace tokens; per-token hash =

@@ -37,12 +37,28 @@ class FeatureCollection(val df: DataFrame, val geomCol: String = "geom") {
     val bb = graft.core.Geom.fromWkb(probeWkb).bbox
     val cells = graft.core.Mercator
       .tilesFor(bb.xmin, bb.ymin, bb.xmax, bb.ymax, Seq(zoom)).map(_.packed)
-    val withCell =
-      if (df.columns.contains(cellCol)) df
-      else df.withColumn(cellCol,
-        G.st_tile(G.st_x(geom), G.st_y(geom), lit(zoom)))
-    wrap(withCell
-      .where(col(cellCol).isin(cells: _*))
+    // probe cover is a contiguous tile rectangle; pre-filter = rectangle
+    // overlap between it and the FEATURE BBOX tile range — sound for every
+    // geometry type (ADVICE r1: a polygon's min-corner cell alone can lie
+    // outside the probe cover while the polygon still intersects).
+    val tids = cells.map(graft.core.Mercator.TileId.unpack)
+    val (pxmin, pxmax) = (tids.map(_.x).min, tids.map(_.x).max)
+    val (pymin, pymax) = (tids.map(_.y).min, tids.map(_.y).max)
+    // tile y grows downward: feature y-range = [ty(ymax) .. ty(ymin)]
+    val ftxmin = G.tile_x(G.st_tile(G.st_xmin(geom), G.st_ymax(geom), lit(zoom)))
+    val ftymin = G.tile_y(G.st_tile(G.st_xmin(geom), G.st_ymax(geom), lit(zoom)))
+    val ftxmax = G.tile_x(G.st_tile(G.st_xmax(geom), G.st_ymin(geom), lit(zoom)))
+    val ftymax = G.tile_y(G.st_tile(G.st_xmax(geom), G.st_ymin(geom), lit(zoom)))
+    val coarse =
+      if (df.columns.contains(cellCol))
+        // precomputed single-cell index: valid ONLY as a point-feature
+        // index; range predicates prune parquet row groups via min-max
+        G.tile_x(col(cellCol)).between(pxmin, pxmax) &&
+          G.tile_y(col(cellCol)).between(pymin, pymax)
+      else
+        ftxmax >= pxmin && ftxmin <= pxmax && ftymax >= pymin && ftymin <= pymax
+    wrap(df
+      .where(coarse)
       .where(G.st_intersects(geom, lit(probeWkb)) ||
         G.st_overlaps(geom, lit(probeWkb))))
   }
@@ -85,12 +101,11 @@ class FeatureCollection(val df: DataFrame, val geomCol: String = "geom") {
   def concat(other: FeatureCollection): FeatureCollection =
     wrap(df.unionByName(other.df, allowMissingColumns = true))
 
-  /** fc[a:b] slicing (collections.py:405-408) — window row_number over a
-    * deterministic order carried by row_idx. */
+  /** fc[a:b] slicing (collections.py:405-408) — distributed ordinal over
+    * the order carried by row_idx (no single-partition window). */
   def slice(start: Int, end: Int): FeatureCollection = {
     require(df.columns.contains(RowIdx), "slice needs a row_idx ordinal")
-    val w = Window.orderBy(col(RowIdx))
-    wrap(df.withColumn("__rn", row_number().over(w))
+    wrap(Ordinals.withOrdinal(df, "__rn", col(RowIdx))
       .where(col("__rn") > start && col("__rn") <= end)
       .drop("__rn"))
   }
@@ -139,7 +154,8 @@ object FeatureCollection {
   val RowIdx = "row_idx"
 
   /** Attach the ordinal that makes order-sensitive reference semantics
-    * shuffle-safe. */
+    * shuffle-safe — distributed (range-repartition + partition offsets),
+    * never a single-partition window. `orderCol` must be a total order. */
   def withRowIdx(df: DataFrame, orderCol: String): DataFrame =
-    df.withColumn(RowIdx, row_number().over(Window.orderBy(col(orderCol))))
+    Ordinals.withOrdinal(df, RowIdx, col(orderCol))
 }

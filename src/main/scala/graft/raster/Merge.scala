@@ -99,6 +99,17 @@ object Merge {
       throw new ScaleError("Scale is too coarse, decrease it for a bigger image")
     val empty = MRaster.filled(sx, sy, 0.0, first.bandNames, affine,
       crs.getOrElse(first.crs), first.dtype, first.nodata, allMasked = true)
+    mergeOnGrid(empty, rasters, mergeStrategy, pixelStrategy)
+  }
+
+  /** merge onto an exact pre-built target grid (merge_two preserves `one`'s
+    * affine/shape verbatim — georaster.py:401-450 one.copy_with — rather
+    * than re-deriving a grid from footprint+resolution, which diverges for
+    * non-square-pixel rasters; ADVICE.md r1). */
+  def mergeOnGrid(empty: MRaster, rasters: Seq[MRaster],
+                  mergeStrategy: MergeStrategy,
+                  pixelStrategy: PixelStrategy): MRaster = {
+    val first = rasters.head
 
     // band-set computation over insertion-ordered names (IndexedSet parity)
     var allBands = first.bandNames.toVector
@@ -148,14 +159,16 @@ object Merge {
                mergeStrategy: MergeStrategy = Union,
                silent: Boolean = false,
                pixelStrategy: PixelStrategy = First): MRaster = {
-    val fp = one.footprint.bbox
-    val roi = (fp.xmin, fp.ymin, fp.xmax, fp.ymax)
     prepareOther(one, other) match {
       case None if silent => one
       case None => throw new IllegalArgumentException("rasters do not intersect")
       case Some(_) =>
-        mergeAll(Seq(one, other), roi, Some((one.resolution, one.resolution)),
-          mergeStrategy, pixelStrategy)
+        // target grid is exactly `one`'s grid (affine+shape), not a
+        // rasterData re-derivation — preserves non-square/rotated pixels.
+        val empty = one.copy(
+          image = Array.fill(one.numBands)(new Array[Double](one.width * one.height)),
+          mask = Array.fill(one.width * one.height)(true))
+        mergeOnGrid(empty, Seq(one, other), mergeStrategy, pixelStrategy)
     }
   }
 }

@@ -87,6 +87,7 @@ object GraftFunctions {
     "grid_cells" -> (a => GridCells(a(0), a(1), a(2))),
     // text
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
+    "minhash128" -> (a => graft.ops.MinHash128(a.head)),
     // aggregates
     "st_envelope_agg" -> agg(EnvelopeAgg(_)) _,
     "st_union_agg" -> agg(UnionAgg(_)) _,

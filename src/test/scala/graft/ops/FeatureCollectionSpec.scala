@@ -119,8 +119,14 @@ class FeatureCollectionSpec extends SparkTestBase {
 
   test("metamorphic: indexed filter ≡ plain filterIntersects (SURVEY.md §4 rewrite)") {
     val rnd = new scala.util.Random(7)
+    // mixed geometry types: the indexed path must stay sound for polygons
+    // whose bbox min-corner cell lies OUTSIDE the probe cover (ADVICE r1)
     val rows = (1 to 2000).map { i =>
-      (pt(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80), i)
+      val x = rnd.nextDouble() * 340 - 170
+      val y = rnd.nextDouble() * 150 - 75
+      val g = if (i % 4 == 0) box(x, y, x + rnd.nextDouble() * 30, y + rnd.nextDouble() * 30)
+              else pt(x, y)
+      (g, i)
     }
     val fc = new FeatureCollection(rows.toDF("geom", "id"))
     val probe = Geom.toWkb(Geom.polygon((10.3, -20.7), (55.9, -18.2), (47.1, 24.5), (12.0, 18.8)))
@@ -129,6 +135,7 @@ class FeatureCollectionSpec extends SparkTestBase {
       .df.select("id").collect().map(_.getInt(0)).sorted
     assert(indexed.toSeq === plain.toSeq)
     assert(plain.nonEmpty)
+    assert(plain.exists(_ % 4 == 0)) // polygons are exercised
   }
 
   test("assets: attach + copy_with override merge (features.py:262-336)") {

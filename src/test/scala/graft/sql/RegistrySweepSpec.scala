@@ -69,6 +69,7 @@ class RegistrySweepSpec extends SparkTestBase {
       "cell_ring" -> "cell_ring(st_tile(1.0d, 2.0d, 6), 1)",
       "grid_cells" -> s"grid_cells($g, 2, 2)",
       "simhash64" -> "simhash64('hello world of tiles')",
+      "minhash128" -> "minhash128('hello world of tiles and shingles')",
       "st_envelope_agg" -> s"st_envelope_agg($g)",
       "st_union_agg" -> s"st_union_agg($g)")
   }
