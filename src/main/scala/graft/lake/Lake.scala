@@ -1,7 +1,8 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
@@ -24,16 +25,32 @@ class LakeTable(val root: String) {
   def readLineage(spark: SparkSession, stage: String): DataFrame =
     spark.read.parquet(s"${stageDir(stage)}/lineage")
 
-  /** Commit a stage: data + lineage parquet, then the manifest via
-    * write-tmp + ATOMIC_MOVE — the commit point. Partial writes without a
-    * manifest are invisible to readers and get overwritten on retry. */
-  def commit(stage: String, data: DataFrame, lineage: DataFrame,
-             meta: Map[String, String]): Unit = {
+  /** Commit a stage — single-pass (VERDICT r1 #7 / ADVICE r1):
+    *  1. ONE evaluation of the plan: the data parquet write.
+    *  2. ONE scan of the COMMITTED bytes computing lineage + row count
+    *     together (so checksums describe exactly the files a reader sees,
+    *     not a second nondeterministically-partitioned evaluation).
+    *  3. The P collected lineage rows (bounded by partition count, never
+    *     by data size) are written back from the driver — a zero-data-scan
+    *     job — then the manifest lands via write-tmp + ATOMIC_MOVE.
+    * Partial writes without a manifest are invisible to readers and get
+    * overwritten on retry. */
+  def commit(stage: String, data: DataFrame, meta: Map[String, String]): Unit = {
+    val t0 = System.nanoTime()
     val dir = stageDir(stage)
     data.write.mode("overwrite").parquet(s"$dir/data")
-    lineage.write.mode("overwrite").parquet(s"$dir/lineage")
+
     val spark = data.sparkSession
-    val rows = spark.read.parquet(s"$dir/data").count()
+    val committed = read(spark, stage)
+    val linDf = StageRunner.lineageOf(stage, committed)
+    val lin = linDf.collect()
+    val rows = lin.map(_.getAs[Long]("output_rows")).sum
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val schema = linDf.schema.add("wall_ms", LongType, nullable = false)
+    val withWall: Seq[Row] = lin.toSeq.map(r => Row.fromSeq(r.toSeq :+ wallMs))
+    spark.createDataFrame(spark.sparkContext.parallelize(withWall, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/lineage")
+
     val json = {
       val fields = meta ++ Map(
         "stage" -> stage,
@@ -73,18 +90,11 @@ object StageRunner {
 
   /** Run (or resume) a stage: if the manifest exists, read the committed
     * result instead of recomputing — rerunning a failed job resumes after
-    * the last committed stage. */
+    * the last committed stage. The build plan is evaluated exactly once
+    * (the data write inside [[LakeTable.commit]]). */
   def stage(spark: SparkSession, lake: LakeTable, name: String,
             meta: Map[String, String] = Map.empty)(build: => DataFrame): DataFrame = {
-    if (lake.isCommitted(name)) {
-      lake.read(spark, name)
-    } else {
-      val t0 = System.nanoTime()
-      val df = build
-      val lineage = lineageOf(name, df)
-        .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000))
-      lake.commit(name, df, lineage, meta)
-      lake.read(spark, name)
-    }
+    if (!lake.isCommitted(name)) lake.commit(name, build, meta)
+    lake.read(spark, name)
   }
 }

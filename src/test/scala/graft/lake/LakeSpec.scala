@@ -41,6 +41,53 @@ class LakeSpec extends SparkTestBase {
     assert(lake.isCommitted("s1"))
   }
 
+  test("stage commit evaluates the build plan exactly ONCE (VERDICT r1 #7)") {
+    val root = freshRoot("onepass")
+    val lake = new LakeTable(root)
+    val acc = spark.sparkContext.longAccumulator("row_evals")
+    val bump = udf { (x: Long) => acc.add(1); x }
+    StageRunner.stage(spark, lake, "s1") {
+      spark.range(100).toDF("id").select(bump(col("id")).as("id"))
+    }
+    // r1 code evaluated the plan again for lineage → 200+ here
+    assert(acc.value === 100L)
+    // and lineage checksums were taken over the committed bytes
+    val total = lake.readLineage(spark, "s1")
+      .agg(sum(col("output_rows"))).collect().head.getLong(0)
+    assert(total === 100L)
+  }
+
+  test("stage commit reads the data at most once (no read/compute amplification)") {
+    // job COUNT is a fragile proxy under AQE (each shuffle stage surfaces
+    // as its own job); the invariant that matters at 100 TB is BYTES:
+    // one write of the plan + at most one scan of the committed files.
+    val root = freshRoot("bytes")
+    val lake = new LakeTable(root)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StageRunner.stage(spark, lake, "s1") {
+        spark.range(200000).toDF("id")
+          .withColumn("payload", md5(col("id").cast("string")))
+          .repartition(4)
+      }
+      Thread.sleep(500) // listener events are async
+      val dataSize = Files.walk(Paths.get(s"$root/s1/data")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].toFile)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+      assert(dataSize > 0)
+      // committed-scan ≤ ~1.2× the file size (footer re-reads allowed);
+      // the r1 code re-evaluated + re-read → ≥2× here
+      assert(bytesRead.get() <= (dataSize * 1.5).toLong,
+        s"commit read ${bytesRead.get()} bytes for a $dataSize-byte stage")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("lineage rows carry per-partition counts and checksums") {
     val root = freshRoot("lineage")
     val lake = new LakeTable(root)
@@ -120,6 +167,27 @@ class LakeSpec extends SparkTestBase {
         .map { case ((qq, pid, _), i) => (qq, i + 1, pid) }
     }
     assert(got.sorted.toSeq === expected.sorted)
+  }
+
+  test("DataFrame-native kNN: 10^4-probe TABLE matches Spark brute force (VERDICT r1 #8)") {
+    import org.apache.spark.sql.expressions.Window
+    val root = freshRoot("knn10k")
+    val probes = spark.range(10000).select(
+      col("id").cast("int").as("qid"),
+      (pmod(col("id") * 2654435761L, lit(360000000L)) / 1e6 - 180.0).as("qlon"),
+      (pmod(col("id") * 40503L + 2654435769L, lit(170000000L)) / 1e6 - 85.0).as("qlat"))
+    val out = KnnJob.runProbes(spark, sf, probes, k = 3, zoom = 6, lakeRoot = root)
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    val pages = graft.model.Pages.volumePages(spark, sf).select("pid", "lon", "lat")
+    val dsq = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+      (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dsq"), col("pid"))
+    val exp = pages.crossJoin(broadcast(probes))
+      .select(col("qid"), col("pid"), dsq.as("dsq"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("pid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.toSeq === exp.toSeq)
   }
 
   test("pyramid job: per-level stages resume; totals conserved") {
