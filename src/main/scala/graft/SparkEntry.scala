@@ -54,6 +54,8 @@ object SparkEntry {
     "q35_grid_cells" -> (graft.queries.MiscQueries.gridCells _),
     "q36_minhash_groups" -> (graft.queries.TextQueries.minhashGroups _),
     "q37_simhash_neardup" -> (graft.queries.TextQueries.simhashNeardup _),
+    "q38_exterior_coords" -> (graft.queries.MiscQueries.exteriorCoords _),
+    "q39_relate" -> (graft.queries.MiscQueries.relateClasses _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -94,6 +96,8 @@ object SparkEntry {
     "q35_grid_cells" -> graft.queries.MiscOracles.gridCells,
     "q36_minhash_groups" -> graft.queries.TextOracles.minhashGroups,
     "q37_simhash_neardup" -> graft.queries.TextOracles.simhashNeardup,
+    "q38_exterior_coords" -> graft.queries.MiscOracles.exteriorCoords,
+    "q39_relate" -> graft.queries.MiscOracles.relateClasses,
   )
 }
 

@@ -22,6 +22,40 @@ object MiscQueries {
         col("n"))
       .orderBy(col("x"), col("y"))
 
+  /** exterior + coords accessors as a gate query (vectors.py:68-80): the
+    * polygon pages' bbox shells, decomposed back to numbers the oracle
+    * reproduces with the same fold order. */
+  def exteriorCoords(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftRegistrar.ensure(spark)
+    val polys = Pages.polygonPages(spark, sfDir)
+      .select(col("pid"),
+        G.st_coords(G.st_exterior(
+          G.st_makebbox(col("xmin"), col("ymin"), col("xmax"), col("ymax")))).as("cs"))
+    polys.select(col("pid"),
+        size(col("cs")).as("n_pts"),
+        element_at(element_at(col("cs"), 1), 1).as("x0"),
+        element_at(element_at(col("cs"), 1), 2).as("y0"),
+        aggregate(transform(col("cs"), c => element_at(c, 1)), lit(0.0), (a, x) => a + x).as("sx"),
+        aggregate(transform(col("cs"), c => element_at(c, 2)), lit(0.0), (a, y) => a + y).as("sy"))
+      .orderBy(col("pid"))
+  }
+
+  /** st_relate DE-9IM strings as a gate query: polygon pages vs the layer's
+    * poly 1 box — for axis-aligned boxes with no shared coordinates the
+    * matrix is one of disjoint/overlap/within, which the oracle classifies
+    * by pure coordinate comparisons. */
+  def relateClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftRegistrar.ensure(spark)
+    val probe = graft.model.PolygonLayer.wkb(1)
+    Pages.polygonPages(spark, sfDir)
+      .select(col("pid"),
+        G.st_relate(G.st_makebbox(col("xmin"), col("ymin"), col("xmax"), col("ymax")),
+          lit(probe)).as("de9im"))
+      .groupBy(col("de9im"))
+      .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"))
+      .orderBy(col("de9im"))
+  }
+
   /** generate_tile_coordinates as a gate query: the 10×10 grid over a fixed
     * roi — linspace edges, row-major order (vectors.py:99-127). */
   def gridCells(spark: SparkSession, sfDir: String): DataFrame = {
@@ -37,6 +71,40 @@ object MiscQueries {
 }
 
 object MiscOracles {
+  private def withPolys(body: String): String =
+    s"""WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")}),
+       |polys AS (${Pages.PagesSql.polygonCte("lineitem")})
+       |$body""".stripMargin
+
+  /** explicit parenthesization mirrors the Spark aggregate() left fold over
+    * the bbox shell [(xmin,ymin),(xmin,ymax),(xmax,ymax),(xmax,ymin),
+    * (xmin,ymin)] — float addition is not associative. */
+  val exteriorCoords: String = withPolys(
+    """SELECT pid, CAST(5 AS INTEGER) AS n_pts, xmin AS x0, ymin AS y0,
+      |  ((((0.0 + xmin) + xmin) + xmax) + xmax) + xmin AS sx,
+      |  ((((0.0 + ymin) + ymax) + ymax) + ymin) + ymin AS sy
+      |FROM polys ORDER BY pid""".stripMargin)
+
+  /** DE-9IM classification of two axis-aligned boxes that share no
+    * coordinate (page coords sit on the 1e-6 lattice ± w; the layer's
+    * vertices are offset by 5e-7): only disjoint / strictly-within /
+    * proper-overlap can occur, each with a fixed matrix. */
+  val relateClasses: String = {
+    val vs = graft.model.PolygonLayer.polys.find(_._1 == 1).get._2
+    val (pxmin, pxmax) = (vs.map(_._1).min, vs.map(_._1).max)
+    val (pymin, pymax) = (vs.map(_._2).min, vs.map(_._2).max)
+    withPolys(
+      s"""SELECT de9im, count(*) AS n, min(pid) AS min_pid FROM (
+         |  SELECT pid,
+         |    CASE WHEN xmax < $pxmin OR xmin > $pxmax OR ymax < $pymin OR ymin > $pymax
+         |           THEN 'FF2FF1212'
+         |         WHEN xmin > $pxmin AND xmax < $pxmax AND ymin > $pymin AND ymax < $pymax
+         |           THEN '2FF1FF212'
+         |         ELSE '212101212' END AS de9im
+         |  FROM polys
+         |) GROUP BY de9im ORDER BY de9im""".stripMargin)
+  }
+
   /** linspace parity: edge_k = a + (b-a)*k/n, last edge exactly b. */
   val gridCells: String = {
     val (x0, x1, y0, y1, n) = (10.0, 30.0, -20.0, 20.0, 10)

@@ -140,15 +140,19 @@ object Reproject {
     } else grid
   }
 
-  /** full reproject: compute the grid, then nearest regrid of the source
-    * into it (the Resampling.nearest path of georaster.py:1508-1570). */
+  /** full reproject: compute the grid, then regrid the source into it.
+    * Resampling: Nearest (the r1 path, exact-parity tested) or Cubic —
+    * Keys a=−0.5 cubic convolution, the reference's `_reproject` default
+    * (georaster.py:1454-1506); cubic outputs for integer dtypes round to
+    * the dtype as GDAL does. */
   def reproject(src: MRaster,
                 dstCrs: Option[Int] = None,
                 resolution: Option[(Double, Double)] = None,
                 dimensions: Option[(Int, Int)] = None,
                 srcBounds: Option[(Double, Double, Double, Double)] = None,
                 dstBounds: Option[(Double, Double, Double, Double)] = None,
-                targetAlignedPixels: Boolean = false): MRaster = {
+                targetAlignedPixels: Boolean = false,
+                resampling: Resample.Method = Resample.Nearest): MRaster = {
     val g = calcTransform(src, dstCrs, resolution, dimensions, srcBounds,
       dstBounds, targetAlignedPixels)
     val inv = src.affine.inverse
@@ -162,20 +166,34 @@ object Reproject {
         case (4326, 3857) => Mercator.lngLatToMeters
         case _ => throw new IllegalArgumentException("unsupported CRS pair")
       }
+    val roundInt = Dtypes.isInteger(src.dtype)
     var row = 0
     while (row < g.height) {
       var colI = 0
       while (colI < g.width) {
         val (dx, dy) = g.transform(colI + 0.5, row + 0.5)
         val (sx, sy) = toSrcCrs(dx, dy)
-        val sc = math.floor(inv.a * sx + inv.b * sy + inv.c).toInt
-        val sr = math.floor(inv.d * sx + inv.e * sy + inv.f).toInt
-        if (sc >= 0 && sc < src.width && sr >= 0 && sr < src.height &&
-            !src.masked(sc, sr)) {
+        val sc = inv.a * sx + inv.b * sy + inv.c
+        val sr = inv.d * sx + inv.e * sy + inv.f
+        // cubic only samples inside the source footprint (boundless reads
+        // would hallucinate data from edge extension)
+        val insideSrc = sc >= 0 && sc < src.width && sr >= 0 && sr < src.height
+        if (insideSrc) {
           val i = row * g.width + colI
           var b = 0
-          while (b < src.numBands) { img(b)(i) = src.get(b, sc, sr); b += 1 }
-          mask(i) = false
+          var anyValid = false
+          while (b < src.numBands) {
+            val v = resampling match {
+              case Resample.Nearest => Resample.sampleNearest(src, b, sc, sr)
+              case Resample.Cubic   => Resample.sampleCubic(src, b, sc, sr)
+            }
+            if (!v.isNaN) {
+              img(b)(i) = if (roundInt) Dtypes.clampToDtype(v, src.dtype) else v
+              anyValid = true
+            }
+            b += 1
+          }
+          if (anyValid) mask(i) = false
         }
         colI += 1
       }

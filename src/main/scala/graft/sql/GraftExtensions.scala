@@ -65,6 +65,16 @@ object GraftFunctions {
     "st_overlaps" -> (a => StOverlaps(a(0), a(1))),
     "st_covers" -> (a => StCovers(a(0), a(1))),
     "st_equals_exact" -> (a => StEqualsExact(a(0), a(1), a(2))),
+    "st_almost_equals" -> (a => StAlmostEquals(a(0), a(1), a(2))),
+    "st_relate" -> (a => StRelate(a(0), a(1))),
+    // remaining unary predicates + accessors (vectors.py:45-80)
+    "st_has_z" -> (a => StHasZ(a.head)),
+    "st_is_closed" -> (a => StIsClosed(a.head)),
+    "st_is_ring" -> (a => StIsRing(a.head)),
+    "st_exterior" -> (a => StExterior(a.head)),
+    "st_interiors" -> (a => StInteriors(a.head)),
+    "st_coords" -> (a => StCoords(a.head)),
+    "st_xy" -> (a => StXY(a.head)),
     // binary constructive
     "st_intersection" -> (a => StIntersection(a(0), a(1))),
     "st_union" -> (a => StUnion(a(0), a(1))),
@@ -88,6 +98,8 @@ object GraftFunctions {
     // text
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),
+    // raster serving
+    "tile_to_png" -> (a => graft.raster.TileToPng(a(0), a(1), a(2), a(3))),
     // aggregates
     "st_envelope_agg" -> agg(EnvelopeAgg(_)) _,
     "st_union_agg" -> agg(UnionAgg(_)) _,

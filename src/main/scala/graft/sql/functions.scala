@@ -55,6 +55,16 @@ object functions {
   def st_covers(a: Column, b: Column): Column = f("st_covers", a, b)
   def st_equals_exact(a: Column, b: Column, tol: Column): Column =
     f("st_equals_exact", a, b, tol)
+  def st_almost_equals(a: Column, b: Column, decimal: Column): Column =
+    f("st_almost_equals", a, b, decimal)
+  def st_relate(a: Column, b: Column): Column = f("st_relate", a, b)
+  def st_has_z(g: Column): Column = f("st_has_z", g)
+  def st_is_closed(g: Column): Column = f("st_is_closed", g)
+  def st_is_ring(g: Column): Column = f("st_is_ring", g)
+  def st_exterior(g: Column): Column = f("st_exterior", g)
+  def st_interiors(g: Column): Column = f("st_interiors", g)
+  def st_coords(g: Column): Column = f("st_coords", g)
+  def st_xy(g: Column): Column = f("st_xy", g)
 
   def st_intersection(a: Column, b: Column): Column = f("st_intersection", a, b)
   def st_union(a: Column, b: Column): Column = f("st_union", a, b)

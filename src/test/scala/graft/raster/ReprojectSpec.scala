@@ -87,6 +87,67 @@ class ReprojectSpec extends AnyFunSuite {
     assert(vals.nonEmpty && vals.forall(_ === 7.0))
   }
 
+  test("cubic kernel: partition of unity + Keys a=-0.5 shape") {
+    // Σ w(t-2..t+1) == 1 for any phase t
+    for (t <- Seq(0.0, 0.13, 0.5, 0.99)) {
+      val s = (-1 to 2).map(d => Resample.cubicWeight(d - t)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"phase $t")
+    }
+    assert(Resample.cubicWeight(0.0) === 1.0)
+    assert(Resample.cubicWeight(1.0) === 0.0)
+    assert(Resample.cubicWeight(2.0) === 0.0)
+  }
+
+  test("cubic resampling reproduces constants and linear ramps exactly (interior)") {
+    val w = 32; val h = 32
+    val ramp = Array.tabulate(w * h)(i => 2.0 * (i % w) + 3.0 * (i / w) + 5.0)
+    val r = MRaster(Array(ramp), Array.fill(w * h)(false), w, h,
+      Affine.northUp(0, h, 1.0, 1.0), 4326, Seq("1"), "float64", None)
+    // regrid onto a half-pixel-shifted, 1.5x-upsampled grid
+    val out = Reproject.reproject(r,
+      dstBounds = Some((4.25, 4.25, 27.75, 27.75)),
+      resolution = Some((0.66, 0.66)), resampling = Resample.Cubic)
+    var i = 0
+    var checked = 0
+    while (i < out.width * out.height) {
+      if (!out.mask(i)) {
+        val (gx, gy) = out.affine(i % out.width + 0.5, i / out.width + 0.5)
+        // interior only: edge clamping breaks linearity in the outer 2 px
+        if (gx > 2 && gx < w - 2 && gy > 2 && gy < h - 2) {
+          val expect = 2.0 * (gx - 0.5) + 3.0 * ((h - gy) - 0.5) + 5.0
+          assert(math.abs(out.image(0)(i) - expect) < 1e-9, s"at ($gx,$gy)")
+          checked += 1
+        }
+      }
+      i += 1
+    }
+    assert(checked > 500)
+  }
+
+  test("cubic vs nearest tolerance on a smooth field; all-masked stays masked") {
+    val w = 64; val h = 64
+    val f = Array.tabulate(w * h) { i =>
+      val x = (i % w) / 8.0; val y = (i / w) / 8.0
+      100.0 + 40.0 * math.sin(x) * math.cos(y)
+    }
+    val mask = Array.tabulate(w * h)(i => i % w >= w - 8) // masked right strip
+    val r = MRaster(Array(f), mask, w, h, Affine.northUp(0, h, 1, 1), 4326, Seq("1"), "float64", None)
+    val cub = Reproject.reproject(r, dimensions = Some((48, 48)), resampling = Resample.Cubic)
+    val near = Reproject.reproject(r, dimensions = Some((48, 48)), resampling = Resample.Nearest)
+    var i = 0
+    while (i < 48 * 48) {
+      // masked region agrees; unmasked cubic stays within the local range
+      assert(cub.mask(i) === near.mask(i) || !cub.mask(i))
+      if (!cub.mask(i) && !near.mask(i))
+        assert(math.abs(cub.image(0)(i) - near.image(0)(i)) < 15.0)
+      i += 1
+    }
+    // fully-masked source → fully-masked output
+    val dead = r.copy(mask = Array.fill(w * h)(true))
+    val deadOut = Reproject.reproject(dead, dimensions = Some((16, 16)), resampling = Resample.Cubic)
+    assert(deadOut.mask.forall(identity))
+  }
+
   test("reproject matches getTile4326 on a tile-aligned target") {
     // same sampling rule ⇒ same pixels for a 4326 source onto a 3857 grid
     val (w, s, e, n) = graft.core.Mercator.lngLatBounds(2, 2, 2)

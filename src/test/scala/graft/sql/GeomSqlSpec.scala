@@ -149,4 +149,66 @@ class GeomSqlSpec extends SparkTestBase {
       .select(G.st_astext(G.st_geomfromtext($"t"))).collect().head.getString(0)
     assert(out === "POINT (1 2)")
   }
+
+  test("st_relate DE-9IM goldens (vectors.py:53-67 head of predicate list)") {
+    val a = wkb(Geom.polygonFromBounds(0, 0, 2, 2))
+    def relate(b: Array[Byte]): String =
+      Seq((a, b)).toDF("a", "b").select(G.st_relate($"a", $"b"))
+        .collect().head.getString(0)
+    assert(relate(wkb(Geom.polygonFromBounds(0, 0, 2, 2))) === "2FFF1FFF2")   // equal
+    assert(relate(wkb(Geom.polygonFromBounds(5, 5, 6, 6))) === "FF2FF1212")   // disjoint
+    assert(relate(wkb(Geom.polygonFromBounds(1, 1, 3, 3))) === "212101212")   // overlap
+    assert(relate(wkb(Geom.polygonFromBounds(0.5, 0.5, 1.5, 1.5))) === "212FF1FF2") // contains
+    assert(relate(wkb(Geom.polygonFromBounds(2, 0, 4, 2))) === "FF2F11212")   // edge touch
+  }
+
+  test("unary predicates has_z / is_closed / is_ring (vectors.py:45-52)") {
+    val poly = wkb(Geom.polygonFromBounds(0, 0, 1, 1))
+    val openLine = wkb(Geom.GLineString(Array(Geom.Pt(0, 0), Geom.Pt(1, 1), Geom.Pt(2, 0))))
+    val r = Seq((poly, openLine)).toDF("poly", "line").select(
+      G.st_has_z($"poly"), G.st_is_closed($"line"), G.st_is_ring($"line"),
+      G.st_is_closed(G.st_exterior($"poly")), G.st_is_ring(G.st_exterior($"poly")),
+      G.st_is_closed($"poly") // non-lineal → false, matching shapely
+    ).collect().head
+    assert(!r.getBoolean(0)); assert(!r.getBoolean(1)); assert(!r.getBoolean(2))
+    assert(r.getBoolean(3)); assert(r.getBoolean(4)); assert(!r.getBoolean(5))
+  }
+
+  test("exterior / interiors / coords / xy accessors (vectors.py:68-80)") {
+    // polygon with one hole
+    val shell = Array(Geom.Pt(0, 0), Geom.Pt(0, 4), Geom.Pt(4, 4), Geom.Pt(4, 0), Geom.Pt(0, 0))
+    val hole = Array(Geom.Pt(1, 1), Geom.Pt(1, 2), Geom.Pt(2, 2), Geom.Pt(2, 1), Geom.Pt(1, 1))
+    val poly = wkb(Geom.GPolygon(Array(shell, hole)))
+    val row = Seq(Tuple1(poly)).toDF("g").select(
+      G.st_coords(G.st_exterior($"g")).as("ext_cs"),
+      size(G.st_interiors($"g")).as("n_holes"),
+      G.st_coords(element_at(G.st_interiors($"g"), 1)).as("hole_cs"))
+      .collect().head
+    val extCs = row.getSeq[scala.collection.Seq[Double]](0).map(s => (s(0), s(1)))
+    assert(extCs === shell.map(p => (p.x, p.y)).toSeq)
+    assert(row.getInt(1) === 1)
+    val holeCs = row.getSeq[scala.collection.Seq[Double]](2).map(s => (s(0), s(1)))
+    assert(holeCs === hole.map(p => (p.x, p.y)).toSeq)
+    // xy on a linestring: parallel coordinate arrays
+    val line = wkb(Geom.GLineString(Array(Geom.Pt(1, 10), Geom.Pt(2, 20))))
+    val xy = Seq(Tuple1(line)).toDF("g").select(G.st_xy($"g")).collect().head.getStruct(0)
+    assert(xy.getSeq[Double](0) === Seq(1.0, 2.0))
+    assert(xy.getSeq[Double](1) === Seq(10.0, 20.0))
+    // coords on a polygon raises (shapely NotImplementedError parity)
+    val err = intercept[Exception] {
+      Seq(Tuple1(poly)).toDF("g").select(G.st_coords($"g")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("st_almost_equals tolerance ladder (vectors.py:500-504)") {
+    val a = wkb(Geom.GPoint(1.0, 1.0))
+    val b = wkb(Geom.GPoint(1.0 + 1e-7, 1.0))
+    val r = Seq((a, b)).toDF("a", "b").select(
+      G.st_almost_equals($"a", $"b", lit(6)),  // tol 5e-7 > 1e-7 → true
+      G.st_almost_equals($"a", $"b", lit(8))   // tol 5e-9 < 1e-7 → false
+    ).collect().head
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+  }
 }

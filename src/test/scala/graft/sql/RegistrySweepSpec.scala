@@ -51,6 +51,15 @@ class RegistrySweepSpec extends SparkTestBase {
       "st_overlaps" -> s"st_overlaps($g, $g2)",
       "st_covers" -> s"st_covers($g, $p)",
       "st_equals_exact" -> s"st_equals_exact($g, $g, 0.0d)",
+      "st_almost_equals" -> s"st_almost_equals($g, $g, 6)",
+      "st_relate" -> s"st_relate($g, $g2)",
+      "st_has_z" -> s"st_has_z($g)",
+      "st_is_closed" -> s"st_is_closed(st_exterior($g))",
+      "st_is_ring" -> s"st_is_ring(st_exterior($g))",
+      "st_exterior" -> s"st_exterior($g)",
+      "st_interiors" -> s"st_interiors($g)",
+      "st_coords" -> s"st_coords(st_exterior($g))",
+      "st_xy" -> s"st_xy($p)",
       "st_intersection" -> s"st_intersection($g, $g2)",
       "st_union" -> s"st_union($g, $g2)",
       "st_difference" -> s"st_difference($g, $g2)",
@@ -70,6 +79,7 @@ class RegistrySweepSpec extends SparkTestBase {
       "grid_cells" -> s"grid_cells($g, 2, 2)",
       "simhash64" -> "simhash64('hello world of tiles')",
       "minhash128" -> "minhash128('hello world of tiles and shingles')",
+      "tile_to_png" -> "tile_to_png(array(array(1.0d, 2.0d)), array(false, false), 2, 1)",
       "st_envelope_agg" -> s"st_envelope_agg($g)",
       "st_union_agg" -> s"st_union_agg($g)")
   }
