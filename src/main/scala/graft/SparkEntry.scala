@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_simhash_neardup" -> (graft.queries.TextQueries.simhashNeardup _),
     "q38_exterior_coords" -> (graft.queries.MiscQueries.exteriorCoords _),
     "q39_relate" -> (graft.queries.MiscQueries.relateClasses _),
+    "q40_shuffle_pip" -> (graft.queries.JoinQueries.shufflePip _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -98,6 +99,7 @@ object SparkEntry {
     "q37_simhash_neardup" -> graft.queries.TextOracles.simhashNeardup,
     "q38_exterior_coords" -> graft.queries.MiscOracles.exteriorCoords,
     "q39_relate" -> graft.queries.MiscOracles.relateClasses,
+    "q40_shuffle_pip" -> graft.queries.JoinOracles.shufflePip,
   )
 }
 

@@ -47,4 +47,14 @@ class BucketedJoinSpec extends SparkTestBase {
     spark.sql("DROP TABLE cells_a")
     spark.sql("DROP TABLE cells_b")
   }
+
+  test("q40 shuffle PIP: no BroadcastNestedLoopJoin; salted cell-equi shuffle plan (VERDICT r1 #6)") {
+    val q = graft.queries.JoinQueries.shufflePip(spark, "/root/testdata/sf0.001")
+    val rows = q.count() // execute so AQE finalizes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+    assert(rows > 0)
+  }
 }
