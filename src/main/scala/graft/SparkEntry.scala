@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_exterior_coords" -> (graft.queries.MiscQueries.exteriorCoords _),
     "q39_relate" -> (graft.queries.MiscQueries.relateClasses _),
     "q40_shuffle_pip" -> (graft.queries.JoinQueries.shufflePip _),
+    "q41_fiona_dates" -> (graft.queries.MiscQueries.fionaDates _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -100,6 +101,7 @@ object SparkEntry {
     "q38_exterior_coords" -> graft.queries.MiscOracles.exteriorCoords,
     "q39_relate" -> graft.queries.MiscOracles.relateClasses,
     "q40_shuffle_pip" -> graft.queries.JoinOracles.shufflePip,
+    "q41_fiona_dates" -> graft.queries.MiscOracles.fionaDates,
   )
 }
 

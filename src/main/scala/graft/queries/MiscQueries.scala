@@ -68,6 +68,36 @@ object MiscQueries {
       .select(col("i"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))
       .orderBy(col("i"))
   }
+
+  /** fiona-schema date coercion gate (features.py:22-44): feature records
+    * carry STRING temporal properties (as a GeoJSON/shapefile read would);
+    * SchemaRules.transformProperties coerces them per the declared fiona
+    * schema, and the aggregation runs over the COERCED types (year() on
+    * DateType, unix_micros on TimestampType, int ordering on seconds-of-
+    * day) so the parse itself faces the oracle. */
+  def fionaDates(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("fid"), col("o_orderdate"))
+      .withColumn("alarm_s", pmod(col("fid") * 7L, lit(86400L)))
+      .select(col("fid"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(expr("timestampadd(SECOND, fid % 86400, o_orderdate)"),
+          "yyyy-MM-dd'T'HH:mm:ss").as("pickup"),
+        concat(
+          lpad((col("alarm_s") / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+          lpad(((col("alarm_s") / 60).cast("long") % 60).cast("string"), 2, "0"), lit(":"),
+          lpad((col("alarm_s") % 60).cast("string"), 2, "0")).as("alarm"))
+    val coerced = graft.ops.SchemaRules.transformProperties(recs,
+      Seq("order_date" -> "date", "pickup" -> "datetime", "alarm" -> "time"))
+    coerced.groupBy(year(col("order_date")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("pickup"))).as("min_pickup_us"),
+        max(unix_micros(col("pickup"))).as("max_pickup_us"),
+        min(col("alarm")).as("min_alarm_s"),
+        max(col("alarm")).as("max_alarm_s"),
+        max(date_format(col("order_date"), "yyyy-MM-dd")).as("max_ds"))
+      .orderBy(col("yr"))
+  }
 }
 
 object MiscOracles {
@@ -117,4 +147,28 @@ object MiscOracles {
        |     (SELECT unnest(generate_series(0, ${n - 1})) AS iy)
        |ORDER BY i""".stripMargin
   }
+
+  /** both sides build the same strings from the same integers, then parse:
+    * the round-trip IS the check. epoch of a DuckDB TIME is seconds-of-day
+    * — the same ordinal transformProperties produces. */
+  val fionaDates: String =
+    """WITH recs AS (
+      |  SELECT o_orderkey AS fid,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |    strftime(o_orderdate + ((o_orderkey % 86400) * INTERVAL 1 SECOND), '%Y-%m-%dT%H:%M:%S') AS pickup,
+      |    lpad(CAST(((o_orderkey * 7) % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST((((o_orderkey * 7) % 86400) // 60) % 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(((o_orderkey * 7) % 86400) % 60 AS VARCHAR), 2, '0') AS alarm
+      |  FROM orders),
+      |coerced AS (
+      |  SELECT fid, CAST(order_date AS DATE) AS order_date,
+      |    CAST(pickup AS TIMESTAMP) AS pickup,
+      |    CAST(EXTRACT(epoch FROM CAST(alarm AS TIME)) AS INTEGER) AS alarm
+      |  FROM recs)
+      |SELECT CAST(EXTRACT(year FROM order_date) AS INTEGER) AS yr, count(*) AS n,
+      |  CAST(min(epoch_us(pickup)) AS BIGINT) AS min_pickup_us,
+      |  CAST(max(epoch_us(pickup)) AS BIGINT) AS max_pickup_us,
+      |  min(alarm) AS min_alarm_s, max(alarm) AS max_alarm_s,
+      |  max(strftime(order_date, '%Y-%m-%d')) AS max_ds
+      |FROM coerced GROUP BY yr ORDER BY yr""".stripMargin
 }

@@ -238,6 +238,11 @@ class RasterSpec extends AnyFunSuite {
     assert(h(0) === 50 && h(1) === 50)
     val f = r.copy(dtype = "float32")
     intercept[IllegalArgumentException](f.histogram(0))
+    // uint16 path: 65536 bins (georaster.py:1806-1815), masked excluded
+    val u16 = bw(Seq("1")).copy(dtype = "uint16")
+    val h16 = u16.histogram(0)
+    assert(h16.length === 65536)
+    assert(h16(0) === 50 && h16(1) === 50 && h16.sum === 100)
   }
 
   test("window rounding parity (georaster.py:1216-1249)") {
