@@ -76,10 +76,32 @@ object EmbQueries {
       when(dotLit(emb, planeWeights(t * TableBits + i)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** q22 input: embeddings ∪ planted near-duplicates. Every vec_id % 97
+    * == 0 gets an exact twin (id+10M, cosine exactly 1.0 — same bucket in
+    * every table) and a one-component sign-flip twin (id+20M, cosine
+    * 1 − 2x_k²/‖x‖² — may flip some tables' bits, exercising the
+    * multi-table recall path). Without planting, the raw synthetic table
+    * has NO ≥0.95-cosine pairs and the near-dup gate is vacuous. Both
+    * families are pure deterministic arithmetic, mirrored in the oracle. */
+  def dedupInput(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val marked = base.where(pmod(col("vec_id"), lit(97L)) === 0)
+    val exact = marked.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val flip = marked.select((col("vec_id") + 20000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === pmod(col("vec_id"), lit(Dim.toLong)).cast("int"), -x).otherwise(x))
+        .as("embedding"))
+    base.union(exact).union(flip)
+  }
+
   /** (vec_id, t, bucket, embedding, norm) exploded over the 4 tables,
     * restricted to buckets of size ≤ [[MaxBucket]]. */
-  def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  def bucketed(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedOf(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+
+  def bucketedOf(embIn: DataFrame): DataFrame = {
+    val emb = embIn
       .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
     val exploded = emb.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(array((0 until Tables).map(t => tableBucket(col("embedding"), t)): _*))
@@ -95,7 +117,8 @@ object EmbQueries {
     * bucket equi-join (candidates O(N·tables·bucket_size), bounded by the
     * bucket cap), cross-table pair dedup, exact cosine refine ≥ 0.95. */
   def embDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val withB = bucketed(spark, sfDir)
+    // one 64-hyperplane bucketing pass, not one per self-join branch
+    val withB = bucketedOf(dedupInput(spark, sfDir)).localCheckpoint(true)
     val a = withB.select(col("t"), col("bucket"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = withB.select(col("t"), col("bucket"), col("vec_id").as("b"),
@@ -162,10 +185,19 @@ object EmbOracles {
       .map(t => s"CAST(${tableBucketSql("embedding", t)} AS BIGINT) AS b$t").mkString(",\n")
     val bucketCase = (0 until Tables - 1)
       .map(t => s"WHEN $t THEN b$t").mkString("CASE k ", " ", s" ELSE b${Tables - 1} END")
-    s"""WITH e AS (
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |plant AS (
+       |  SELECT vec_id + 10000000 AS vec_id, embedding FROM base WHERE vec_id % 97 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 20000000 AS vec_id,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      CASE WHEN i - 1 = vec_id % $Dim THEN -embedding[i] ELSE embedding[i] END) AS embedding
+       |  FROM base WHERE vec_id % 97 = 0),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+       |e AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
        |$bucketCols
-       |  FROM embeddings),
+       |  FROM allv),
        |x AS (SELECT vec_id, embedding, norm, k AS t, $bucketCase AS bucket
        |      FROM e CROSS JOIN generate_series(0, ${Tables - 1}) g(k)),
        |sz AS (SELECT t, bucket FROM x GROUP BY t, bucket HAVING count(*) <= $MaxBucket),

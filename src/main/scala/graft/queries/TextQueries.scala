@@ -120,9 +120,14 @@ object TextQueries {
     * refine ≥ 90/128). Candidate volume is O(N·bands·bucket_size), never
     * O(N²): the join key is the band hash, so only same-bucket rows meet. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the banded signatures ONCE before the self-join: both
+    // join branches derive from this frame, and without it Spark recomputes
+    // the 128-perm MD5 MinHash for each side (2× the dominant cost; at
+    // scale this is the standard persist-before-self-join).
     val bands = sigsDf(spark, sfDir)
       .select(col("doc_id"), col("sigs"),
         posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+      .localCheckpoint(true)
     val a = bands.select(col("band"), col("key"), col("doc_id").as("a"), col("sigs").as("sa"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("b"), col("sigs").as("sb"))
     a.join(b, Seq("band", "key"))
@@ -185,6 +190,7 @@ object TextQueries {
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("k", "chunk")))
+      .localCheckpoint(true) // one simhash pass, not one per join branch
     val a = chunks.select(col("k"), col("chunk"), col("doc_id").as("a"), col("sh").as("sa"))
     val b = chunks.select(col("k"), col("chunk"), col("doc_id").as("b"), col("sh").as("sb"))
     a.join(b, Seq("k", "chunk"))
