@@ -58,6 +58,7 @@ object SparkEntry {
     "q39_relate" -> (graft.queries.MiscQueries.relateClasses _),
     "q40_shuffle_pip" -> (graft.queries.JoinQueries.shufflePip _),
     "q41_fiona_dates" -> (graft.queries.MiscQueries.fionaDates _),
+    "q42_ivf_ann" -> (graft.queries.EmbQueries.ivfAnn _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -102,6 +103,7 @@ object SparkEntry {
     "q39_relate" -> graft.queries.MiscOracles.relateClasses,
     "q40_shuffle_pip" -> graft.queries.JoinOracles.shufflePip,
     "q41_fiona_dates" -> graft.queries.MiscOracles.fionaDates,
+    "q42_ivf_ann" -> graft.queries.EmbOracles.ivfAnn,
   )
 }
 

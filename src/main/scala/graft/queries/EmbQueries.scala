@@ -27,6 +27,15 @@ object EmbQueries {
     * MaxBucket² instead of N² (mirrored exactly in the oracle). */
   val MaxBucket = 1000
 
+  /** IVF coarse quantizer: cells (inverted lists) and probed-cell count.
+    * Centroids are deterministic pseudo-random directions (offset 7000 in
+    * the plane index space so they're independent of the LSH planes) —
+    * a fixed quantizer rather than k-means, which keeps the partitioning
+    * reproducible across both oracle sides and across cluster runs (a real
+    * deployment would freeze trained centroids the same way). */
+  val IvfCells = 16
+  val IvfNProbe = 2
+
   /** Deterministic pseudo-random hyperplane weights — same integer
     * arithmetic on both sides of the oracle. */
   def planeWeights(j: Int): Seq[Double] =
@@ -113,6 +122,62 @@ object EmbQueries {
     exploded.join(sizes, Seq("t", "bucket"))
   }
 
+  /** IVF ANN — the partition-the-corpus scale path (builder prompt: "an
+    * IVF or LSH-bucketed variant as the scale path"): every vector is
+    * assigned to its best coarse cell (max dot with [[IvfCells]] fixed
+    * centroid directions, ties → lowest cell id); probes search only their
+    * [[IvfNProbe]] best cells, exact cosine re-rank inside. At 100 TB the
+    * assignment is a write-time bucketing column (`bucketBy(cell)`), so a
+    * query touches nprobe/cells of the data — here the same plan runs as
+    * one assignment pass + a cell equi-join, never a full cross join. */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+
+    // --- train: seed assignment (max dot with the fixed directions) ...
+    val seedDots = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until IvfCells).map(j =>
+        dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("j", "dot")))
+    val w0 = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("j"))
+    val assign0 = seedDots.withColumn("crank", row_number().over(w0))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("j").as("cell"))
+    // ... then ONE Lloyd step: per-cell component means via EXACT integer
+    // sums (round(x·1e6) as BIGINT — associative, so the mean is identical
+    // under any partitioning/order; a float sum would be order-dependent
+    // and could diverge from the oracle).
+    val comps = assign0.select(col("cell"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg((sum(round(col("x") * 1e6).cast("bigint")).cast("double") /
+        count(lit(1)) / 1e6).as("c"))
+    val centroids = comps.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+    // --- search: rank TRAINED cells per vector / probe
+    def withCellRank(df: DataFrame, rankCol: String): DataFrame = {
+      val dots = df.join(broadcast(centroids))
+        .withColumn("dot", dotCols(col("embedding"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
+      dots.withColumn(rankCol, row_number().over(w))
+    }
+    val assigned = withCellRank(emb, "crank").where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val probeCells = withCellRank(emb.where(col("vec_id") < NumProbes), "crank")
+      .where(col("crank") <= IvfNProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"), col("cell"))
+    val cand = assigned.join(probeCells.hint("broadcast"), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding near-dup pairs — multi-table banded LSH: per-table 16-bit
     * bucket equi-join (candidates O(N·tables·bucket_size), bounded by the
     * bucket cap), cross-table pair dedup, exact cosine refine ≥ 0.95. */
@@ -164,6 +229,50 @@ object EmbOracles {
        |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
        |  FROM s
        |) WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  /** per-row centroid dot with runtime cell index k (same weight formula
+    * as planeWeights(7000 + k), 1-based i). */
+  private val ivfDotSql: String =
+    s"""list_sum(list_transform(generate_series(1, $Dim), i ->
+       |  CAST(embedding[i] AS DOUBLE) * CAST((((7000 + k) * $Dim + i - 1) * ${Pages.M1}) % ${Pages.P} % 2001 - 1000 AS DOUBLE)))""".stripMargin
+
+  val ivfAnn: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |           FROM embeddings),
+       |seeddots AS (
+       |  SELECT vec_id, embedding, k AS j, $ivfDotSql AS dot
+       |  FROM e CROSS JOIN generate_series(0, ${IvfCells - 1}) g(k)),
+       |assign0 AS (
+       |  SELECT vec_id, embedding, j AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS crank
+       |    FROM seeddots) WHERE crank = 1),
+       |comps AS (
+       |  SELECT cell, i - 1 AS i,
+       |    CAST(SUM(CAST(round(embedding[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000.0 AS c
+       |  FROM assign0 CROSS JOIN generate_series(1, $Dim) s(i)
+       |  GROUP BY cell, i),
+       |centroids AS (
+       |  SELECT cell, list(c ORDER BY i) AS centroid FROM comps GROUP BY cell),
+       |dots AS (
+       |  SELECT vec_id, embedding, norm, cell,
+       |    list_sum(list_transform(generate_series(1, $Dim), i ->
+       |      CAST(embedding[i] AS DOUBLE) * centroid[i])) AS dot
+       |  FROM e CROSS JOIN centroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS crank
+       |    FROM dots) WHERE crank = 1),
+       |probecells AS (
+       |  SELECT vec_id AS qid, embedding AS qemb, norm AS qnorm, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS crank
+       |    FROM dots WHERE vec_id < $NumProbes) WHERE crank <= $IvfNProbe),
+       |cand AS (
+       |  SELECT qid, a.vec_id, ${dotSql("a.embedding", "p.qemb")} / (p.qnorm * a.norm) AS cos
+       |  FROM assigned a JOIN probecells p USING (cell))
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand) WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   private def bucketSql(emb: String): String =
     (0 until LshBits).map { j =>
