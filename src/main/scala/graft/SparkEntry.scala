@@ -59,6 +59,8 @@ object SparkEntry {
     "q40_shuffle_pip" -> (graft.queries.JoinQueries.shufflePip _),
     "q41_fiona_dates" -> (graft.queries.MiscQueries.fionaDates _),
     "q42_ivf_ann" -> (graft.queries.EmbQueries.ivfAnn _),
+    "q43_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
+    "q44_winnow_fp" -> (graft.queries.TextQueries.winnowFingerprints _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -104,6 +106,8 @@ object SparkEntry {
     "q40_shuffle_pip" -> graft.queries.JoinOracles.shufflePip,
     "q41_fiona_dates" -> graft.queries.MiscOracles.fionaDates,
     "q42_ivf_ann" -> graft.queries.EmbOracles.ivfAnn,
+    "q43_bpe_tokens" -> graft.queries.TextOracles.bpeTokens,
+    "q44_winnow_fp" -> graft.queries.TextOracles.winnowFingerprints,
   )
 }
 

@@ -240,3 +240,109 @@ case class SimHash64(child: Expression) extends GraftUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
+
+/** winnow_fp(text): winnowing document fingerprint (Schleimer, Wilkerson,
+  * Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD 2003; builder prompt: "document fingerprinting (rolling hash)").
+  * k=8 code-point grams hashed with a Rabin rolling hash (B=257,
+  * P=1e9+7); each w=4 window selects its minimum hash (rightmost on
+  * ties); output = distinct selections packed as (pos<<32 | hash), pos
+  * 1-based, ascending — pure integer arithmetic, so the DuckDB oracle
+  * reproduces every value exactly (mod-P arithmetic is order-free). */
+case class WinnowFp(child: Expression) extends GraftUnary {
+  import WinnowFp._
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  def compute(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val m = n - K + 1 // number of k-grams
+    if (m < W)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    // rolling Rabin hashes h(0..m-1), 0-based here
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * B + cps(i)) % P; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = ((h - cps(i - 1) * BK1 % P + P * K) * B + cps(i + K - 1)) % P
+      hs(i) = h
+      i += 1
+    }
+    // winnow: per window [t, t+W-1] pick min, rightmost tie; dedup by pos
+    val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var t = 0
+    while (t <= m - W) {
+      var best = t
+      var j = t + 1
+      while (j < t + W) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      sel += best
+      t += 1
+    }
+    val out = sel.toArray.sorted.map(p => ((p + 1).toLong << 32) | hs(p))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_fp"
+}
+
+object WinnowFp {
+  val K = 8
+  val W = 4
+  val B = 257L
+  val P = 1000000007L
+  /** oracle fan-out ceiling (documents max length is ~600 at every SF). */
+  val MaxDocChars = 4096
+  /** B^(K-1) mod P */
+  val BK1: Long = {
+    var r = 1L
+    for (_ <- 0 until K - 1) r = r * B % P
+    r
+  }
+
+  /** per-doc fingerprint aggregate oracle: the same hashes/selections in
+    * ANSI SQL (window min + rightmost-tie join), aggregated per doc. */
+  def winnowSql(docsTable: String): String =
+    s"""SELECT doc_id, count(*) AS n_fp,
+       |  min(packed) AS min_fp, max(packed) AS max_fp,
+       |  CAST(sum(packed) AS BIGINT) AS sum_fp
+       |FROM (
+       |  SELECT DISTINCT s.doc_id, s.selpos * 4294967296 + s.mn AS packed
+       |  FROM (
+       |    SELECT w.doc_id, w.t, w.mn, MAX(h2.pos) AS selpos
+       |    FROM (
+       |      SELECT doc_id, pos AS t, m,
+       |             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                          ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mn
+       |      FROM (${hashesSql(docsTable)})
+       |    ) w
+       |    JOIN (${hashesSql(docsTable)}) h2
+       |      ON h2.doc_id = w.doc_id AND h2.h = w.mn
+       |     AND h2.pos BETWEEN w.t AND w.t + ${W - 1}
+       |    WHERE w.t <= w.m - ${W - 1}
+       |    GROUP BY w.doc_id, w.t, w.mn
+       |  ) s
+       |) GROUP BY doc_id""".stripMargin
+
+  /** k-gram Rabin hashes, 1-based positions: h(pos) = Σ cp(pos+j)·B^(K-1-j)
+    * mod P (order-free integer arithmetic ≡ the rolling update). */
+  private def hashesSql(docsTable: String): String = {
+    val pows = (0 until K).map { j =>
+      var r = 1L
+      for (_ <- 0 until K - 1 - j) r = r * B % P
+      r
+    }
+    val terms = (0 until K).map(j =>
+      s"(CAST(unicode(substr(text, i + $j, 1)) AS BIGINT) * ${pows(j)}) % $P")
+      .mkString("(", " + ", s") % $P")
+    // DuckDB's generate_series takes constants only (no lateral column
+    // bounds): fan out to a fixed ceiling and filter to each doc's length.
+    s"""SELECT doc_id, i AS pos, length(text) - ${K - 1} AS m, $terms AS h
+       |FROM $docsTable CROSS JOIN generate_series(1, $MaxDocChars) g(i)
+       |WHERE i <= length(text) - ${K - 1}""".stripMargin
+  }
+}

@@ -201,6 +201,38 @@ object TextQueries {
       .select(col("a"), col("b"), col("dist"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** BPE-ish subword token counting next to the whitespace count (builder
+    * prompt: "token counting (whitespace + a BPE-ish regex)"). The pattern
+    * is a GPT-2-style word-piece splitter restricted to constructs with
+    * identical semantics in java.util.regex and RE2 (no lookarounds). */
+  val BpePattern = "'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+"
+
+  /** the synthetic docs are pure space-separated words (n_bpe would equal
+    * n_ws) — a deterministic punctuated/numeric tail makes the subword
+    * split actually diverge from the whitespace count under the oracle. */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("t", concat(col("text"), lit(" it's v"),
+        col("doc_id").cast("string"), lit(".0, (beta)!")))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(BpePattern)).as("n_bpe"),
+        TextOps.tokenCount(col("t")).as("n_ws"))
+      .orderBy(col("doc_id"))
+
+  /** winnowing document fingerprints (rolling Rabin hash + window-min
+    * selection) — the gate aggregates each doc's fingerprint SET, every
+    * packed (pos,hash) value exact against the SQL mirror. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftRegistrar.ensure(spark)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("winnow_fp", col("text"))).as("packed"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("packed")).as("min_fp"),
+        max(col("packed")).as("max_fp"), sum(col("packed")).as("sum_fp"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 object TextOracles {
@@ -334,4 +366,20 @@ object TextOracles {
        |           ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+
+  val bpeTokens: String = {
+    val pat = TextQueries.BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$pat')) AS INTEGER) AS n_bpe,
+       |  CAST(length(string_split_regex(trim(t), '\\s+')) AS INTEGER) AS n_ws
+       |FROM (SELECT doc_id,
+       |        text || ' it''s v' || CAST(doc_id AS VARCHAR) || '.0, (beta)!' AS t
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val winnowFingerprints: String =
+    s"""SELECT doc_id, n_fp, min_fp, max_fp, sum_fp
+       |FROM (${graft.ops.WinnowFp.winnowSql("documents")})
+       |ORDER BY doc_id""".stripMargin
 }

@@ -116,3 +116,41 @@ class DedupSpec extends SparkTestBase {
     assert(n < 20000, s"candidate pairs $n — bucket cap not effective")
   }
 }
+
+/** winnowing fingerprint guarantees (Schleimer et al. 2003 §2: any match
+  * of length ≥ w + k − 1 is caught by at least one shared fingerprint). */
+class WinnowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fps(texts: (Long, String)*): Map[Long, Set[Long]] = {
+    org.apache.spark.sql.GraftRegistrar.ensure(spark)
+    texts.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.call_function("winnow_fp",
+          org.apache.spark.sql.functions.col("text")).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+  }
+
+  test("guarantee: shared substring of length ≥ k+w−1 shares a fingerprint HASH") {
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val m = fps(
+      1L -> s"AAAA unrelated prefix text $common ZZZZ suffix",
+      2L -> s"totally different beginning here $common and another ending",
+      3L -> "no overlap with anything else whatsoever in this one at all")
+    def hashes(s: Set[Long]): Set[Long] = s.map(_ & 0xFFFFFFFFL) // drop pos
+    assert((hashes(m(1L)) & hashes(m(2L))).nonEmpty) // common span detected
+    // determinism
+    val again = fps(1L -> s"AAAA unrelated prefix text $common ZZZZ suffix")
+    assert(again(1L) === m(1L))
+  }
+
+  test("density: ~2/(w+1) of positions selected; short text → empty") {
+    val text = (1 to 200).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val m = fps(10L -> text, 11L -> "short")
+    val n = m(10L).size
+    val positions = 200 - graft.ops.WinnowFp.K + 1
+    assert(n > positions / 8 && n < positions, s"selected $n of $positions")
+    assert(m(11L).isEmpty) // len < k+w-1 → no fingerprints
+  }
+}
