@@ -61,6 +61,7 @@ object SparkEntry {
     "q42_ivf_ann" -> (graft.queries.EmbQueries.ivfAnn _),
     "q43_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
     "q44_winnow_fp" -> (graft.queries.TextQueries.winnowFingerprints _),
+    "q45_extract_text" -> (graft.queries.TextQueries.extractText _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -108,6 +109,7 @@ object SparkEntry {
     "q42_ivf_ann" -> graft.queries.EmbOracles.ivfAnn,
     "q43_bpe_tokens" -> graft.queries.TextOracles.bpeTokens,
     "q44_winnow_fp" -> graft.queries.TextOracles.winnowFingerprints,
+    "q45_extract_text" -> graft.queries.TextOracles.extractText,
   )
 }
 

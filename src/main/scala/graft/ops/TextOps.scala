@@ -346,3 +346,42 @@ object WinnowFp {
        |WHERE i <= length(text) - ${K - 1}""".stripMargin
   }
 }
+
+/** html → text extraction (BASELINE.json input_hint: "per-row invariant vs
+  * the reference: byte-identical extracted text per url"). Deterministic
+  * rule set expressible identically in Spark and ANSI/RE2 SQL:
+  *  1. decode the html BINARY as UTF-8;
+  *  2. drop <script>/<style> elements wholesale;
+  *  3. strip every remaining tag `<[^>]*>`;
+  *  4. unescape the five XML entities (&amp; LAST, so escaped escapes
+  *     survive: "&amp;lt;" → "&lt;", not "<").
+  * No whitespace normalization — byte identity means bytes. */
+object ExtractText {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def extract(html: Column): Column = {
+    val s0 = decode(html, "UTF-8")
+    val s1 = regexp_replace(s0, "(?s)<script[^>]*>.*?</script>", "")
+    val s2 = regexp_replace(s1, "(?s)<style[^>]*>.*?</style>", "")
+    val s3 = regexp_replace(s2, "<[^>]*>", "")
+    val s4 = regexp_replace(s3, "&lt;", "<")
+    val s5 = regexp_replace(s4, "&gt;", ">")
+    val s6 = regexp_replace(s5, "&quot;", "\"")
+    val s7 = regexp_replace(s6, "&#39;", "'")
+    regexp_replace(s7, "&amp;", "&")
+  }
+
+  /** identical chain in DuckDB SQL over an html BLOB expression. */
+  def extractSql(htmlExpr: String): String = {
+    var s = s"decode($htmlExpr)"
+    s = s"regexp_replace($s, '(?s)<script[^>]*>.*?</script>', '', 'g')"
+    s = s"regexp_replace($s, '(?s)<style[^>]*>.*?</style>', '', 'g')"
+    s = s"regexp_replace($s, '<[^>]*>', '', 'g')"
+    s = s"regexp_replace($s, '&lt;', '<', 'g')"
+    s = s"regexp_replace($s, '&gt;', '>', 'g')"
+    s = s"regexp_replace($s, '&quot;', '\"', 'g')"
+    s = s"regexp_replace($s, '&#39;', '''', 'g')"
+    s"regexp_replace($s, '&amp;', '&', 'g')"
+  }
+}

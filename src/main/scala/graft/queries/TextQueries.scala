@@ -220,6 +220,19 @@ object TextQueries {
         TextOps.tokenCount(col("t")).as("n_ws"))
       .orderBy(col("doc_id"))
 
+  /** html → extracted text, gated per url (BASELINE.json input_hint:
+    * "per-row invariant vs the reference: byte-identical extracted text per
+    * url"): run the extraction over the html BINARY column and prove both
+    * the md5 of the extracted bytes AND exact equality with the stored
+    * `text` column, per document. */
+  def extractText(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.documentsPages(spark, sfDir)
+      .withColumn("extracted", graft.ops.ExtractText.extract(col("html")))
+      .select(col("doc_id"), col("url"),
+        md5(col("extracted")).as("ext_md5"),
+        (col("extracted") === col("text")).as("exact"))
+      .orderBy(col("doc_id"))
+
   /** winnowing document fingerprints (rolling Rabin hash + window-min
     * selection) — the gate aggregates each doc's fingerprint SET, every
     * packed (pos,hash) value exact against the SQL mirror. */
@@ -382,4 +395,14 @@ object TextOracles {
     s"""SELECT doc_id, n_fp, min_fp, max_fp, sum_fp
        |FROM (${graft.ops.WinnowFp.winnowSql("documents")})
        |ORDER BY doc_id""".stripMargin
+
+  /** the same extraction chain over the same derived html bytes; `exact`
+    * asserts byte identity with the stored text per url. */
+  val extractText: String = {
+    val ext = graft.ops.ExtractText.extractSql("encode('<html>' || text || '</html>')")
+    s"""SELECT doc_id, 'https://example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+       |  md5(extracted) AS ext_md5, extracted = text AS exact
+       |FROM (SELECT doc_id, text, $ext AS extracted FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 }
