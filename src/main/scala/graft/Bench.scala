@@ -191,21 +191,30 @@ object Bench {
     }
 
     // interleaved forked trials; min wall per level (noise-robust)
-    val trials = 2
     val results2 = Seq.newBuilder[(Long, Double, Double)]
     val results8lo = Seq.newBuilder[(Long, Double, Double)]
     val results8 = Seq.newBuilder[(Long, Double, Double)]
     val results32 = Seq.newBuilder[(Long, Double, Double)]
-    for (_ <- 1 to trials) {
-      // low-contention N→4N pair: 2 vs 8 cores, both under the VM's
-      // DRAM-saturation point (~8 threads) — isolates ENGINE scaling
-      // (shuffle/partition/scheduler overhead) from host-ceiling artifacts
-      results2 += forkChild(2, sfDir, Rep2)
-      results8lo += forkChild(8, sfDir, Rep2)
+    // low-contention N→4N pair: 2 vs 8 cores, both under the VM's
+    // DRAM-saturation point (~8 threads) — isolates ENGINE scaling
+    // (shuffle/partition/scheduler overhead) from host-ceiling artifacts.
+    // 3 back-to-back trials; the efficiency is the MEDIAN of per-trial
+    // paired ratios — a ratio of two global best windows is biased when
+    // one level gets a luckier window than the other.
+    val pairEffs = Seq.newBuilder[Double]
+    for (_ <- 1 to 3) {
+      val r2 = forkChild(2, sfDir, Rep2)
+      val r8 = forkChild(8, sfDir, Rep2)
+      results2 += r2
+      results8lo += r8
+      pairEffs += (r8._1 / r8._2) / (r2._1 / r2._2) / 4.0
+    }
+    for (_ <- 1 to 2) {
       // high-end pair at full amplification (host-ceiling-normalized below)
       results8 += forkChild(8, sfDir)
       results32 += forkChild(32, sfDir)
     }
+    val eff2to8Median = pairEffs.result().sorted.apply(1)
     val (rows2, wall2, _) = results2.result().minBy(_._2)
     val (rows8lo, wall8lo, _) = results8lo.result().minBy(_._2)
     val (rows8, wall8, kern8) = results8.result().minBy(_._2)
@@ -225,7 +234,7 @@ object Bench {
 
     val rps2 = rows2 / wall2
     val rps8lo = rows8lo / wall8lo
-    val eff2to8 = (rps8lo / rps2) / 4.0
+    val eff2to8 = eff2to8Median
     val rps8 = rows8 / wall8
     val rps32 = rows32 / wall32
     val eff = (rps32 / rps8) / 4.0

@@ -1,0 +1,85 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GeoTiffIO against the reference's OWN raster fixtures — the files
+  * telluric's GeoRaster2.open reads through rasterio
+  * (`/root/reference/tests/test_georaster.py:290,772,806`). Pixel goldens
+  * extracted by direct strip-byte indexing of the uncompressed fixture. */
+class GeoTiffSpec extends AnyFunSuite {
+
+  private val refRaster = "/root/reference/tests/data/raster"
+
+  test("rgb.tif: dims, dtype, CRS, affine, nodata, GDAL band names") {
+    val r = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    assert(r.width === 100 && r.height === 100 && r.numBands === 3)
+    assert(r.dtype === "uint8")
+    assert(r.crs === 3857) // "WGS 84 / Pseudo-Mercator" GeoKey
+    assert(math.abs(r.affine.a - 76.43702828517598) < 1e-9)
+    assert(math.abs(r.affine.e + 76.4370282851769) < 1e-9)
+    assert(math.abs(r.affine.c + 6574807.424977721) < 1e-6)
+    assert(math.abs(r.affine.f + 4070118.8821290657) < 1e-6)
+    assert(r.nodata === Some(0.0))
+    assert(r.bandNames === Seq("0", "1", "2")) // GDALMetadata band_names
+  }
+
+  test("rgb.tif: pixel goldens (direct strip-byte extraction) and band sums") {
+    val r = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    def px(x: Int, y: Int): (Int, Int, Int) = {
+      val i = y * 100 + x
+      (r.image(0)(i).toInt, r.image(1)(i).toInt, r.image(2)(i).toInt)
+    }
+    assert(px(0, 0) === ((81, 117, 73)))
+    assert(px(50, 50) === ((55, 95, 57)))
+    assert(px(99, 99) === ((151, 127, 122)))
+    assert(r.image(0).sum.toLong === 849781L)
+    assert(r.image(1).sum.toLong === 1032681L)
+    assert(r.image(2).sum.toLong === 754367L)
+    // nodata=0 but no pixel is (0,0,0) → nothing masked
+    assert(!r.mask.exists(identity))
+  }
+
+  test("overlap fixtures: multi-strip RGB rasters parse with consistent grids") {
+    val r1 = GeoTiffIO.read(s"$refRaster/overlap1.tif")
+    val r2 = GeoTiffIO.read(s"$refRaster/overlap2.tif")
+    assert(r1.width === 843 && r1.height === 801 && r1.numBands === 3)
+    assert(r2.width === 713 && r2.height === 881 && r2.numBands === 3)
+    assert(r1.crs === r2.crs)
+    // near-same-resolution pair (the merge suite's premise)
+    assert(math.abs(r1.affine.a - r2.affine.a) / r1.affine.a < 1e-3)
+    // real image content, not zeros
+    assert(r1.image(0).count(_ != 0.0) > 100000)
+  }
+
+  test("write→read round-trip: pixels, affine, crs, nodata, band names survive") {
+    val dir = java.nio.file.Files.createTempDirectory("gt").toString
+    val src = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    GeoTiffWriter.write(src, s"$dir/copy.tif")
+    val back = GeoTiffIO.read(s"$dir/copy.tif")
+    assert(back.width === src.width && back.height === src.height)
+    assert(back.dtype === src.dtype && back.crs === src.crs)
+    assert(back.bandNames === src.bandNames)
+    assert(back.nodata === src.nodata)
+    assert(math.abs(back.affine.a - src.affine.a) < 1e-9)
+    assert(math.abs(back.affine.c - src.affine.c) < 1e-6)
+    (0 until 3).foreach(b => assert(back.image(b).sameElements(src.image(b))))
+    // and a float32 single-band raster with nodata mask
+    val f = graft.raster.MRaster(
+      Array(Array.tabulate(12)(_ * 1.5)), Array.fill(12)(false), 4, 3,
+      graft.raster.Affine.northUp(10, 20, 0.5, 0.5), 4326, Seq("z"), "float32", Some(-1.0))
+    GeoTiffWriter.write(f, s"$dir/f32.tif")
+    val fb = GeoTiffIO.read(s"$dir/f32.tif")
+    assert(fb.dtype === "float32" && fb.crs === 4326 && fb.nodata === Some(-1.0))
+    assert(fb.image(0).toSeq === f.image(0).toSeq)
+  }
+
+  test("opened fixture feeds the engine: footprint + get_tile path") {
+    val r = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    val bb = r.footprint.bbox
+    assert(bb.xmax - bb.xmin > 7000) // 100 px × 76.4 m
+    // crop a 10×10 pixel window through the standard ops path
+    val win = graft.raster.RasterOps.pixelSlice(r, 0, 0, 10, 10)
+    assert(win.width === 10 && win.height === 10)
+    assert(win.image(0)(0) === 81.0)
+  }
+}
