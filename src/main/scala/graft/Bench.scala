@@ -27,10 +27,11 @@ object Bench {
     * fixed-overhead-bound at small SF). */
   val Rep = 1024
 
-  /** amplification for the low-contention 2→8 pair (smaller so the 2-core
-    * runs stay ~10 s — long enough to be noise-robust, short enough to fit
-    * the driver budget). */
-  val Rep2 = 256
+  /** amplification for the low-contention 2→8 pair: ~17 s per 2-core run —
+    * long enough that intermittent co-tenant steal averages out inside a
+    * run (short runs make the per-trial ratio jumpy), short enough to fit
+    * the driver budget. */
+  val Rep2 = 512
 
   /** Scaling-job polygon layer: the 6 query polygons densified to 64
     * vertices (circumscribed 64-gons) — admin-boundary-like complexity, so
@@ -151,7 +152,8 @@ object Bench {
     val polys = densePolys(spark)
     headlineJob(pages, polys, rep) // warm codegen/JIT
     rayKernelWall(cpus) // warm
-    val walls = (1 to 3).map(_ => time(headlineJob(pages, polys, rep))._2)
+    val runs = if (rep == Rep2) 2 else 3 // low-pair runs are long; 2 suffice
+    val walls = (1 to runs).map(_ => time(headlineJob(pages, polys, rep))._2)
     val kernelWall = rayKernelWall(cpus)
     println(s"GRAFT_SCALE cpus=$cpus rows=$rows wall=${walls.min} kernel=$kernelWall all=${walls.map(w => f"$w%.2f").mkString(",")}")
     spark.stop()
