@@ -1,0 +1,53 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VrtIO against the reference's OWN VRT fixtures (tests/test_vrt.py:
+  * boundless_vrt_doc ↔ overlap2.vrt, raster_list_vrt ↔
+  * expected_overlaps.vrt). */
+class VrtSpec extends AnyFunSuite {
+
+  private val ref = "/root/reference"
+  private def resolve(fn: String): String =
+    if (fn.startsWith("/")) fn
+    else if (fn.startsWith("tests/")) s"$ref/$fn"
+    else s"$ref/tests/data/raster/$fn"
+
+  test("overlap2.vrt (boundless doc of one raster) reproduces the source raster") {
+    val vrt = VrtIO.read(s"$ref/tests/data/raster/overlap2.vrt", resolve)
+    val tif = GeoTiffIO.read(s"$ref/tests/data/raster/overlap2.tif")
+    assert(vrt.width === tif.width && vrt.height === tif.height && vrt.numBands === 3)
+    assert(vrt.crs === 3857)
+    assert(math.abs(vrt.affine.a - tif.affine.a) < 1e-6)
+    // identity DstRect → every pixel equal
+    (0 until 3).foreach(b => assert(vrt.image(b).sameElements(tif.image(b))))
+  }
+
+  test("expected_overlaps.vrt: the reference's own 2-raster mosaic artifact") {
+    val m = VrtIO.read(s"$ref/tests/data/raster/expected_overlaps.vrt", resolve)
+    assert(m.width === 972 && m.height === 1012 && m.numBands === 3)
+    assert(m.crs === 3857)
+    val r1 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap1.tif")
+    val r2 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap2.tif")
+    // boundless corners (covered by neither source) are masked
+    assert(m.mask(0)) // top-left: overlap1 starts at yOff≈211, overlap2 at xOff≈259
+    // a pixel in overlap1's exclusive region equals overlap1's value:
+    // dest (10, 500) → src1 ≈ (10, 500-211.28)
+    val d1 = 500 * m.width + 10
+    assert(!m.mask(d1))
+    val s1 = (500 - 211) * r1.width + 10 // nearest row (fractional offset 211.278)
+    assert(m.image(0)(d1) === r1.image(0)(s1) ||
+      m.image(0)(d1) === r1.image(0)(s1 + r1.width)) // ±1 row for the fraction
+    // a pixel in overlap2's exclusive region (right of overlap1's 843-px span)
+    val d2 = 100 * m.width + 950
+    assert(!m.mask(d2))
+    val s2 = 100 * r2.width + (950 - 259)
+    assert(m.image(1)(d2) === r2.image(1)(s2) ||
+      m.image(1)(d2) === r2.image(1)(s2 - 1) ||
+      m.image(1)(d2) === r2.image(1)(s2 + 1))
+    // coverage: valid pixels ≈ union of the two footprints, more than either
+    val valid = m.mask.count(!_)
+    assert(valid > 843 * 801 && valid > 713 * 881)
+    assert(valid < m.width * m.height) // but not the whole boundless canvas
+  }
+}
