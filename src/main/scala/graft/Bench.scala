@@ -150,16 +150,19 @@ object Bench {
     val pages = probeSide(spark, sfDir).cache()
     val rows = pages.count() * rep // materialize + true processed-row count
     val polys = densePolys(spark)
-    headlineJob(pages, polys, rep) // warm codegen/JIT
+    // warm codegen/JIT at a quarter of the amplification — same plan and
+    // generated code, a fraction of the wall (driver-budget control)
+    headlineJob(pages, polys, math.max(1, rep / 4))
     rayKernelWall(cpus) // warm
-    val runs = if (rep == Rep2) 2 else 3 // low-pair runs are long; 2 suffice
+    val runs = 2
     val walls = (1 to runs).map(_ => time(headlineJob(pages, polys, rep))._2)
     val kernelWall = rayKernelWall(cpus)
-    println(s"GRAFT_SCALE cpus=$cpus rows=$rows wall=${walls.min} kernel=$kernelWall all=${walls.map(w => f"$w%.2f").mkString(",")}")
+    println(s"GRAFT_SCALE cpus=$cpus rows=$rows wall=${walls.min} kernel=$kernelWall sumwall=${walls.sum} all=${walls.map(w => f"$w%.2f").mkString(",")}")
     spark.stop()
   }
 
-  private def forkChild(cpus: Int, sfDir: String, rep: Int = Rep): (Long, Double, Double) = {
+  /** returns (rows, minWall, kernelWall, sumWall) for the child. */
+  private def forkChild(cpus: Int, sfDir: String, rep: Int = Rep): (Long, Double, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -182,7 +185,8 @@ object Bench {
     val kv = out.head.split(" ").drop(1).map { t =>
       val Array(k, v) = t.split("="); k -> v
     }.toMap
-    (kv("rows").toLong, kv("wall").toDouble, kv("kernel").toDouble)
+    (kv("rows").toLong, kv("wall").toDouble, kv("kernel").toDouble,
+      kv("sumwall").toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,17 +196,20 @@ object Bench {
       return
     }
 
-    // interleaved forked trials; min wall per level (noise-robust)
-    val results2 = Seq.newBuilder[(Long, Double, Double)]
-    val results8lo = Seq.newBuilder[(Long, Double, Double)]
-    val results8 = Seq.newBuilder[(Long, Double, Double)]
-    val results32 = Seq.newBuilder[(Long, Double, Double)]
+    // interleaved forked trials
+    val results2 = Seq.newBuilder[(Long, Double, Double, Double)]
+    val results8lo = Seq.newBuilder[(Long, Double, Double, Double)]
+    val results8 = Seq.newBuilder[(Long, Double, Double, Double)]
+    val results32 = Seq.newBuilder[(Long, Double, Double, Double)]
     // low-contention N→4N pair: 2 vs 8 cores, both under the VM's
     // DRAM-saturation point (~8 threads) — isolates ENGINE scaling
     // (shuffle/partition/scheduler overhead) from host-ceiling artifacts.
-    // 3 back-to-back trials; the efficiency is the MEDIAN of per-trial
-    // paired ratios — a ratio of two global best windows is biased when
-    // one level gets a luckier window than the other.
+    // 3 back-to-back trials. Headline statistic = TOTAL-throughput ratio
+    // (Σwall₂/Σwall₈/4 over all timed runs, ~100 s of samples per level):
+    // co-tenant steal that is roughly uniform in time cancels in the
+    // ratio of sums, where a ratio of two best windows is whipsawed by
+    // which level catches the quieter window (measured quiet-run spread
+    // of the best-window ratio: 0.77–0.99; per-trial medians similar).
     val pairEffs = Seq.newBuilder[Double]
     for (_ <- 1 to 3) {
       val r2 = forkChild(2, sfDir, Rep2)
@@ -216,11 +223,15 @@ object Bench {
       results8 += forkChild(8, sfDir)
       results32 += forkChild(32, sfDir)
     }
-    val eff2to8Median = pairEffs.result().sorted.apply(1)
-    val (rows2, wall2, _) = results2.result().minBy(_._2)
-    val (rows8lo, wall8lo, _) = results8lo.result().minBy(_._2)
-    val (rows8, wall8, kern8) = results8.result().minBy(_._2)
-    val (rows32, wall32, kern32) = results32.result().minBy(_._2)
+    val effsList = pairEffs.result()
+    val eff2to8Median = effsList.sorted.apply(effsList.length / 2)
+    val sumWall2 = results2.result().map(_._4).sum
+    val sumWall8lo = results8lo.result().map(_._4).sum
+    val eff2to8Total = sumWall2 / sumWall8lo / 4.0
+    val (rows2, wall2, _, _) = results2.result().minBy(_._2)
+    val (rows8lo, wall8lo, _, _) = results8lo.result().minBy(_._2)
+    val (rows8, wall8, kern8, _) = results8.result().minBy(_._2)
+    val (rows32, wall32, kern32, _) = results32.result().minBy(_._2)
 
     // sweep + tiles at local[32] in this JVM
     val s32 = session(32)
@@ -236,7 +247,7 @@ object Bench {
 
     val rps2 = rows2 / wall2
     val rps8lo = rows8lo / wall8lo
-    val eff2to8 = eff2to8Median
+    val eff2to8 = eff2to8Total
     val rps8 = rows8 / wall8
     val rps32 = rows32 / wall32
     val eff = (rps32 / rps8) / 4.0
@@ -251,7 +262,9 @@ object Bench {
     val effS = f"$eff%.3f"
     val effNormS = f"$effNorm%.3f"
     val kernS = f"$kernelSpeedup%.3f"
+    val effMedS = f"$eff2to8Median%.3f"
+    val effsJson = effsList.map(e => f"$e%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
   }
 }
