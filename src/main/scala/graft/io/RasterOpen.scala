@@ -1,0 +1,45 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import graft.raster.{Affine, MRaster, Png}
+
+/** GeoRaster2.open dispatch (`/root/reference/telluric/georaster.py:655-685`
+  * + tests/test_georaster.py:155-162 non-georeferenced open): extension
+  * routes to the codec; `.png`/`.jpg` carry no georeferencing, so the
+  * caller supplies crs/affine exactly like the reference's
+  * `GeoRaster2.open(path, crs=…, affine=…)` (pixel-grid default with a
+  * warning-equivalent crs=0 otherwise). `save` routes symmetrically
+  * (.tif → GeoTiffWriter, .png → Png encoder). */
+object RasterOpen {
+
+  def open(path: String,
+           crs: Int = 0,
+           affine: Option[Affine] = None,
+           bandNames: Seq[String] = Nil,
+           resolve: String => String = identity): MRaster = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".tif") || lower.endsWith(".tiff")) {
+      val r = GeoTiffIO.read(path, bandNames)
+      affine.map(a => r.copy(affine = a, crs = if (crs != 0) crs else r.crs))
+        .getOrElse(if (crs != 0) r.copy(crs = crs) else r)
+    } else if (lower.endsWith(".vrt")) {
+      VrtIO.read(path, resolve)
+    } else if (lower.endsWith(".png") || lower.endsWith(".jpg") || lower.endsWith(".jpeg")) {
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val a = affine.getOrElse(Affine.northUp(0, dims.getHeight, 1, 1))
+      Png.fromBytes(bytes, a, crs,
+        if (bandNames.nonEmpty) bandNames else Seq("0", "1", "2"))
+    } else throw new IllegalArgumentException(
+      s"unknown raster format for '$path' (expected .tif/.vrt/.png/.jpg)")
+  }
+
+  def save(r: MRaster, path: String): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".tif") || lower.endsWith(".tiff")) GeoTiffWriter.write(r, path)
+    else if (lower.endsWith(".png"))
+      Files.write(Paths.get(path), Png.toPng(r))
+    else throw new IllegalArgumentException(s"unknown raster sink for '$path'")
+  }
+}

@@ -73,6 +73,21 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(fb.image(0).toSeq === f.image(0).toSeq)
   }
 
+  test("RasterOpen dispatch: non-georeferenced PNG with caller affine (test_georaster.py:155-162)") {
+    // the reference opens no_georef.png with explicit crs/affine kwargs
+    val affine = graft.raster.Affine(10.0, 0.0, -6425941.63996855,
+      0.0, -10.0, -3169315.69478084)
+    val r = RasterOpen.open(s"$refRaster/no_georef.png",
+      crs = 3857, affine = Some(affine))
+    assert(r.width === 1243 && r.height === 3217)
+    assert(r.crs === 3857)
+    assert(r.affine === affine)
+    // dispatch to the tif codec under the same entry point
+    val t = RasterOpen.open(s"$refRaster/rgb.tif")
+    assert(t.width === 100 && t.crs === 3857)
+    intercept[IllegalArgumentException](RasterOpen.open(s"$refRaster/rgb.jp2"))
+  }
+
   test("opened fixture feeds the engine: footprint + get_tile path") {
     val r = GeoTiffIO.read(s"$refRaster/rgb.tif")
     val bb = r.footprint.bbox
