@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
     "q44_winnow_fp" -> (graft.queries.TextQueries.winnowFingerprints _),
     "q45_extract_text" -> (graft.queries.TextQueries.extractText _),
+    "q46_ngram_jaccard" -> (graft.queries.TextQueries.ngramJaccard _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -110,6 +111,7 @@ object SparkEntry {
     "q43_bpe_tokens" -> graft.queries.TextOracles.bpeTokens,
     "q44_winnow_fp" -> graft.queries.TextOracles.winnowFingerprints,
     "q45_extract_text" -> graft.queries.TextOracles.extractText,
+    "q46_ngram_jaccard" -> graft.queries.TextOracles.ngramJaccard,
   )
 }
 

@@ -202,6 +202,46 @@ object TextQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** EXACT n-gram Jaccard near-dup (builder prompt's dedup list names it
+    * next to MinHash, which only ESTIMATES it): banded-LSH candidates,
+    * then |A∩B| / |A∪B| over each doc's DISTINCT 8-gram shingle-hash SET.
+    * Kept integer-exact — the gate outputs (common, nA, nB) and filters
+    * J ≥ 0.5 as 3·common ≥ nA+nB, so no float ever faces the oracle. At
+    * scale: candidates are O(N·bands) from the LSH equi-join, the shingle
+    * join is an equi-join on (hash), both shuffle-partitioned. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftRegistrar.ensure(spark)
+    // distinct 8-gram shingle hashes per doc — same base-hash arithmetic
+    // as the MinHash oracle (md5 top-15-nibbles mod P)
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"), col("text"))
+      .select(col("doc_id"),
+        (conv(substring(md5(expr("substring(text, p, 8)")), 1, 15), 16, 10)
+          .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // banded-LSH candidate pairs (no n_match threshold — Jaccard decides)
+    val bands = sigsDf(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .where(col("common") * 3 >= col("na") + col("nb")) // J ≥ 0.5, integer-exact
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** BPE-ish subword token counting next to the whitespace count (builder
     * prompt: "token counting (whitespace + a BPE-ish regex)"). The pattern
     * is a GPT-2-style word-piece splitter restricted to constructs with
@@ -395,6 +435,33 @@ object TextOracles {
     s"""SELECT doc_id, n_fp, min_fp, max_fp, sum_fp
        |FROM (${graft.ops.WinnowFp.winnowSql("documents")})
        |ORDER BY doc_id""".stripMargin
+
+  /** exact n-gram Jaccard mirror: same shingle hashes (distinct per doc),
+    * same banded candidates, integer 3·common ≥ nA+nB threshold. */
+  val ngramJaccard: String =
+    s"""WITH sigs AS (${sigsSql("documents")}),
+       |bands AS (
+       |  SELECT doc_id, CAST(j // ${BandRows} AS INTEGER) AS band,
+       |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS key
+       |  FROM sigs GROUP BY doc_id, j // ${BandRows}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, h FROM (${shingleHashSql("documents")})),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.a, c.b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+       |  GROUP BY c.a, c.b)
+       |SELECT m.a, m.b, m.common, ca.n AS na, cb.n AS nb
+       |FROM common m
+       |JOIN counts ca ON ca.doc_id = m.a
+       |JOIN counts cb ON cb.doc_id = m.b
+       |WHERE m.common * 3 >= ca.n + cb.n
+       |ORDER BY m.a, m.b""".stripMargin
 
   /** the same extraction chain over the same derived html bytes; `exact`
     * asserts byte identity with the stored text per url. */
