@@ -222,10 +222,12 @@ object TextQueries {
       .distinct()
       .localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // banded-LSH candidate pairs (no n_match threshold — Jaccard decides)
+    // banded-LSH candidate pairs (no n_match threshold — Jaccard decides);
+    // one signature pass, not one per self-join branch
     val bands = sigsDf(spark, sfDir)
       .select(col("doc_id"),
         posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+      .localCheckpoint(true)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
