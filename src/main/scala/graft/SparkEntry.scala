@@ -63,6 +63,10 @@ object SparkEntry {
     "q44_winnow_fp" -> (graft.queries.TextQueries.winnowFingerprints _),
     "q45_extract_text" -> (graft.queries.TextQueries.extractText _),
     "q46_ngram_jaccard" -> (graft.queries.TextQueries.ngramJaccard _),
+    "q47_repetition_quality" -> (graft.queries.QualityQueries.repetitionQuality _),
+    "q48_ngram_novelty" -> (graft.queries.QualityQueries.corpusNgramNovelty _),
+    "q49_url_parse" -> (graft.queries.QualityQueries.urlParse _),
+    "q50_pii_redact" -> (graft.queries.QualityQueries.piiRedact _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -112,6 +116,10 @@ object SparkEntry {
     "q44_winnow_fp" -> graft.queries.TextOracles.winnowFingerprints,
     "q45_extract_text" -> graft.queries.TextOracles.extractText,
     "q46_ngram_jaccard" -> graft.queries.TextOracles.ngramJaccard,
+    "q47_repetition_quality" -> graft.queries.QualityOracles.repetitionQuality,
+    "q48_ngram_novelty" -> graft.queries.QualityOracles.corpusNgramNovelty,
+    "q49_url_parse" -> graft.queries.QualityOracles.urlParse,
+    "q50_pii_redact" -> graft.queries.QualityOracles.piiRedact,
   )
 }
 

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Pages
+
+/** Corpus-quality / provenance operators of a training-data pipeline that
+  * sit beyond the reference's own surface (builder prompt: "add the
+  * operations a large-scale training-data pipeline would need"):
+  * Gopher-style repetition filters, corpus-level n-gram novelty, URL
+  * parsing over the input_hint's `url` column, and PII redaction. All four
+  * stay integer/string-exact so every value faces the DuckDB oracle.
+  *
+  * Scale shapes: every operator is explode → hash-partitioned aggregate
+  * (keys: (doc_id, gram) then doc_id, or the gram hash for the corpus
+  * pass) — the same plan at 10^12 docs with more shuffle partitions; no
+  * driver-side state, no window over an unpartitioned ordering. */
+object QualityQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.documentsPages(spark, sfDir)
+
+  /** Gopher-style repetition quality (Rae et al. 2021 §A1.1: duplicate
+    * line/n-gram fractions decide document removal). The synthetic docs are
+    * single-line word streams, so the repetition units are words and word
+    * bigrams; thresholds are evaluated in integer arithmetic
+    * (max·k > total ⟺ frac > 1/k) so no float faces the oracle. */
+  def repetitionQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_word"))
+    val arr = d.select(col("doc_id"), split(col("text"), " ").as("a"))
+    val bigrams = arr.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bg"))
+    val bc = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram"))
+    ws.join(bs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("max_word"),
+        col("n_bigrams"), col("max_bigram"),
+        (col("max_word") * 10 > col("n_words")).as("rep_word_flag"),
+        (col("max_bigram") * 20 > col("n_bigrams")).as("rep_bigram_flag"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level 3-gram novelty: the cross-document frequency join behind
+    * n-gram decontamination / "how much of this doc is boilerplate". Gram
+    * occurrences (with multiplicity) join their GLOBAL distinct-gram
+    * frequency; per doc: total grams, grams whose text is corpus-unique,
+    * grams shared with any other occurrence. Two shuffles: the global
+    * count on the gram hash, the per-doc re-aggregation on doc_id. */
+  def corpusNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(a) - 2, 0)),
+          |  g -> concat(element_at(a, g), ' ', element_at(a, g + 1), ' ',
+          |              element_at(a, g + 2)))""".stripMargin)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("h"))
+      // both the global count and the join probe derive from this frame —
+      // materialize once (same persist-before-self-join rule as q18/q46)
+      .localCheckpoint(true)
+    val global = grams.groupBy(col("h")).agg(count(lit(1)).as("gcnt"))
+    grams.join(global, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gcnt") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("gcnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL parsing over the input_hint's `url` column (host / path / query /
+    * TLD + per-TLD rollup). The synthetic corpus derives one flat host per
+    * doc, so the urls under test are re-derived with varying host/tld/
+    * path/query from doc_id; Spark genuinely PARSES them back with the
+    * built-in parse_url (codegen'd), the oracle with regexp — both must
+    * recover the constructed parts exactly. */
+  def urlParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = docs(spark, sfDir).select(col("doc_id"), concat(
+      lit("https://h"), (col("doc_id") % 97).cast("string"),
+      lit(".example."),
+      when(col("doc_id") % 3 === 0, "com").when(col("doc_id") % 3 === 1, "org")
+        .otherwise("net"),
+      lit("/a/"), col("doc_id").cast("string"),
+      lit("?ref="), (col("doc_id") % 5).cast("string")).as("url"))
+    u.select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+      .groupBy(col("tld"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("host")).as("n_hosts"),
+        min(col("path")).as("min_path"), max(col("query")).as("max_query"))
+      .orderBy(col("tld"))
+  }
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: count + replace email/phone spans (patterns restricted
+    * to the java.util.regex ∩ RE2 dialect — no lookarounds). The synthetic
+    * text carries none, so a deterministic doc_id-derived contact tail is
+    * appended before redaction; the md5 of the redacted text pins every
+    * byte of the replacement semantics (global replace, left-to-right,
+    * non-overlapping). */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"),
+        lit(".org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" now")).as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailPattern)).as("n_email"),
+        regexp_count(col("t"), lit(PhonePattern)).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("t"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>")).as("red_md5"))
+      .orderBy(col("doc_id"))
+}
+
+object QualityOracles {
+
+  val repetitionQuality: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |              count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_word
+      |       FROM wc GROUP BY doc_id),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |tg AS (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS g FROM t),
+      |bg AS (SELECT doc_id, a[CAST(g AS INTEGER)] || ' ' || a[CAST(g+1 AS INTEGER)] AS bg FROM tg),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |              CAST(max(c) AS BIGINT) AS max_bigram
+      |       FROM bc GROUP BY doc_id)
+      |SELECT ws.doc_id, n_words, n_distinct, max_word, n_bigrams, max_bigram,
+      |       (max_word * 10 > n_words) AS rep_word_flag,
+      |       (max_bigram * 20 > n_bigrams) AS rep_bigram_flag
+      |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+      |ORDER BY ws.doc_id""".stripMargin
+
+  val corpusNgramNovelty: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |tg AS (SELECT doc_id, a, unnest(generate_series(1, len(a)-2)) AS g FROM t),
+      |g AS (SELECT doc_id,
+      |             a[CAST(g AS INTEGER)] || ' ' || a[CAST(g+1 AS INTEGER)] || ' ' ||
+      |             a[CAST(g+2 AS INTEGER)] AS gram
+      |      FROM tg),
+      |h AS (SELECT doc_id, md5(gram) AS h FROM g),
+      |gc AS (SELECT h, count(*) AS gcnt FROM h GROUP BY h)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN gcnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(sum(CASE WHEN gcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM h JOIN gc USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val urlParse: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+      |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+      |      '/a/' || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |    regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?(.*)$', 1) AS query
+      |  FROM u),
+      |d AS (SELECT doc_id, host, path, query,
+      |             regexp_extract(host, '\.([a-z]+)$', 1) AS tld FROM p)
+      |SELECT tld, count(*) AS n, count(DISTINCT host) AS n_hosts,
+      |       min(path) AS min_path, max(query) AS max_query
+      |FROM d GROUP BY tld ORDER BY tld""".stripMargin
+
+  val piiRedact: String =
+    """WITH t AS (
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' ||
+      |         CAST(doc_id % 7 AS VARCHAR) || '.org or +1-555-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+      |  CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(t,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+}

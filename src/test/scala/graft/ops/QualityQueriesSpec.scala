@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.sql.SparkTestBase
+import graft.queries.QualityQueries
+import org.apache.spark.sql.functions._
+
+/** Planted-case semantics for the corpus-quality operators (q47–q50). The
+  * fixture is written as a documents-shaped parquet dir so the queries run
+  * through the same Pages.documentsPages entry the gate uses. */
+class QualityQueriesSpec extends SparkTestBase {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_quality").toString
+    import spark.implicits._
+    Seq(
+      // doc 0: heavy word + bigram repetition → both flags fire
+      (0L, "a a a a a b", "en", "src0", 11L),
+      // doc 1: all-distinct words, long enough that max_bigram=1 stays
+      // under the 1/20 fraction (24 bigrams) → no flags
+      (1L, "one two three four five six seven eight nine ten eleven twelve " +
+        "w13 w14 w15 w16 w17 w18 w19 w20 w21 w22 w23 w24 w25", "en", "src0", 64L),
+      // docs 2+3: share the 3-gram "x y z"; doc 4 fully novel
+      (2L, "x y z p q r s t u v w a1 b1 c1 d1 e1 f1 g1 h1 i1", "en", "src1", 50L),
+      (3L, "m n o x y z k l j h2 i2 j2 k2 l2 m2 n2 o2 p2 q2 r2", "en", "src1", 50L),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("repetition flags fire exactly on the planted repetitive doc") {
+    val r = QualityQueries.repetitionQuality(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) == 6 && r(0L).getLong(3) == 5)   // n_words, max_word
+    assert(r(0L).getBoolean(6) && r(0L).getBoolean(7))        // both flags
+    assert(!r(1L).getBoolean(6) && !r(1L).getBoolean(7))
+    assert(r(0L).getLong(4) == 5 && r(0L).getLong(5) == 4)   // "a a" ×4 of 5 bigrams
+  }
+
+  test("corpus 3-gram novelty: shared gram counts as dup on both docs") {
+    val r = QualityQueries.corpusNgramNovelty(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(2L)._1 == 18 && r(2L)._3 == 1)  // 20 words → 18 grams, 1 dup ("x y z")
+    assert(r(3L)._3 == 1)
+    assert(r(4L)._3 == 0 && r(4L)._2 == r(4L)._1) // fully novel
+  }
+
+  test("parse_url recovers constructed host/path/query per tld") {
+    val r = QualityQueries.urlParse(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // doc_ids 0,3 → com; 1,4 → org; 2 → net
+    assert(r("com").getLong(1) == 2 && r("org").getLong(1) == 2 && r("net").getLong(1) == 1)
+    assert(r("net").getString(3) == "/a/2" && r("net").getString(4) == "ref=2")
+    assert(r("com").getLong(2) == 2) // hosts h0 and h3
+  }
+
+  test("pii redaction counts and replaces the planted contact tail") {
+    val r = QualityQueries.piiRedact(spark, dir).collect()
+    assert(r.forall(x => x.getInt(1) == 1 && x.getInt(2) == 1))
+    // byte-level check: redacting doc 1's tail yields the expected md5
+    val exp = "one two three four five six seven eight nine ten eleven twelve " +
+      "w13 w14 w15 w16 w17 w18 w19 w20 w21 w22 w23 w24 w25" +
+      " contact <EMAIL> or <PHONE> now"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(exp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.find(_.getLong(0) == 1L).get.getString(3) == md)
+  }
+}
