@@ -73,6 +73,24 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(fb.image(0).toSeq === f.image(0).toSeq)
   }
 
+  test("deflate-compressed write round-trips and actually compresses") {
+    val dir = java.nio.file.Files.createTempDirectory("gtz").toString
+    val src = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    GeoTiffWriter.write(src, s"$dir/z.tif", compression = "deflate")
+    GeoTiffWriter.write(src, s"$dir/raw.tif")
+    val zb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/z.tif"))
+    val rb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/raw.tif"))
+    assert(zb < rb, s"deflate ($zb) should be smaller than raw ($rb)")
+    val back = GeoTiffIO.read(s"$dir/z.tif")
+    assert(back.dtype === src.dtype && back.crs === src.crs &&
+      back.nodata === src.nodata && back.bandNames === src.bandNames)
+    (0 until src.numBands).foreach(b =>
+      assert(back.image(b).sameElements(src.image(b))))
+    intercept[IllegalArgumentException] {
+      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "lzw")
+    }
+  }
+
   test("RasterOpen dispatch: non-georeferenced PNG with caller affine (test_georaster.py:155-162)") {
     // the reference opens no_georef.png with explicit crs/affine kwargs
     val affine = graft.raster.Affine(10.0, 0.0, -6425941.63996855,
