@@ -77,7 +77,7 @@ class LakeSpec extends SparkTestBase {
           .repartition(4)
       }
       Thread.sleep(500) // listener events are async
-      val dataSize = Files.walk(Paths.get(s"$root/s1/data")).toArray
+      val dataSize = Files.walk(Paths.get(s"$root/s1/data_v1")).toArray
         .map(_.asInstanceOf[java.nio.file.Path].toFile)
         .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
       assert(dataSize > 0)
@@ -86,6 +86,25 @@ class LakeSpec extends SparkTestBase {
       assert(bytesRead.get() <= (dataSize * 1.5).toLong,
         s"commit read ${bytesRead.get()} bytes for a $dataSize-byte stage")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("snapshot versioning: recommit → v2, time-travel readAt, atomic rollback") {
+    val root = freshRoot("snap")
+    val lake = new LakeTable(root)
+    lake.commit("s1", spark.range(10).toDF("id"), Map.empty)
+    lake.commit("s1", spark.range(25).toDF("id"), Map.empty)
+    assert(lake.versions("s1") === Seq(1, 2))
+    assert(lake.read(spark, "s1").count() === 25)        // current = v2
+    assert(lake.readAt(spark, "s1", 1).count() === 10)   // time travel
+    assert(lake.manifest("s1").get.contains("\"version\":\"2\""))
+    lake.rollback("s1", 1)
+    assert(lake.read(spark, "s1").count() === 10)        // pointer moved
+    assert(lake.readLineage(spark, "s1")
+      .agg(sum(col("output_rows"))).collect().head.getLong(0) === 10L)
+    assert(lake.versions("s1") === Seq(1, 2))            // v2 files retained
+    lake.rollback("s1", 2)                               // rollback reversible
+    assert(lake.read(spark, "s1").count() === 25)
+    intercept[IllegalArgumentException] { lake.readAt(spark, "s1", 9) }
   }
 
   test("lineage rows carry per-partition counts and checksums") {
