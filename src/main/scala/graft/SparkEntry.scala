@@ -67,6 +67,7 @@ object SparkEntry {
     "q48_ngram_novelty" -> (graft.queries.QualityQueries.corpusNgramNovelty _),
     "q49_url_parse" -> (graft.queries.QualityQueries.urlParse _),
     "q50_pii_redact" -> (graft.queries.QualityQueries.piiRedact _),
+    "q51_asof_join" -> (graft.queries.JoinQueries.asofJoin _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -120,6 +121,7 @@ object SparkEntry {
     "q48_ngram_novelty" -> graft.queries.QualityOracles.corpusNgramNovelty,
     "q49_url_parse" -> graft.queries.QualityOracles.urlParse,
     "q50_pii_redact" -> graft.queries.QualityOracles.piiRedact,
+    "q51_asof_join" -> graft.queries.JoinOracles.asofJoin,
   )
 }
 

@@ -91,6 +91,48 @@ object JoinQueries {
         max(col("pid")).as("max_pid"))
       .orderBy(col("poly_id"))
   }
+
+  /** AS-OF join: each click matched to the LATEST view of the same user at
+    * or before the click instant. The scale-correct distributed plan is NOT
+    * a range join (whose candidate set is every earlier view): tag both
+    * event kinds, ONE shuffle on user_id, sort within partition by
+    * (ts, kind, id), and propagate the running last view via
+    * last(..., ignoreNulls) over rows-unbounded-preceding — O(n log n) per
+    * user partition, zero join. Views are pre-deduped to one per
+    * (user_id, ts) (min event_id) so tie behavior is deterministic and
+    * matches DuckDB's native ASOF JOIN, which the oracle uses — an
+    * algorithm-independent cross-check. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → UTC instant
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ts"), col("view_id"),
+        lit(0).as("kind"), lit(null).cast("long").as("click_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("view_id"),
+        lit(1).as("kind"), col("event_id").as("click_id"))
+    // kind orders a view BEFORE a click at the same instant (ASOF is <=);
+    // `ord` is materialized so both last() share ONE window spec → a single
+    // Window node after the user_id Exchange (one sort, not two)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("ord", coalesce(col("view_id"), col("click_id")))
+      .select(col("*"),
+        last(col("view_id"), ignoreNulls = true).over(w).as("m_view"),
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w).as("m_ts"))
+      .where(col("kind") === 1 && col("m_view").isNotNull)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("m_view").as("view_id"),
+        unix_micros(col("m_ts")).as("view_us"),
+        (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
 }
 
 object JoinOracles {
@@ -139,4 +181,20 @@ object JoinOracles {
        |FROM pages JOIN polys
        |  ON lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax
        |GROUP BY poly_id ORDER BY poly_id""".stripMargin
+
+  /** DuckDB's NATIVE ASOF JOIN — a different algorithm (merge-scan) than
+    * the Spark windowed propagation, so matching values cross-checks the
+    * semantics, not the implementation. */
+  val asofJoin: String =
+    """WITH views AS (
+      |  SELECT user_id, ts, min(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id,
+      |       epoch_us(c.ts) AS click_us, v.view_id, epoch_us(v.ts) AS view_us,
+      |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM clicks c ASOF JOIN views v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.click_id""".stripMargin
 }
