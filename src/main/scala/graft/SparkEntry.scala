@@ -68,6 +68,9 @@ object SparkEntry {
     "q49_url_parse" -> (graft.queries.QualityQueries.urlParse _),
     "q50_pii_redact" -> (graft.queries.QualityQueries.piiRedact _),
     "q51_asof_join" -> (graft.queries.JoinQueries.asofJoin _),
+    "q52_stratified_sample" -> (graft.queries.QualityQueries.stratifiedSample _),
+    "q53_int8_quantize" -> (graft.queries.EmbQueries.int8Quantize _),
+    "q54_sequence_pack" -> (graft.queries.QualityQueries.sequencePack _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -122,6 +125,9 @@ object SparkEntry {
     "q49_url_parse" -> graft.queries.QualityOracles.urlParse,
     "q50_pii_redact" -> graft.queries.QualityOracles.piiRedact,
     "q51_asof_join" -> graft.queries.JoinOracles.asofJoin,
+    "q52_stratified_sample" -> graft.queries.QualityOracles.stratifiedSample,
+    "q53_int8_quantize" -> graft.queries.EmbOracles.int8Quantize,
+    "q54_sequence_pack" -> graft.queries.QualityOracles.sequencePack,
   )
 }
 

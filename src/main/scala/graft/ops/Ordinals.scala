@@ -23,6 +23,35 @@ object Ordinals {
 
   private val PartCol = "__ord_part"
 
+  /** Distributed inclusive running sum of `value` over a total order —
+    * same partition-offset machinery as [[withOrdinal]]: range-repartition
+    * on the keys, per-partition sums (P rows to the driver), prefix
+    * offsets, then offset + intra-partition cumulative window. The global
+    * sequential dependency costs one P-row aggregate, never a
+    * single-partition window. */
+  def withRunningSum(df: DataFrame, name: String, value: Column,
+                     keys: Column*): DataFrame = {
+    val sorted = df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn(PartCol, spark_partition_id())
+      .withColumn("__val", value.cast("long"))
+    val sums = sorted.groupBy(col(PartCol)).agg(sum(col("__val")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (p, s)) => (p, acc + s) }
+      .tail.zip(sums).map { case ((_, end), (p, s)) => (p, end - s) }
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col(PartCol))
+    val w = Window.partitionBy(col(PartCol)).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .withColumn(name, offExpr + sum(col("__val")).over(w))
+      .drop(PartCol, "__val")
+  }
+
   def withOrdinal(df: DataFrame, name: String, keys: Column*): DataFrame = {
     val sorted = df
       .repartitionByRange(keys: _*)

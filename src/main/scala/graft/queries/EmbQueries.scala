@@ -196,6 +196,28 @@ object EmbQueries {
       .select(col("a"), col("b"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** int8 scalar quantization — the 4× storage-compression path for ANN at
+    * scale: per-dimension global [min,max] (a Dim-row aggregate, broadcast
+    * back), code = floor((x−lo)·255/(hi−lo) + 0.5). floor-plus-half instead
+    * of round() because Spark truncates and DuckDB rounds on int casts
+    * (CLAUDE.md rule); every double op is mirrored in order so the codes
+    * are bit-identical. The gate outputs per-vector integer code stats. */
+  def int8Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"), col("xf").cast("double").as("x"))
+    val rng = dims.groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    dims.join(broadcast(rng), Seq("d"))
+      .select(col("vec_id"),
+        floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo")) + 0.5)
+          .cast("int").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("code")).as("sum_q"),
+        min(col("code")).as("min_q"), max(col("code")).as("max_q"))
+      .orderBy(col("vec_id"))
+  }
 }
 
 object EmbOracles {
@@ -319,6 +341,20 @@ object EmbOracles {
        |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.95
        |ORDER BY a, b""".stripMargin
   }
+
+  /** int8 scalar quantization mirror: identical double-op order
+    * ((x−lo)·255/(hi−lo)+0.5, floor, int cast). */
+  val int8Quantize: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN generate_series(1, ${EmbQueries.Dim}) s(i)),
+       |rng AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d),
+       |q AS (SELECT vec_id,
+       |        CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS INTEGER) AS code
+       |      FROM dims JOIN rng USING (d))
+       |SELECT vec_id, count(*) AS n_dims, CAST(sum(code) AS BIGINT) AS sum_q,
+       |       min(code) AS min_q, max(code) AS max_q
+       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }
 
 /** Relational/TPC-H-shaped coverage: window top-k, multi-join agg,

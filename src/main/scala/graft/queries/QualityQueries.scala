@@ -123,6 +123,45 @@ object QualityQueries {
         md5(regexp_replace(regexp_replace(col("t"), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>")).as("red_md5"))
       .orderBy(col("doc_id"))
+
+  val SampleQuota = 50
+
+  /** Deterministic stratified sampling: per language, the first
+    * [[SampleQuota]] docs in hash order (md5 of doc_id — a seedless but
+    * reproducible permutation, the rebalancing pass of a corpus pipeline).
+    * Plan: per-group row_number with Spark 4's WindowGroupLimit partial
+    * top-k before the shuffle — never a full per-group sort at scale. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= SampleQuota)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val ShardBudget = 20000L
+
+  /** Sequence packing: documents in doc_id order packed into fixed
+    * token-budget shards — shard = exclusive-prefix-sum(chars) div budget,
+    * the deterministic sharding a training-data writer runs before batch
+    * serialization. The global running sum uses the distributed
+    * partition-offset machinery ([[graft.ops.Ordinals.withRunningSum]]),
+    * never a single-partition window. */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.ops.Ordinals.withRunningSum(
+      docs(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      "cum", col("n_chars"), col("doc_id"))
+    c.withColumn("shard", expr(s"(cum - n_chars) div $ShardBudget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
 }
 
 object QualityOracles {
@@ -194,4 +233,27 @@ object QualityOracles {
       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
       |FROM t ORDER BY doc_id""".stripMargin
+
+  val stratifiedSample: String =
+    s"""WITH r AS (SELECT doc_id, lang, n_chars,
+       |           ROW_NUMBER() OVER (PARTITION BY lang
+       |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |           FROM documents)
+       |SELECT lang, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM r WHERE rn <= ${QualityQueries.SampleQuota}
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val sequencePack: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(sum(n_chars) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars,
+       |        (cum - n_chars) // ${QualityQueries.ShardBudget} AS shard FROM c)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS tok,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 }
