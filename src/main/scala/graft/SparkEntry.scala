@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_stratified_sample" -> (graft.queries.QualityQueries.stratifiedSample _),
     "q53_int8_quantize" -> (graft.queries.EmbQueries.int8Quantize _),
     "q54_sequence_pack" -> (graft.queries.QualityQueries.sequencePack _),
+    "q55_canonical_docs" -> (graft.queries.TextQueries.canonicalDocs _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -128,6 +129,7 @@ object SparkEntry {
     "q52_stratified_sample" -> graft.queries.QualityOracles.stratifiedSample,
     "q53_int8_quantize" -> graft.queries.EmbOracles.int8Quantize,
     "q54_sequence_pack" -> graft.queries.QualityOracles.sequencePack,
+    "q55_canonical_docs" -> graft.queries.TextOracles.canonicalDocs,
   )
 }
 

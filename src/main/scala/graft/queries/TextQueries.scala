@@ -145,7 +145,15 @@ object TextQueries {
     * structures; the only driver value per round is the changed-count
     * scalar, and rounds are bounded by component diameter (VERDICT r1 #2:
     * "group formation via iterative min-propagation"). */
-  def minhashGroups(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashGroups(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLabels(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("u")).as("min_doc"), max(col("u")).as("max_doc"))
+      .orderBy(col("label"))
+
+  /** Component membership (u → label) of the banded-LSH pair graph — the
+    * min-propagation fixed point shared by q36 and q55. */
+  def minhashLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = minhashPairs(spark, sfDir).select(col("a"), col("b"))
     val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
       .localCheckpoint(true)
@@ -163,8 +171,24 @@ object TextQueries {
         .collect().head.getLong(0)
       lbl = next.drop("chg")
     }
-    lbl.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), min(col("u")).as("min_doc"), max(col("u")).as("max_doc"))
+    lbl
+  }
+
+  /** Canonical-document selection: per near-dup group keep the best member
+    * (longest text, doc_id tiebreak) — the final "which copy survives"
+    * stage of a dedup pipeline. Per-group argmax via row_number (partial
+    * top-k under WindowGroupLimit), group size joined back. */
+  def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = minhashLabels(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id").as("u"), col("n_chars")), Seq("u"))
+    val sizes = m.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("n_chars").desc, col("u"))))
+      .where(col("rk") === 1)
+      .join(sizes, Seq("label"))
+      .select(col("label"), col("u").as("keep_doc"), col("n_chars").as("keep_chars"),
+        col("n_members"), (col("n_members") - 1).as("n_dropped"))
       .orderBy(col("label"))
   }
 
@@ -404,6 +428,26 @@ object TextOracles {
        |lbl AS (SELECT u, LEAST(u, min(v)) AS label FROM reach GROUP BY u)
        |SELECT label, count(*) AS n, min(u) AS min_doc, max(u) AS max_doc
        |FROM lbl GROUP BY label ORDER BY label""".stripMargin
+
+  /** keep-best per component: same recursive closure as minhashGroups,
+    * then per-label argmax by (n_chars DESC, doc_id). */
+  val canonicalDocs: String =
+    s"""WITH RECURSIVE ${pairsCte},
+       |sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |lbl AS (SELECT u, LEAST(u, min(v)) AS label FROM reach GROUP BY u),
+       |m AS (SELECT l.label, l.u, d.n_chars FROM lbl l
+       |      JOIN documents d ON d.doc_id = l.u),
+       |k AS (SELECT label, u, n_chars,
+       |        ROW_NUMBER() OVER (PARTITION BY label
+       |          ORDER BY n_chars DESC, u) AS rk FROM m),
+       |sz AS (SELECT label, count(*) AS n_members FROM m GROUP BY label)
+       |SELECT k.label, k.u AS keep_doc, k.n_chars AS keep_chars,
+       |       sz.n_members, sz.n_members - 1 AS n_dropped
+       |FROM k JOIN sz USING (label) WHERE rk = 1 ORDER BY k.label""".stripMargin
 
   val simhash: String =
     s"""SELECT doc_id, simhash FROM (${simhashSql("documents")}) ORDER BY doc_id""".stripMargin
