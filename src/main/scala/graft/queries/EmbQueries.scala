@@ -154,6 +154,10 @@ object EmbQueries {
     val centroids = comps.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("centroid"))
+      // IvfCells rows, but referenced by TWO broadcast branches — without
+      // this the whole training pipeline (incl. the 1024-term seed-dot
+      // codegen) evaluates and recompiles once per consumer
+      .localCheckpoint(true)
 
     // --- search: rank TRAINED cells per vector / probe
     def withCellRank(df: DataFrame, rankCol: String): DataFrame = {

@@ -235,17 +235,6 @@ object TextQueries {
     * join is an equi-join on (hash), both shuffle-partitioned. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
-    // distinct 8-gram shingle hashes per doc — same base-hash arithmetic
-    // as the MinHash oracle (md5 top-15-nibbles mod P)
-    val sh = docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"), col("text"))
-      .select(col("doc_id"),
-        (conv(substring(md5(expr("substring(text, p, 8)")), 1, 15), 16, 10)
-          .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
-      .distinct()
-      .localCheckpoint(true)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // banded-LSH candidate pairs (no n_match threshold — Jaccard decides);
     // one signature pass, not one per self-join branch
     val bands = sigsDf(spark, sfDir)
@@ -256,12 +245,23 @@ object TextQueries {
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
-    // only candidate docs' shingle sets enter the intersection join — the
-    // semi-join prunes the build sides from every doc to the few hundred
-    // docs the LSH shortlisted (same output, ~10× less join input)
+    // shingle sets are computed ONLY for LSH-shortlisted docs: the
+    // broadcast semi-join lands BEFORE the shingle explode, so the md5
+    // pass runs over the few hundred candidates, not the whole corpus
+    // (~100× less explode/hash/distinct work; counts for non-candidates
+    // are never used by the output, so values are unchanged)
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs.hint("broadcast"), Seq("doc_id"), "left_semi")
+    val shc = docs(spark, sfDir)
+      .join(candDocs.hint("broadcast"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"), col("text"))
+      .select(col("doc_id"),
+        (conv(substring(md5(expr("substring(text, p, 8)")), 1, 15), 16, 10)
+          .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
+      .distinct()
+      .localCheckpoint(true) // both intersection branches + counts read this
+    val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(shc.select(col("doc_id").as("a"), col("h")), Seq("a"))
       .join(shc.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
