@@ -72,6 +72,7 @@ object SparkEntry {
     "q53_int8_quantize" -> (graft.queries.EmbQueries.int8Quantize _),
     "q54_sequence_pack" -> (graft.queries.QualityQueries.sequencePack _),
     "q55_canonical_docs" -> (graft.queries.TextQueries.canonicalDocs _),
+    "q56_zonal_stats" -> (graft.queries.GeoQueries.zonalStats _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -130,6 +131,7 @@ object SparkEntry {
     "q53_int8_quantize" -> graft.queries.EmbOracles.int8Quantize,
     "q54_sequence_pack" -> graft.queries.QualityOracles.sequencePack,
     "q55_canonical_docs" -> graft.queries.TextOracles.canonicalDocs,
+    "q56_zonal_stats" -> graft.queries.GeoOracles.zonalStats,
   )
 }
 

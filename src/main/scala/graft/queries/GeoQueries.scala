@@ -120,6 +120,33 @@ object GeoQueries {
         col("mright"), col("mtop"))
       .orderBy(col("x"), col("y"))
   }
+
+  /** Distributed zonal statistics (the scale face of maskByVector +
+    * bandStats): the z10 count-burn raster aggregated per polygon zone.
+    * Zones enter as their bbox tile RECTANGLES — derived with the engine's
+    * own st_tile on the bbox corners, so zone assignment is an integer
+    * range test (no float classification faces the oracle) and the join is
+    * a 6-row broadcast against the cell table. */
+  def zonalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Pages.volumePages(spark, sfDir)
+      .select(G.st_tile(col("lon"), col("lat"), 10).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("value"))
+      .select(G.tile_x(col("cell")).as("cx"), G.tile_y(col("cell")).as("cy"),
+        col("value"))
+    // tile y grows downward: zone rows span [tile_y(ymax) .. tile_y(ymin)]
+    val zones = PolygonLayer.toDF(spark).select(col("poly_id"),
+      G.tile_x(G.st_tile(col("xmin"), col("ymax"), 10)).as("txmin"),
+      G.tile_x(G.st_tile(col("xmax"), col("ymin"), 10)).as("txmax"),
+      G.tile_y(G.st_tile(col("xmin"), col("ymax"), 10)).as("tymin"),
+      G.tile_y(G.st_tile(col("xmax"), col("ymin"), 10)).as("tymax"))
+    cells.join(broadcast(zones),
+        col("cx") >= col("txmin") && col("cx") <= col("txmax") &&
+          col("cy") >= col("tymin") && col("cy") <= col("tymax"))
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("n_pages"),
+        max(col("value")).as("max_cell"), min(col("value")).as("min_cell"))
+      .orderBy(col("poly_id"))
+  }
 }
 
 object GeoOracles {
@@ -196,4 +223,27 @@ object GeoOracles {
        |       max((x * ((2*PI()*6378137) / 4096.0) - (2*PI()*6378137)/2) + ((2*PI()*6378137) / 4096.0)) AS mright,
        |       max((2*PI()*6378137)/2 - y * ((2*PI()*6378137) / 4096.0)) AS mtop
        |FROM base GROUP BY 1, 2 ORDER BY x, y""".stripMargin
+
+  /** zone tile rectangles from the same bbox-corner tile math (constants
+    * folded by DuckDB through the identical epsilon-floored formula). */
+  val zonalStats: String = {
+    val zoneRows = PolygonLayer.polys.map { case (id, vs) =>
+      val (xmin, xmax) = (vs.map(_._1).min, vs.map(_._1).max)
+      val (ymin, ymax) = (vs.map(_._2).min, vs.map(_._2).max)
+      s"""SELECT $id AS poly_id,
+         |  ${tileXSql(s"($xmin)", 10)} AS txmin, ${tileXSql(s"($xmax)", 10)} AS txmax,
+         |  ${tileYSql(s"($ymax)", 10)} AS tymin, ${tileYSql(s"($ymin)", 10)} AS tymax""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pages AS (${volumeCte("lineitem")}),
+       |cells AS (
+       |  SELECT ${tileXSql("lon", 10)} AS cx, ${tileYSql("lat", 10)} AS cy,
+       |         count(*) AS value
+       |  FROM pages GROUP BY 1, 2),
+       |zones AS (\n$zoneRows\n)
+       |SELECT poly_id, count(*) AS n_cells, CAST(sum(value) AS BIGINT) AS n_pages,
+       |       CAST(max(value) AS BIGINT) AS max_cell, CAST(min(value) AS BIGINT) AS min_cell
+       |FROM cells JOIN zones
+       |  ON cx >= txmin AND cx <= txmax AND cy >= tymin AND cy <= tymax
+       |GROUP BY poly_id ORDER BY poly_id""".stripMargin
+  }
 }
