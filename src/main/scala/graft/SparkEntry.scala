@@ -73,6 +73,7 @@ object SparkEntry {
     "q54_sequence_pack" -> (graft.queries.QualityQueries.sequencePack _),
     "q55_canonical_docs" -> (graft.queries.TextQueries.canonicalDocs _),
     "q56_zonal_stats" -> (graft.queries.GeoQueries.zonalStats _),
+    "q57_interval_join" -> (graft.queries.StreamQueries.intervalJoinCounts _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -132,6 +133,7 @@ object SparkEntry {
     "q54_sequence_pack" -> graft.queries.QualityOracles.sequencePack,
     "q55_canonical_docs" -> graft.queries.TextOracles.canonicalDocs,
     "q56_zonal_stats" -> graft.queries.GeoOracles.zonalStats,
+    "q57_interval_join" -> graft.queries.StreamOracles.intervalJoinCounts,
   )
 }
 

@@ -44,6 +44,21 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
         max(col("k")).as("max_k"))
       .orderBy(col("k_mod"))
+
+  /** Batch face of the stream-stream INTERVAL join (the same
+    * StatefulStreams.intervalJoin function runs both; its streaming face is
+    * spec-driven against this result): per click, the views of the same
+    * user in the trailing 10-minute window, aggregated. */
+  def intervalJoinCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.streaming.StatefulStreams.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("min_view"),
+        max(col("view_id")).as("max_view"))
+      .orderBy(col("click_id"))
+  }
 }
 
 object StreamOracles {
@@ -72,4 +87,16 @@ object StreamOracles {
       |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |  FROM events
       |) GROUP BY 1 ORDER BY k_mod""".stripMargin
+
+  val intervalJoinCounts: String =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, count(*) AS n_views,
+      |       min(v.view_id) AS min_view, max(v.view_id) AS max_view
+      |FROM clicks c JOIN views v
+      |  ON v.user_id = c.user_id
+      | AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+      |GROUP BY c.click_id, c.user_id ORDER BY c.click_id""".stripMargin
 }

@@ -85,4 +85,27 @@ object StatefulStreams {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-stream INTERVAL join: each click paired with every view of the
+    * same user inside the trailing window. The time-range condition bounds
+    * both join states — a view leaves state once the click-side watermark
+    * passes view_ts + window, a click once the view-side watermark passes
+    * click_ts. Works identically on batch frames (q57's gate runs this
+    * exact function over the batch read). */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   window: String = "10 minutes",
+                   watermarkDelay: String = "1 minute"): DataFrame = {
+    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val v = views.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+    c.join(v, expr(
+      s"c_uid = v_uid AND v_ts >= c_ts - interval $window AND v_ts <= c_ts"))
+      .select(col("click_id"), col("c_uid").as("user_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("click_us"), unix_micros(col("v_ts")).as("view_us"))
+  }
 }

@@ -99,4 +99,55 @@ class StatefulStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(keys === Set(("A", 1L), ("B", 2L), ("C", 4L))) // first-wins, B once
   }
+
+  test("stream-stream interval join emits exactly the batch-face pairs across two batches") {
+    val in = Files.createTempDirectory("ij_in").toString
+    val out = Files.createTempDirectory("ij_out").toString
+    val ck = Files.createTempDirectory("ij_ck").toString
+
+    def events(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    // user 7: two views then a click inside the window, a later click
+    // beyond it; user 9: view AFTER the click only (no match)
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "view"),
+      (3L, ts("2024-01-01 10:08:00"), 7L, "click"),
+      (4L, ts("2024-01-01 10:30:00"), 9L, "click"),
+      (5L, ts("2024-01-01 10:31:00"), 9L, "view")))
+
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StatefulStreams.intervalJoin(
+          stream.where(col("event_type") === "click"),
+          stream.where(col("event_type") === "view"))
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // batch 2: a later click catches view 5 (within 10 min), plus a view
+    // matching it at the same instant
+    events(Seq(
+      (6L, ts("2024-01-01 10:35:00"), 9L, "click"),
+      (7L, ts("2024-01-01 10:35:00"), 9L, "view")))
+    run()
+
+    val streamed = spark.read.parquet(out)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === Set((3L, 1L), (3L, 2L), (6L, 5L), (6L, 7L)))
+    // and ≡ the batch face of the same function over the full directory
+    val all = spark.read.parquet(in)
+    val batch = StatefulStreams.intervalJoin(
+        all.where(col("event_type") === "click"),
+        all.where(col("event_type") === "view"))
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
 }
