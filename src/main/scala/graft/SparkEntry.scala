@@ -74,6 +74,7 @@ object SparkEntry {
     "q55_canonical_docs" -> (graft.queries.TextQueries.canonicalDocs _),
     "q56_zonal_stats" -> (graft.queries.GeoQueries.zonalStats _),
     "q57_interval_join" -> (graft.queries.StreamQueries.intervalJoinCounts _),
+    "q58_nfc_normalize" -> (graft.queries.QualityQueries.nfcNormalize _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -134,6 +135,7 @@ object SparkEntry {
     "q55_canonical_docs" -> graft.queries.TextOracles.canonicalDocs,
     "q56_zonal_stats" -> graft.queries.GeoOracles.zonalStats,
     "q57_interval_join" -> graft.queries.StreamOracles.intervalJoinCounts,
+    "q58_nfc_normalize" -> graft.queries.QualityOracles.nfcNormalize,
   )
 }
 

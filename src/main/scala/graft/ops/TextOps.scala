@@ -385,3 +385,19 @@ object ExtractText {
     s"regexp_replace($s, '&amp;', '&', 'g')"
   }
 }
+
+/** nfc_normalize(text): Unicode canonical composition (NFC) via
+  * java.text.Normalizer — text normalization ahead of dedup/tokenization so
+  * visually-identical strings ("e"+U+0301 vs "é") hash identically. Both
+  * this and DuckDB's nfc_normalize implement the same Unicode standard
+  * algorithm, so the oracle checks byte identity of the normalized form. */
+case class NfcNormalize(child: Expression) extends GraftUnary {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  def compute(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}

@@ -124,6 +124,24 @@ object QualityQueries {
           PhonePattern, "<PHONE>")).as("red_md5"))
       .orderBy(col("doc_id"))
 
+  /** Unicode NFC normalization (q58): a per-doc decomposed tail (base
+    * letters + combining marks, mark count varying with doc_id) is appended
+    * and normalized with the custom nfc_normalize expression; md5 of the
+    * composed form + byte lengths face DuckDB's nfc_normalize — two
+    * independent implementations of the same Unicode algorithm. */
+  def nfcNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.ensure(spark)
+    docs(spark, sfDir)
+      .withColumn("t", concat(col("text"), lit(" e"),
+        repeat(lit("\u0301"), (col("doc_id") % 3 + 1).cast("int")),
+        lit(" A\u030A")))
+      .withColumn("nrm", call_function("nfc_normalize", col("t")))
+      .select(col("doc_id"), md5(col("nrm")).as("nrm_md5"),
+        octet_length(col("t")).as("bytes_before"),
+        octet_length(col("nrm")).as("bytes_after"))
+      .orderBy(col("doc_id"))
+  }
+
   val SampleQuota = 50
 
   /** Deterministic stratified sampling: per language, the first
@@ -232,6 +250,17 @@ object QualityOracles {
       |  md5(regexp_replace(regexp_replace(t,
       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val nfcNormalize: String =
+    """WITH t AS (
+      |  SELECT doc_id, text || ' e' ||
+      |         repeat(chr(769), CAST(doc_id % 3 + 1 AS INTEGER)) ||
+      |         ' A' || chr(778) AS t
+      |  FROM documents)
+      |SELECT doc_id, md5(nfc_normalize(t)) AS nrm_md5,
+      |       CAST(octet_length(encode(t)) AS INTEGER) AS bytes_before,
+      |       CAST(octet_length(encode(nfc_normalize(t))) AS INTEGER) AS bytes_after
       |FROM t ORDER BY doc_id""".stripMargin
 
   val stratifiedSample: String =

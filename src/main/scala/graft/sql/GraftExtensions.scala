@@ -99,6 +99,7 @@ object GraftFunctions {
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),
     "winnow_fp" -> (a => graft.ops.WinnowFp(a.head)),
+    "nfc_normalize" -> (a => graft.ops.NfcNormalize(a.head)),
     // raster serving
     "tile_to_png" -> (a => graft.raster.TileToPng(a(0), a(1), a(2), a(3))),
     // aggregates

@@ -80,6 +80,7 @@ class RegistrySweepSpec extends SparkTestBase {
       "simhash64" -> "simhash64('hello world of tiles')",
       "minhash128" -> "minhash128('hello world of tiles and shingles')",
       "winnow_fp" -> "winnow_fp('hello world of tiles and shingles')",
+      "nfc_normalize" -> "nfc_normalize('é Å')",
       "tile_to_png" -> "tile_to_png(array(array(1.0d, 2.0d)), array(false, false), 2, 1)",
       "st_envelope_agg" -> s"st_envelope_agg($g)",
       "st_union_agg" -> s"st_union_agg($g)")
