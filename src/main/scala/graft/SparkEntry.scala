@@ -75,6 +75,9 @@ object SparkEntry {
     "q56_zonal_stats" -> (graft.queries.GeoQueries.zonalStats _),
     "q57_interval_join" -> (graft.queries.StreamQueries.intervalJoinCounts _),
     "q58_nfc_normalize" -> (graft.queries.QualityQueries.nfcNormalize _),
+    "q59_span_dedup" -> (graft.queries.QualityQueries.spanDedup _),
+    "q60_decontaminate" -> (graft.queries.QualityQueries.decontaminate _),
+    "q61_freq_quality" -> (graft.queries.QualityQueries.freqQuality _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -136,6 +139,9 @@ object SparkEntry {
     "q56_zonal_stats" -> graft.queries.GeoOracles.zonalStats,
     "q57_interval_join" -> graft.queries.StreamOracles.intervalJoinCounts,
     "q58_nfc_normalize" -> graft.queries.QualityOracles.nfcNormalize,
+    "q59_span_dedup" -> graft.queries.QualityOracles.spanDedup,
+    "q60_decontaminate" -> graft.queries.QualityOracles.decontaminate,
+    "q61_freq_quality" -> graft.queries.QualityOracles.freqQuality,
   )
 }
 

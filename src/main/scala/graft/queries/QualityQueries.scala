@@ -180,6 +180,115 @@ object QualityQueries {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
   }
+
+  val SpanK = 8
+
+  /** Exact duplicated-SPAN extraction (the substring-level dedup of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally instead of via a monolithic suffix array):
+    * every [[SpanK]]-word window is hashed with its start position; windows
+    * whose hash occurs ≥2 times anywhere in the corpus are "duplicated";
+    * per document, duplicated window starts closer than SpanK merge into
+    * maximal spans (interval union via gaps-and-islands), yielding the
+    * exact word ranges a span-level deduplicator would cut.
+    *
+    * Scale shape: one shuffle on the window hash for the global count, one
+    * hash join back, then windows PARTITIONED BY doc_id (state bounded by
+    * document length, never a global ordering). At 10^12 docs the global
+    * count is a partial-aggregated 16-byte-key rollup — the same plan. */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanK
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .where(size(col("a")) >= k)
+      .select(col("doc_id"), size(col("a")).as("n_words"),
+        explode(expr(s"sequence(1, size(a) - ${k - 1})")).as("p"), col("a"))
+      .select(col("doc_id"), col("n_words"), col("p"),
+        md5(expr(s"array_join(slice(a, p, $k), ' ')")).as("h"))
+      // global count + join probe both derive from this frame — materialize
+      // once (same persist-before-self-join rule as q18/q46/q48)
+      .localCheckpoint(true)
+    val global = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val dup = grams.join(global.where(col("cnt") >= 2), Seq("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = dup
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byPos) <= k - 1, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_words")).as("n_words"),
+        (max(col("p")) + lit(k - 1) - min(col("p")) + lit(1)).as("span_len"))
+    spans.groupBy(col("doc_id"))
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_words"), max(col("span_len")).as("max_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  val DecontK = 5
+  val EvalMod = 101
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * [[DecontK]]-word gram with a held-out evaluation set (the standard
+    * n-gram-overlap decontamination pass run before every LLM training
+    * job). The "benchmark" here is the deterministic doc_id % [[EvalMod]]
+    * = 0 slice of the corpus. The eval gram set is BROADCAST — a benchmark
+    * suite is always tiny relative to a 10^12-doc corpus, so the train side
+    * streams map-side with zero shuffle for the contamination probe; only
+    * the per-doc rollups shuffle on doc_id. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = DecontK
+    // PLANTED contamination (mirrored in the oracle) so the gate is
+    // non-vacuous at every SF: a canary phrase shared by the eval slice
+    // and the doc_id % 53 == 7 train slice — the synthetic corpus has no
+    // guaranteed natural 5-gram leak into the tiny eval set.
+    val canary = " qz1 qz2 qz3 qz4 qz5"
+    val grams = docs(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % EvalMod === 0 || col("doc_id") % 53 === 7,
+          concat(col("text"), lit(canary))).otherwise(col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .where(size(col("a")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val train = grams.where(col("doc_id") % EvalMod =!= 0)
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(evalSet), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hit"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+    hits.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-frequency quality score (the integer-exact core of a CCNet-style
+    * LM filter): each token joins its GLOBAL corpus frequency; the per-doc
+    * score sums floor(log2(freq))+1 — the binary magnitude of each token's
+    * corpus count, computed as length(bin(c)) so no transcendental float
+    * ever faces the oracle. Low min_bucket = the doc contains corpus-rare
+    * tokens; low freq_sum/n_tokens = overall rare vocabulary.
+    *
+    * The vocabulary aggregate is left unhinted: Zipf's law keeps distinct
+    * tokens ≪ token occurrences, and AQE broadcasts it when it fits. */
+  def freqQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("bucket", length(bin(col("c"))))
+    toks.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bucket")).as("freq_sum"),
+        min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 object QualityOracles {
@@ -285,4 +394,67 @@ object QualityOracles {
        |       CAST(sum(n_chars) AS BIGINT) AS tok,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  val spanDedup: String = {
+    val k = QualityQueries.SpanK
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |tf AS (SELECT doc_id, a, len(a) AS n_words FROM t WHERE len(a) >= $k),
+       |g AS (SELECT doc_id, n_words, CAST(s AS INTEGER) AS p,
+       |             md5(array_to_string(
+       |               list_slice(a, CAST(s AS INTEGER), CAST(s + ${k - 1} AS INTEGER)), ' ')) AS h
+       |      FROM tf, unnest(generate_series(1, len(a) - ${k - 1})) AS u(s)),
+       |gc AS (SELECT h, count(*) AS cnt FROM g GROUP BY h),
+       |dup AS (SELECT g.* FROM g JOIN gc USING (h) WHERE cnt >= 2),
+       |fl AS (SELECT doc_id, n_words, p,
+       |              CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= ${k - 1}
+       |                   THEN 0 ELSE 1 END AS brk
+       |       FROM dup),
+       |isl AS (SELECT doc_id, n_words, p,
+       |               sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM fl),
+       |sp AS (SELECT doc_id, max(n_words) AS n_words,
+       |              max(p) + ${k - 1} - min(p) + 1 AS span_len
+       |       FROM isl GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(max(n_words) AS INTEGER) AS n_words,
+       |       count(*) AS n_spans,
+       |       CAST(sum(span_len) AS BIGINT) AS dup_words,
+       |       CAST(max(span_len) AS INTEGER) AS max_span
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val decontaminate: String = {
+    val k = QualityQueries.DecontK
+    val m = QualityQueries.EvalMod
+    s"""WITH t0 AS (SELECT doc_id,
+       |              CASE WHEN doc_id % $m = 0 OR doc_id % 53 = 7
+       |                   THEN text || ' qz1 qz2 qz3 qz4 qz5' ELSE text END AS text
+       |       FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS a FROM t0),
+       |g0 AS (SELECT doc_id,
+       |              md5(array_to_string(
+       |                list_slice(a, CAST(s AS INTEGER), CAST(s + ${k - 1} AS INTEGER)), ' ')) AS h
+       |       FROM t, unnest(generate_series(1, len(a) - ${k - 1})) AS u(s)
+       |       WHERE len(a) >= $k),
+       |g AS (SELECT DISTINCT doc_id, h FROM g0),
+       |e AS (SELECT doc_id AS eval_doc, h FROM g WHERE doc_id % $m = 0),
+       |tr AS (SELECT * FROM g WHERE doc_id % $m <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+       |ht AS (SELECT tr.doc_id, count(DISTINCT tr.h) AS n_hit,
+       |              count(DISTINCT e.eval_doc) AS n_eval_docs
+       |       FROM tr JOIN e ON tr.h = e.h GROUP BY tr.doc_id)
+       |SELECT ht.doc_id, n_grams, n_hit, n_eval_docs
+       |FROM ht JOIN tot ON ht.doc_id = tot.doc_id ORDER BY ht.doc_id""".stripMargin
+  }
+
+  val freqQuality: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      |b AS (SELECT w, CAST(length(format('{:b}', c)) AS INTEGER) AS bucket FROM v)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(bucket) AS BIGINT) AS freq_sum,
+      |       min(bucket) AS min_bucket, max(bucket) AS max_bucket
+      |FROM w JOIN b USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -87,8 +87,39 @@ class GeoTiffSpec extends AnyFunSuite {
     (0 until src.numBands).foreach(b =>
       assert(back.image(b).sameElements(src.image(b))))
     intercept[IllegalArgumentException] {
-      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "lzw")
+      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "packbits")
     }
+  }
+
+  test("lzw-compressed write round-trips through the ImageIO decode path") {
+    val dir = java.nio.file.Files.createTempDirectory("gtlzw").toString
+    val src = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    GeoTiffWriter.write(src, s"$dir/l.tif", compression = "lzw")
+    val back = GeoTiffIO.read(s"$dir/l.tif")
+    assert(back.dtype === src.dtype && back.crs === src.crs &&
+      back.nodata === src.nodata && back.bandNames === src.bandNames)
+    (0 until src.numBands).foreach(b =>
+      assert(back.image(b).sameElements(src.image(b))))
+    // exercise the table-flush path: >64 KB of high-entropy (but
+    // deterministic) bytes forces multiple 4094-entry resets
+    val n = 128 * 1024
+    val noisy = Array.tabulate(n)(i => ((i * 2654435761L >>> 13) & 0xffL).toDouble)
+    val big = src.copy(image = Array(noisy), width = 512, height = 256,
+      dtype = "uint8", bandNames = List("noise"), nodata = None,
+      mask = Array.fill(n)(true))
+    GeoTiffWriter.write(big, s"$dir/big.tif", compression = "lzw")
+    val bigBack = GeoTiffIO.read(s"$dir/big.tif")
+    assert(bigBack.image(0).sameElements(big.image(0)))
+    // size win belongs on data LZW is FOR (smooth rasters — the predictor
+    // turns a gradient into constant differences); the photographic
+    // rgb.tif above only checks fidelity
+    val grad = big.copy(image = Array(Array.tabulate(n)(i => ((i % 512) / 3).toDouble)))
+    GeoTiffWriter.write(grad, s"$dir/grad.tif", compression = "lzw")
+    GeoTiffWriter.write(grad, s"$dir/grad_raw.tif")
+    val lb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/grad.tif"))
+    val rb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/grad_raw.tif"))
+    assert(lb * 5 < rb, s"lzw ($lb) should be ≥5× smaller than raw ($rb) on a gradient")
+    assert(GeoTiffIO.read(s"$dir/grad.tif").image(0).sameElements(grad.image(0)))
   }
 
   test("RasterOpen dispatch: non-georeferenced PNG with caller affine (test_georaster.py:155-162)") {

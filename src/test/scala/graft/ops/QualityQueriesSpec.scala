@@ -65,4 +65,62 @@ class QualityQueriesSpec extends SparkTestBase {
       .digest(exp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(r.find(_.getLong(0) == 1L).get.getString(3) == md)
   }
+
+  /** Span-dedup fixture: docs 10+11 share one exact 10-word run embedded at
+    * different offsets inside otherwise-unique filler; doc 12 shares
+    * nothing. With SpanK=8 the shared run yields 3 window starts per doc
+    * (positions closer than 8) that must merge into ONE maximal span of
+    * exactly 10 words. */
+  private lazy val spanDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_span").toString
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val f = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (10L, s"${f("a", 6)} $shared ${f("b", 6)}", "en", "s", 0L),
+      (11L, s"${f("c", 3)} $shared ${f("d", 9)}", "en", "s", 0L),
+      (12L, f("e", 22), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("span dedup merges overlapping duplicated windows into one maximal span") {
+    val r = QualityQueries.spanDedup(spark, spanDir).collect()
+      .map(x => (x.getLong(0), (x.getLong(2), x.getLong(3), x.getInt(4)))).toMap
+    // 10 shared words → window starts p, p+1, p+2 (3 windows of 8) → one
+    // island → span_len = 10 on both docs; doc 12 absent entirely
+    assert(r(10L) == ((1L, 10L, 10)) && r(11L) == ((1L, 10L, 10)))
+    assert(!r.contains(12L))
+  }
+
+  test("decontamination flags exactly the train docs sharing a 5-gram with the eval slice") {
+    val d = java.nio.file.Files.createTempDirectory("graft_decont").toString
+    import spark.implicits._
+    val leak = "l1 l2 l3 l4 l5"
+    Seq(
+      // doc 0 → eval slice (0 % 101 == 0)
+      (0L, s"$leak e6 e7 e8 e9 e10", "en", "s", 0L),
+      // doc 1 leaks the eval 5-gram; doc 2 is clean
+      (1L, s"t1 t2 $leak t8 t9 t10", "en", "s", 0L),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = QualityQueries.decontaminate(spark, d).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1L)
+    // doc 1 has 6 distinct 5-grams, exactly 1 contaminated, from 1 eval doc
+    assert(r(0).getLong(1) == 6 && r(0).getLong(2) == 1 && r(0).getLong(3) == 1)
+  }
+
+  test("frequency buckets are the binary magnitude of global token counts") {
+    val r = QualityQueries.freqQuality(spark, dir).collect()
+      .map(x => (x.getLong(0), x)).toMap
+    // doc 0 = "a a a a a b": 'a' appears 5× globally in `dir` docs 0 only?
+    // 'a' occurs 5 times (doc 0) → bucket 3; 'b' once → bucket 1.
+    assert(r(0L).getLong(1) == 6)                  // n_tokens
+    assert(r(0L).getLong(2) == 5 * 3 + 1)          // freq_sum
+    assert(r(0L).getInt(3) == 1 && r(0L).getInt(4) == 3)
+    // doc 4 all-unique tokens appearing once each → every bucket 1
+    assert(r(4L).getLong(2) == r(4L).getLong(1) && r(4L).getInt(4) == 1)
+  }
 }
