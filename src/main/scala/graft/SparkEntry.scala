@@ -78,6 +78,7 @@ object SparkEntry {
     "q59_span_dedup" -> (graft.queries.QualityQueries.spanDedup _),
     "q60_decontaminate" -> (graft.queries.QualityQueries.decontaminate _),
     "q61_freq_quality" -> (graft.queries.QualityQueries.freqQuality _),
+    "q62_stream_enrich" -> (graft.queries.StreamQueries.streamEnrich _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -142,6 +143,7 @@ object SparkEntry {
     "q59_span_dedup" -> graft.queries.QualityOracles.spanDedup,
     "q60_decontaminate" -> graft.queries.QualityOracles.decontaminate,
     "q61_freq_quality" -> graft.queries.QualityOracles.freqQuality,
+    "q62_stream_enrich" -> graft.queries.StreamOracles.streamEnrich,
   )
 }
 

@@ -59,6 +59,18 @@ object StreamQueries {
         max(col("view_id")).as("max_view"))
       .orderBy(col("click_id"))
   }
+
+  /** Batch face of the stream-static spatial enrichment (q62): the same
+    * GeoStreams.spatialEnrich call that runs under readStream — pages ×
+    * broadcast polygon layer, hourly per-polygon windows. Event time is
+    * derived deterministically from pid so every SF covers a full day. */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = graft.model.Pages.volumePages(spark, sfDir)
+      .withColumn("epoch", lit(1704067200L) + pmod(col("pid") * 37L, lit(86400L)))
+    graft.streaming.GeoStreams.spatialEnrich(
+        pages, graft.model.PolygonLayer.toDF(spark))
+      .orderBy(col("win_start"), col("poly_id"))
+  }
 }
 
 object StreamOracles {
@@ -99,4 +111,20 @@ object StreamOracles {
       |  ON v.user_id = c.user_id
       | AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
       |GROUP BY c.click_id, c.user_id ORDER BY c.click_id""".stripMargin
+
+  val streamEnrich: String = {
+    import graft.model.{Pages, PolygonLayer}
+    val perPoly = PolygonLayer.polys.map { case (id, _) =>
+      s"""SELECT (epoch // 3600) * 3600 AS win_start, $id AS poly_id,
+         |       count(*) AS n,
+         |       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+         |FROM pe WHERE ${PolygonLayer.containsSql(id, "lon", "lat")}
+         |GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")}),
+       |pe AS (SELECT *, 1704067200 + (pid * 37) % 86400 AS epoch FROM pages)
+       |SELECT * FROM (
+       |$perPoly
+       |) ORDER BY win_start, poly_id""".stripMargin
+  }
 }

@@ -10,13 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
   * or use [[GraftSession.builder]]. All functions are then available both to
   * SQL text and to the typed API via `functions.call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.sql", name),
         builder))
     }
+    // spatial predicate → bbox range conjuncts → parquet row-group skipping
+    ext.injectOptimizerRule(_ => SpatialFilterPushdown)
+  }
 }
 
 object GraftFunctions {
