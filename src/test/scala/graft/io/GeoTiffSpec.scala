@@ -87,8 +87,30 @@ class GeoTiffSpec extends AnyFunSuite {
     (0 until src.numBands).foreach(b =>
       assert(back.image(b).sameElements(src.image(b))))
     intercept[IllegalArgumentException] {
-      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "packbits")
+      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "jpeg")
     }
+  }
+
+  test("packbits-compressed write round-trips through the ImageIO decode path") {
+    val dir = java.nio.file.Files.createTempDirectory("gtpb").toString
+    val src = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    GeoTiffWriter.write(src, s"$dir/p.tif", compression = "packbits")
+    val back = GeoTiffIO.read(s"$dir/p.tif")
+    assert(back.dtype === src.dtype && back.nodata === src.nodata)
+    (0 until src.numBands).foreach(b =>
+      assert(back.image(b).sameElements(src.image(b))))
+    // run-heavy raster: alternating 200-byte runs → must compress hard
+    val n = 64 * 1024
+    val runs = Array.tabulate(n)(i => if ((i / 200) % 2 == 0) 7.0 else 250.0)
+    val flat = src.copy(image = Array(runs), width = 256, height = 256,
+      dtype = "uint8", bandNames = List("r"), nodata = None,
+      mask = Array.fill(n)(true))
+    GeoTiffWriter.write(flat, s"$dir/runs.tif", compression = "packbits")
+    GeoTiffWriter.write(flat, s"$dir/runs_raw.tif")
+    val pb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/runs.tif"))
+    val rb = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/runs_raw.tif"))
+    assert(pb * 10 < rb, s"packbits ($pb) should crush runs vs raw ($rb)")
+    assert(GeoTiffIO.read(s"$dir/runs.tif").image(0).sameElements(flat.image(0)))
   }
 
   test("lzw-compressed write round-trips through the ImageIO decode path") {

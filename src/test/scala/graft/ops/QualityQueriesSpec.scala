@@ -112,6 +112,51 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(r(0).getLong(1) == 6 && r(0).getLong(2) == 1 && r(0).getLong(3) == 1)
   }
 
+  /** Invariant sweep over a 200-doc corpus with a small vocabulary (lots of
+    * natural n-gram repetition — the adversarial case for interval
+    * arithmetic): structural properties that must hold for every doc. */
+  test("span/decontamination/frequency invariants hold on a repetitive corpus") {
+    val d = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    import spark.implicits._
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    def word(seed: Long): String = vocab(((seed * 2654435761L >>> 7) % 6).toInt.abs)
+    (0L until 200L).map { id =>
+      val n = 12 + (id % 30).toInt
+      val text = (0 until n).map(j => word(id * 131 + j)).mkString(" ")
+      (id, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val span = QualityQueries.spanDedup(spark, d).collect()
+    assert(span.nonEmpty) // tiny vocab ⇒ duplicated windows must exist
+    span.foreach { r =>
+      val (nWords, nSpans, dupWords, maxSpan) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(nSpans >= 1 && maxSpan >= QualityQueries.SpanK,
+        s"every span covers at least one window: $r")
+      assert(dupWords <= nWords, s"union of spans fits the doc: $r")
+      assert(maxSpan <= dupWords && dupWords <= nSpans * nWords, s"$r")
+    }
+
+    val dec = QualityQueries.decontaminate(spark, d).collect()
+    val flagged = dec.map(_.getLong(0)).toSet
+    dec.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"hits bounded by gram count: $r")
+      assert(r.getLong(3) >= 1, s"at least one eval doc matched: $r")
+    }
+    // planted canary: every doc_id % 53 == 7 train doc must be flagged
+    (0L until 200L).filter(id => id % 53 == 7 && id % QualityQueries.EvalMod != 0)
+      .foreach(id => assert(flagged.contains(id), s"canary doc $id unflagged"))
+
+    val fq = QualityQueries.freqQuality(spark, d).collect()
+    assert(fq.length == 200)
+    fq.foreach { r =>
+      val (n, sum, lo, hi) = (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(lo >= 1 && lo <= hi && sum >= n * lo && sum <= n * hi, s"$r")
+    }
+  }
+
   test("frequency buckets are the binary magnitude of global token counts") {
     val r = QualityQueries.freqQuality(spark, dir).collect()
       .map(x => (x.getLong(0), x)).toMap
