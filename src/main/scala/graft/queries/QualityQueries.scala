@@ -63,10 +63,11 @@ object QualityQueries {
           |  g -> concat(element_at(a, g), ' ', element_at(a, g + 1), ' ',
           |              element_at(a, g + 2)))""".stripMargin)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("h"))
-      // both the global count and the join probe derive from this frame —
-      // materialize once (same persist-before-self-join rule as q18/q46)
-      .localCheckpoint(true)
+    // materialize the DISTINCT-gram rollup (bounded by vocabulary^3, far
+    // below the N×L occurrence stream at corpus scale), recompute the
+    // cheap explode for the probe side — occurrences are never persisted
     val global = grams.groupBy(col("h")).agg(count(lit(1)).as("gcnt"))
+      .localCheckpoint(true)
     grams.join(global, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -206,11 +207,15 @@ object QualityQueries {
         explode(expr(s"sequence(1, size(a) - ${k - 1})")).as("p"), col("a"))
       .select(col("doc_id"), col("n_words"), col("p"),
         md5(expr(s"array_join(slice(a, p, $k), ' ')")).as("h"))
-      // global count + join probe both derive from this frame — materialize
-      // once (same persist-before-self-join rule as q18/q46/q48)
-      .localCheckpoint(true)
+    // deliberately NOT materialized: this frame is N×L rows (50× the
+    // corpus at 10^12 docs) — persisting it would dwarf the 2nd explode
+    // pass it saves. Only the AGGREGATED dup-hash set (small) is
+    // materialized; the probe side recomputes the cheap codegen'd explode.
+    // (Contrast q18, where the persisted frame is the EXPENSIVE 128-perm
+    // signature at 32 rows/doc — there persist-before-self-join wins.)
     val global = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val dup = grams.join(global.where(col("cnt") >= 2), Seq("h"))
+      .where(col("cnt") >= 2).localCheckpoint(true)
+    val dup = grams.join(global, Seq("h"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = dup
       .withColumn("brk",
@@ -254,9 +259,11 @@ object QualityQueries {
         s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("h"))
       .distinct()
-      .localCheckpoint(true)
+    // only the (small) eval gram set is materialized; the train side is
+    // N×L rows and streams through both rollups from a recomputed explode
     val evalSet = grams.where(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("h"))
+      .localCheckpoint(true)
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hits = train.join(broadcast(evalSet), Seq("h"))
@@ -280,9 +287,11 @@ object QualityQueries {
   def freqQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .localCheckpoint(true)
+    // vocab (small, Zipf-bounded) is materialized; the N×L token stream is
+    // recomputed for the probe rather than persisted
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("bucket", length(bin(col("c"))))
+      .localCheckpoint(true)
     toks.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bucket")).as("freq_sum"),

@@ -66,6 +66,26 @@ class SpatialFilterPushdownSpec extends SparkTestBase {
     assert(parts.size === dedup.size, s"duplicated conjuncts in: $cond")
   }
 
+  test("pushed bbox actually skips row groups on a lat-sorted table") {
+    val d = Files.createTempDirectory("sfp_rg").toString
+    // 120k rows sorted by lat over [0,60), written in many small row
+    // groups so each group's lat min/max stats span ~0.5 degrees
+    (0 until 120000).map(i => (i.toLong, (i % 360).toDouble - 180.0, i / 2000.0))
+      .toDF("id", "lon", "lat").coalesce(1).sortWithinPartitions("lat")
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$d/pts.parquet")
+    val df = spark.read.parquet(s"$d/pts.parquet")
+      .where(G.st_contains_xy(lit(wkb), col("lon"), col("lat")))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val emitted = scan.metrics("numOutputRows").value
+    // polygon lat range [10,20] = 1/6 of the data; with stats-based
+    // row-group skipping the scan must emit FAR fewer than 120k rows
+    assert(emitted > 0 && emitted < 60000,
+      s"row-group skipping should cut the scan's output, got $emitted")
+  }
+
   test("packed-ring literal form gains the same pruning") {
     val xs = poly.shell.map(_.x)
     val ys = poly.shell.map(_.y)
