@@ -186,15 +186,28 @@ object EmbQueries {
     * bucket equi-join (candidates O(N·tables·bucket_size), bounded by the
     * bucket cap), cross-table pair dedup, exact cosine refine ≥ 0.95. */
   def embDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    // one 64-hyperplane bucketing pass, not one per self-join branch
-    val withB = bucketedOf(dedupInput(spark, sfDir)).localCheckpoint(true)
-    val a = withB.select(col("t"), col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = withB.select(col("t"), col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, Seq("t", "bucket"))
+    val input = dedupInput(spark, sfDir)
+    // LATE MATERIALIZATION: only (t, bucket, vec_id) ints flow through the
+    // bucket self-join (one 64-hyperplane pass, persisted small); the
+    // 128-float embedding arrays are fetched by vec_id ONLY for the few
+    // surviving candidate pairs. Carrying the arrays through the self-join
+    // (the previous shape) would shuffle and persist N·tables full vectors
+    // — ~8 TB at 10^9 vectors — where this shuffles N·tables longs.
+    val withB = bucketedOf(input)
+      .select(col("t"), col("bucket"), col("vec_id"))
+      .localCheckpoint(true)
+    val cand = withB.select(col("t"), col("bucket"), col("vec_id").as("a"))
+      .join(withB.select(col("t"), col("bucket"), col("vec_id").as("b")),
+        Seq("t", "bucket"))
       .where(col("a") < col("b"))
       .dropDuplicates("a", "b")
+    val e = input
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("norm").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("norm").as("nb")), Seq("b"))
       .withColumn("cos", dotCols(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cos") >= 0.95)
       .select(col("a"), col("b"))
