@@ -120,19 +120,23 @@ object TextQueries {
     * refine ≥ 90/128). Candidate volume is O(N·bands·bucket_size), never
     * O(N²): the join key is the band hash, so only same-bucket rows meet. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // materialize the banded signatures ONCE before the self-join: both
-    // join branches derive from this frame, and without it Spark recomputes
-    // the 128-perm MD5 MinHash for each side (2× the dominant cost; at
-    // scale this is the standard persist-before-self-join).
-    val bands = sigsDf(spark, sfDir)
-      .select(col("doc_id"), col("sigs"),
-        posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
-      .localCheckpoint(true)
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("a"), col("sigs").as("sa"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("b"), col("sigs").as("sb"))
-    a.join(b, Seq("band", "key"))
+    // materialize the 128-perm signatures ONCE (the expensive pass) at one
+    // row per doc; the banded self-join then carries only (band, key,
+    // doc_id) ints — LATE MATERIALIZATION: signatures rejoin by doc_id
+    // only for the surviving candidate pairs. (The previous shape carried
+    // `sigs` through the posexplode, persisting every signature 32× and
+    // shuffling 128-long arrays through the join.)
+    val sigs = sigsDf(spark, sfDir).localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
       .where(col("a") < col("b"))
       .dropDuplicates("a", "b")
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
       .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
       .where(col("n_match") >= TextOps.MatchThreshold)
       .select(col("a"), col("b"), col("n_match"))
