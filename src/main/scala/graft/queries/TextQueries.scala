@@ -97,10 +97,12 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"), col("pred"))
 
-  private def sigsDf(spark: SparkSession, sfDir: String): DataFrame = {
+  private def sigsDf(spark: SparkSession, sfDir: String): DataFrame =
+    sigsOf(spark, docs(spark, sfDir))
+
+  def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     GraftRegistrar.ensure(spark)
-    docs(spark, sfDir)
-      .select(col("doc_id"), call_function("minhash128", col("text")).as("sigs"))
+    d.select(col("doc_id"), call_function("minhash128", col("text")).as("sigs"))
   }
 
   /** Per-doc 128-permutation MinHash signatures. The gate projects spot
@@ -119,14 +121,17 @@ object TextQueries {
     * equi-join on (band, key) → cross-band pair dedup → exact signature
     * refine ≥ 90/128). Candidate volume is O(N·bands·bucket_size), never
     * O(N²): the join key is the band hash, so only same-bucket rows meet. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOf(spark, docs(spark, sfDir))
+
+  def minhashPairsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     // materialize the 128-perm signatures ONCE (the expensive pass) at one
     // row per doc; the banded self-join then carries only (band, key,
     // doc_id) ints — LATE MATERIALIZATION: signatures rejoin by doc_id
     // only for the surviving candidate pairs. (The previous shape carried
     // `sigs` through the posexplode, persisting every signature 32× and
     // shuffling 128-long arrays through the join.)
-    val sigs = sigsDf(spark, sfDir).localCheckpoint(true)
+    val sigs = sigsOf(spark, d).localCheckpoint(true)
     val bands = sigs.select(col("doc_id"),
       posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -157,8 +162,11 @@ object TextQueries {
 
   /** Component membership (u → label) of the banded-LSH pair graph — the
     * min-propagation fixed point shared by q36 and q55. */
-  def minhashLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = minhashPairs(spark, sfDir).select(col("a"), col("b"))
+  def minhashLabels(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLabelsOf(spark, docs(spark, sfDir))
+
+  def minhashLabelsOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val edges = minhashPairsOf(spark, d).select(col("a"), col("b"))
     val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
       .localCheckpoint(true)
     var lbl = sym.select(col("u")).distinct().withColumn("label", col("u"))

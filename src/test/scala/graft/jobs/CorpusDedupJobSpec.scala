@@ -1,0 +1,51 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.sql.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus dedup pipeline: exact losers drop, near-dup
+  * components keep their longest member, unique docs survive — and a
+  * second run resumes from the committed snapshots instead of
+  * recomputing (no new versions, identical rows). */
+class CorpusDedupJobSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+
+  private lazy val docsDf = Seq(
+    (1L, "dup dup dup one two three four five six seven"),
+    (2L, "dup dup dup one two three four five six seven"), // exact twin → loses
+    (3L, base + " x3"),                                     // near-dup of 4,5
+    (4L, base + " x4 extra extra2"),                        // longest → keeps
+    (5L, base + " x5"),
+    (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (7L, "unique seven words in this one doc right here yes"))
+    .map { case (id, t) => (id, t, t.length.toLong) }
+    .toDF("doc_id", "text", "n_chars")
+
+  test("pipeline keeps exact winner, canonical near-dup, uniques; resumes without recommit") {
+    val root = Files.createTempDirectory("corpus_lake").toString
+    val cleaned = CorpusDedupJob.run(spark, docsDf, root)
+    val ids = cleaned.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 6L, 7L), s"survivors: $ids")
+
+    // committed artifacts exist with lineage for every stage
+    val lake = new graft.lake.LakeTable(root)
+    Seq("exact_losers", "neardup_labels", "neardup_losers", "cleaned").foreach { s =>
+      assert(lake.isCommitted(s), s"stage $s committed")
+      assert(lake.readLineage(spark, s).count() >= 1, s"stage $s lineage")
+      assert(lake.versions(s) === Seq(1), s"stage $s single version")
+    }
+    assert(lake.read(spark, "exact_losers").collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(lake.read(spark, "neardup_losers").collect().map(_.getLong(0)).toSet === Set(3L, 5L))
+
+    // replay: every stage resumes from its manifest — same rows, no v2
+    val again = CorpusDedupJob.run(spark, docsDf, root)
+    assert(again.select(col("doc_id")).collect().map(_.getLong(0)).toSet === ids)
+    Seq("exact_losers", "neardup_labels", "neardup_losers", "cleaned").foreach { s =>
+      assert(lake.versions(s) === Seq(1), s"stage $s must not recommit")
+    }
+  }
+}
