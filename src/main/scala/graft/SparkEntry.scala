@@ -79,6 +79,7 @@ object SparkEntry {
     "q60_decontaminate" -> (graft.queries.QualityQueries.decontaminate _),
     "q61_freq_quality" -> (graft.queries.QualityQueries.freqQuality _),
     "q62_stream_enrich" -> (graft.queries.StreamQueries.streamEnrich _),
+    "q63_percentiles" -> (graft.queries.RelQueries.percentiles _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -144,6 +145,7 @@ object SparkEntry {
     "q60_decontaminate" -> graft.queries.QualityOracles.decontaminate,
     "q61_freq_quality" -> graft.queries.QualityOracles.freqQuality,
     "q62_stream_enrich" -> graft.queries.StreamOracles.streamEnrich,
+    "q63_percentiles" -> graft.queries.RelOracles.percentiles,
   )
 }
 

@@ -423,6 +423,23 @@ object RelQueries {
         min(col("event_id")).as("min_event"))
       .orderBy(col("user_id"))
   }
+
+  /** Exact discrete percentiles per group (ANSI percentile_disc WITHIN
+    * GROUP, Spark 3.4+): an actual element is returned — no interpolation,
+    * so the integer-cents values face DuckDB's quantile_disc (same ANSI
+    * "smallest value with cume_dist ≥ p" convention) byte-exactly. Plan:
+    * single hash-partitioned sort-based aggregate on event_type. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("cents", round(col("value") * 100).cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("bigint").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+          .cast("bigint").as("p90"),
+        max(col("cents")).as("p100"))
+      .orderBy(col("event_type"))
 }
 
 object RelOracles {
@@ -456,4 +473,12 @@ object RelOracles {
       |    FROM events WHERE user_id < 50
       |  )
       |) GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val percentiles: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+      |       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90,
+      |       CAST(max(cents) AS BIGINT) AS p100
+      |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }
