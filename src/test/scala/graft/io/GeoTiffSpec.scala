@@ -144,6 +144,38 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiffIO.read(s"$dir/grad.tif").image(0).sameElements(grad.image(0)))
   }
 
+  test("lzw + packbits survive adversarial byte patterns (run/literal boundary cases)") {
+    val dir = java.nio.file.Files.createTempDirectory("gtadv").toString
+    val affine = graft.raster.Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+    def raster(bytes: Array[Int], w: Int): graft.raster.MRaster = {
+      val h = bytes.length / w
+      graft.raster.MRaster(Array(bytes.map(_.toDouble)),
+        Array.fill(bytes.length)(true), w, h, affine, 4326, List("b"), "uint8", None)
+    }
+    val patterns: Seq[(String, Array[Int], Int)] = Seq(
+      ("one-pixel", Array(7), 1),
+      ("single-row-127run", Array.fill(127)(9), 127),
+      ("single-row-128run", Array.fill(128)(9), 128),
+      ("single-row-129run", Array.fill(129)(9), 129),
+      ("literal-127", (0 until 127).map(i => i % 251).toArray, 127),
+      ("literal-128", (0 until 128).map(i => i % 251).toArray, 128),
+      ("literal-129", (0 until 129).map(i => i % 251).toArray, 129),
+      ("alternating", (0 until 256).map(i => i % 2 * 255).toArray, 64),
+      ("run-literal-run", (Array.fill(130)(5) ++ (0 until 7).map(i => i * 31 % 256) ++ Array.fill(3)(200)), 70),
+      ("two-runs-2", Array(1, 1, 2, 2), 4),
+      ("trailing-2run", (0 until 6).toArray ++ Array(9, 9), 8),
+      ("pseudo-random", (0 until 4096).map(i => ((i * 2654435761L >>> 11) & 0xff).toInt).toArray, 64))
+    for ((name, bytes, w) <- patterns; codec <- Seq("lzw", "packbits")) {
+      if (bytes.length % w == 0) {
+        val r = raster(bytes, w)
+        val p = s"$dir/${name}_$codec.tif"
+        GeoTiffWriter.write(r, p, compression = codec)
+        val back = GeoTiffIO.read(p)
+        assert(back.image(0).sameElements(r.image(0)), s"$name/$codec mismatch")
+      }
+    }
+  }
+
   test("RasterOpen dispatch: non-georeferenced PNG with caller affine (test_georaster.py:155-162)") {
     // the reference opens no_georef.png with explicit crs/affine kwargs
     val affine = graft.raster.Affine(10.0, 0.0, -6425941.63996855,
