@@ -1,0 +1,108 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftRegistrar
+
+import graft.core.Geom
+import graft.ops.FeatureCollection
+
+/** Interactive-map HTML emission — the engine's counterpart of the
+  * reference's plotting surface (plotting.py), with zero JVM deps: the
+  * document references the Leaflet CDN and inlines the data.
+  *
+  *  - [[simplePlot]] ≙ simple_plot (plotting.py:37-67): CartoDB Positron
+  *    base layer (folium's default there), the collection's features as an
+  *    inline GeoJSON layer head-limited to [[SimplePlotMaxRows]]
+  *    (plotting.py:35, 61), map fit to the collection envelope in Leaflet
+  *    (lat, lon) order (plotting.py:63-65), and the reference's
+  *    empty-geometry warning contract (plotting.py:55-57) as an HTML
+  *    comment marker with no layer.
+  *  - [[styleProperties]] ≙ style_element (plotting.py:96-106): a style
+  *    computed from each feature's properties merged back in as the
+  *    "style" property, which the GeoJSON layer picks up per feature.
+  *  - [[rasterPlot]] ≙ plot-over-TileServer (plotting.py:110-150 +
+  *    util/local_tile_server.py): an L.tileLayer pointed at the engine's
+  *    own [[TileHttpServer]] URL scheme `/{id}/{x}/{y}/{z}.png`.
+  *
+  * Plot output is a DRIVER artifact by definition (the reference caps at
+  * 200 features for the same reason) — the only collect here is that
+  * bounded head. */
+object Plot {
+
+  val SimplePlotMaxRows = 200 // plotting.py:35
+
+  /** The collection's leading features (collection order) as a GeoJSON
+    * FeatureCollection document string. */
+  def featureCollectionJson(fc: FeatureCollection,
+                            limit: Int = SimplePlotMaxRows): String = {
+    val spark = fc.df.sparkSession
+    GraftRegistrar.ensure(spark)
+    val propsCol =
+      if (fc.df.columns.contains("properties")) col("properties") else lit("{}")
+    val feats = fc.df
+      .select(call_function("st_asgeojson", col(fc.geomCol)).as("g"),
+        coalesce(propsCol, lit("{}")).as("p"))
+      .limit(limit)
+      .collect()
+      .map(r => s"""{"type": "Feature", "geometry": ${r.getString(0)}, "properties": ${r.getString(1)}}""")
+    s"""{"type": "FeatureCollection", "features": [${feats.mkString(", ")}]}"""
+  }
+
+  private def document(body: String): String =
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"/>
+       |<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+       |<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+       |<style>#map { height: 100vh; }</style>
+       |</head><body><div id="map"></div>
+       |<script>
+       |var map = L.map('map');
+       |L.tileLayer('https://{s}.basemaps.cartocdn.com/light_all/{z}/{x}/{y}.png',
+       |  {attribution: '&copy; OpenStreetMap contributors &copy; CARTO'}).addTo(map);
+       |$body
+       |</script></body></html>
+       |""".stripMargin
+
+  /** Folium-simple_plot-shaped document for a vector collection. */
+  def simplePlot(fc: FeatureCollection): String = {
+    if (fc.isEmptyCollection)
+      // plotting.py:55-57 warns and leaves the bare map
+      document("/* <!-- empty geometry: no layer --> */ map.setView([0, 0], 2);")
+    else {
+      val json = featureCollectionJson(fc)
+      val bb = Geom.fromWkb(fc.envelope).bbox
+      document(
+        s"""var data = $json;
+           |L.geoJSON(data, {style: function (f) { return (f.properties && f.properties.style) || {}; }}).addTo(map);
+           |map.fitBounds([[${bb.ymin}, ${bb.xmin}], [${bb.ymax}, ${bb.xmax}]]);""".stripMargin)
+    }
+  }
+
+  /** style_element: merge a computed "style" into each feature's
+    * properties (driver-side over the bounded plot head — the reference
+    * styles per element the same way). `styleFor` receives the feature's
+    * properties JSON and returns a style JSON object string. */
+  def styleProperties(json: String, styleFor: String => String): String = {
+    // operate on the document we just built: inject per-feature styles
+    val FeatRe = """\{"type": "Feature", "geometry": (.*?), "properties": (\{.*?\})\}""".r
+    FeatRe.replaceAllIn(json, m => {
+      val style = styleFor(m.group(2))
+      val props = m.group(2) match {
+        case "{}" => s"""{"style": $style}"""
+        case p => p.dropRight(1) + s""", "style": $style}"""
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"""{"type": "Feature", "geometry": ${m.group(1)}, "properties": $props}""")
+    })
+  }
+
+  /** Raster plot: the tile-layer document a notebook embeds, pointed at
+    * the engine's [[TileHttpServer]] (`/{id}/{x}/{y}/{z}.png`). */
+  def rasterPlot(serverBase: String, rasterId: String,
+                 bounds: (Double, Double, Double, Double)): String = {
+    val (xmin, ymin, xmax, ymax) = bounds
+    document(
+      s"""L.tileLayer('$serverBase/$rasterId/{x}/{y}/{z}.png').addTo(map);
+         |map.fitBounds([[$ymin, $xmin], [$ymax, $xmax]]);""".stripMargin)
+  }
+}
