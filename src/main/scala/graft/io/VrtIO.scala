@@ -121,4 +121,88 @@ object VrtIO {
     (e.getAttribute("xOff").toDouble, e.getAttribute("yOff").toDouble,
       e.getAttribute("xSize").toDouble, e.getAttribute("ySize").toDouble)
   }
+
+  // ------------------------------------------------------------- VRT writer
+
+  /** raster_list_vrt (vrt.py:173-263): mosaic a list of (filename, raster)
+    * into one VRTDataset document — union extent, target resolution from
+    * the COARSEST member (max resolution(), vrt.py:214-216), grid via the
+    * same rint-based raster_data rule, bands unified BY NAME across
+    * members, each member a per-band SimpleSource with full-precision
+    * DstRect offsets, plus a MaskBand mirroring every source
+    * (`SourceBand mask,1`). `read(write(rs))` reproduces the reference's
+    * own expected_overlaps.vrt mosaic pixel-for-pixel. */
+  def write(sources: Seq[(String, MRaster)], path: String): Unit = {
+    require(sources.nonEmpty, "empty raster list")
+    val crs = sources.head._2.crs
+    require(sources.forall(_._2.crs == crs), "all rasters should have the same CRS")
+
+    val coarsest = sources.map(_._2).maxBy(_.resolution)
+    val (resX, resY) = (math.abs(coarsest.affine.a), math.abs(coarsest.affine.e))
+    val bbs = sources.map(_._2.footprint.bbox)
+    val bounds = (bbs.map(_.xmin).min, bbs.map(_.ymin).min,
+      bbs.map(_.xmax).max, bbs.map(_.ymax).max)
+    val (w, h, affine) = graft.raster.Rasterize.rasterData(
+      Some(bounds), (resX, resY), None, None)
+
+    val dtypeName = sources.head._2.dtype match {
+      case "uint8" => "Byte"
+      case "uint16" => "UInt16"
+      case "int16" => "Int16"
+      case "uint32" => "UInt32"
+      case "int32" => "Int32"
+      case "float32" => "Float32"
+      case "float64" => "Float64"
+      case d => throw new IllegalArgumentException(s"cannot write VRT dtype $d")
+    }
+    def colorInterp(name: String): String =
+      if (Set("red", "green", "blue")(name.toLowerCase)) name.capitalize else "Gray"
+
+    def sourceXml(fn: String, r: MRaster, band: String): String = {
+      val xoff = (r.affine.c - affine.c) / affine.a
+      val yoff = (r.affine.f - affine.f) / affine.e
+      val xsize = r.width * r.affine.a / affine.a
+      val ysize = r.height * r.affine.e / affine.e
+      s"""    <SimpleSource>
+         |      <SourceFilename relativeToVRT="1">$fn</SourceFilename>
+         |      <SourceBand>$band</SourceBand>
+         |      <SrcRect xOff="0" yOff="0" xSize="${r.width}" ySize="${r.height}" />
+         |      <DstRect xOff="$xoff" yOff="$yoff" xSize="$xsize" ySize="$ysize" />
+         |    </SimpleSource>""".stripMargin
+    }
+
+    // unify bands by NAME across members (vrt.py:236-244)
+    val bandOrder = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    sources.foreach { case (fn, r) =>
+      r.bandNames.zipWithIndex.foreach { case (bn, i) =>
+        bandOrder.getOrElseUpdate(bn.toString,
+          scala.collection.mutable.ArrayBuffer.empty) += sourceXml(fn, r, (i + 1).toString)
+      }
+    }
+    val bandsXml = bandOrder.zipWithIndex.map { case ((bn, srcs), idx) =>
+      s"""  <VRTRasterBand dataType="$dtypeName" band="${idx + 1}">
+         |    <ColorInterp>${colorInterp(bn)}</ColorInterp>
+         |${srcs.mkString("\n")}
+         |  </VRTRasterBand>""".stripMargin
+    }.mkString("\n")
+    val maskXml =
+      s"""  <MaskBand>
+         |    <VRTRasterBand dataType="Byte">
+         |${sources.map { case (fn, r) => sourceXml(fn, r, "mask,1") }.mkString("\n")}
+         |    </VRTRasterBand>
+         |  </MaskBand>""".stripMargin
+
+    val gt = Seq(affine.c, affine.a, affine.b, affine.f, affine.d, affine.e)
+      .map(v => f"$v%.16e").mkString(",  ")
+    val doc =
+      s"""<VRTDataset rasterXSize="$w" rasterYSize="$h">
+         |  <SRS>AUTHORITY["EPSG","$crs"]</SRS>
+         |  <GeoTransform>  $gt</GeoTransform>
+         |$bandsXml
+         |$maskXml
+         |</VRTDataset>
+         |""".stripMargin
+    Files.write(Paths.get(path), doc.getBytes("US-ASCII"))
+  }
 }

