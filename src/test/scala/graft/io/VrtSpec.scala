@@ -82,4 +82,34 @@ class VrtSpec extends AnyFunSuite {
     val d2 = 100 * mine.width + 950
     assert(!mine.mask(d2))
   }
+
+  test("wms_vrt numbers golden-match the reference's google_israel.vrt (test_vrt.py:50-58)") {
+    // the test's `record` polygon bounds, WGS84 → the WMS projection (3857)
+    val (x0, y0) = graft.core.Mercator.lngLatToMeters(34.32128906249999, 30.93050081760779)
+    val (x1, y1) = graft.core.Mercator.lngLatToMeters(35.9527587890625, 32.879587173066305)
+    val doc = VrtIO.wmsVrt(s"$ref/tests/data/google.xml", (x0, y0, x1, y1), 1.0)
+
+    val dom = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("US-ASCII")))
+    val root = dom.getDocumentElement
+    assert(root.getAttribute("rasterXSize").toInt === 181614)
+    assert(root.getAttribute("rasterYSize").toInt === 255605)
+    val gt = root.getElementsByTagName("GeoTransform").item(0).getTextContent
+      .split(",").map(_.trim.toDouble)
+    assert(math.abs(gt(0) - 3820628.4218062493) < 1e-6 && gt(1) === 1.0 &&
+      math.abs(gt(3) - 3879332.059529266) < 1e-6 && gt(5) === -1.0)
+    val bands = root.getElementsByTagName("VRTRasterBand")
+    assert(bands.getLength === 3)
+    val src = bands.item(0).asInstanceOf[org.w3c.dom.Element]
+    val props = src.getElementsByTagName("SourceProperties").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    assert(props.getAttribute("RasterXSize").toInt === 268435456)
+    val srcRect = src.getElementsByTagName("SrcRect").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    assert(math.abs(srcRect.getAttribute("xOff").toDouble - 159809535.98131672) < 1e-4)
+    assert(math.abs(srcRect.getAttribute("yOff").toDouble - 108232703.98131673) < 1e-4)
+    assert(math.abs(srcRect.getAttribute("xSize").toDouble - 1216512.0) < 1e-4)
+    assert(math.abs(srcRect.getAttribute("ySize").toDouble - 1712128.0) < 1e-4)
+    assert(doc.contains("<UseMaskBand>true</UseMaskBand>"))
+  }
 }
