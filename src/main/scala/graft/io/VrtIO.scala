@@ -136,6 +136,8 @@ object VrtIO {
     require(sources.nonEmpty, "empty raster list")
     val crs = sources.head._2.crs
     require(sources.forall(_._2.crs == crs), "all rasters should have the same CRS")
+    require(sources.forall(_._2.dtype == sources.head._2.dtype),
+      "all rasters should have the same dtype") // bands share one dataType tag
 
     val coarsest = sources.map(_._2).maxBy(_.resolution)
     val (resX, resY) = (math.abs(coarsest.affine.a), math.abs(coarsest.affine.e))
@@ -193,8 +195,11 @@ object VrtIO {
          |    </VRTRasterBand>
          |  </MaskBand>""".stripMargin
 
+    // Locale.ROOT: a default de_DE/fr_FR JVM would format "3,82e+06" and
+    // break read()'s comma-split GeoTransform parse
     val gt = Seq(affine.c, affine.a, affine.b, affine.f, affine.d, affine.e)
-      .map(v => f"$v%.16e").mkString(",  ")
+      .map(v => String.format(java.util.Locale.ROOT, "%.16e", Double.box(v)))
+      .mkString(",  ")
     val doc =
       s"""<VRTDataset rasterXSize="$w" rasterYSize="$h">
          |  <SRS>AUTHORITY["EPSG","$crs"]</SRS>

@@ -56,8 +56,7 @@ object CorpusDedupJob {
         .select(col("u").as("doc_id"))
     }
 
-    StageRunner.stage(spark, lake, "cleaned",
-        meta = Map("source_rows" -> "", "stage" -> "final")) {
+    StageRunner.stage(spark, lake, "cleaned", meta = Map("stage" -> "final")) {
       exactClean.join(neardupLosers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"), col("n_chars"))
     }

@@ -238,10 +238,12 @@ object QualityQueries {
     * [[DecontK]]-word gram with a held-out evaluation set (the standard
     * n-gram-overlap decontamination pass run before every LLM training
     * job). The "benchmark" here is the deterministic doc_id % [[EvalMod]]
-    * = 0 slice of the corpus. The eval gram set is BROADCAST — a benchmark
-    * suite is always tiny relative to a 10^12-doc corpus, so the train side
-    * streams map-side with zero shuffle for the contamination probe; only
-    * the per-doc rollups shuffle on doc_id. */
+    * = 0 slice of the corpus. A real benchmark gram set is tiny relative
+    * to a 10^12-doc corpus, so the optimizer broadcasts it and the train
+    * side streams map-side with zero shuffle for the contamination probe
+    * (only the per-doc rollups shuffle on doc_id); the join is left
+    * UNHINTED so an oversized eval set degrades to a shuffle join rather
+    * than a forced-broadcast OOM. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val k = DecontK
     // PLANTED contamination (mirrored in the oracle) so the gate is
@@ -266,7 +268,11 @@ object QualityQueries {
       .localCheckpoint(true)
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = train.join(broadcast(evalSet), Seq("h"))
+    // no forced broadcast: a REAL benchmark gram set is tiny and the
+    // optimizer broadcasts it on its own; the synthetic 1/101 slice grows
+    // with the corpus, and an oversized eval set must degrade to a shuffle
+    // join rather than an OOM'd forced broadcast
+    val hits = train.join(evalSet, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_hit"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))

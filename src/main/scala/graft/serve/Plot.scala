@@ -31,20 +31,40 @@ object Plot {
 
   val SimplePlotMaxRows = 200 // plotting.py:35
 
-  /** The collection's leading features (collection order) as a GeoJSON
-    * FeatureCollection document string. */
+  /** A bounded head of the collection as a GeoJSON FeatureCollection
+    * document string. When the collection carries the engine's `row_idx`
+    * ordinal the head is its deterministic prefix (the reference's
+    * fc[:200]); otherwise `limit` takes an arbitrary-but-bounded subset.
+    * `styleFor` (properties JSON → style JSON object) merges a computed
+    * "style" into each feature at emission — the style_element semantics
+    * (plotting.py:96-106) without a fragile post-hoc string pass. */
   def featureCollectionJson(fc: FeatureCollection,
-                            limit: Int = SimplePlotMaxRows): String = {
+                            limit: Int = SimplePlotMaxRows,
+                            styleFor: String => String = null): String = {
     val spark = fc.df.sparkSession
     GraftRegistrar.ensure(spark)
     val propsCol =
       if (fc.df.columns.contains("properties")) col("properties") else lit("{}")
-    val feats = fc.df
+    val ordered =
+      if (fc.df.columns.contains(FeatureCollection.RowIdx))
+        fc.df.orderBy(col(FeatureCollection.RowIdx))
+      else fc.df
+    val feats = ordered
       .select(call_function("st_asgeojson", col(fc.geomCol)).as("g"),
         coalesce(propsCol, lit("{}")).as("p"))
       .limit(limit)
       .collect()
-      .map(r => s"""{"type": "Feature", "geometry": ${r.getString(0)}, "properties": ${r.getString(1)}}""")
+      .map { r =>
+        val props0 = r.getString(1).trim
+        val props =
+          if (styleFor == null) props0
+          else {
+            val style = styleFor(props0)
+            if (props0 == "{}") s"""{"style": $style}"""
+            else props0.dropRight(1) + s""", "style": $style}"""
+          }
+        s"""{"type": "Feature", "geometry": ${r.getString(0)}, "properties": $props}"""
+      }
     s"""{"type": "FeatureCollection", "features": [${feats.mkString(", ")}]}"""
   }
 
@@ -76,24 +96,6 @@ object Plot {
            |L.geoJSON(data, {style: function (f) { return (f.properties && f.properties.style) || {}; }}).addTo(map);
            |map.fitBounds([[${bb.ymin}, ${bb.xmin}], [${bb.ymax}, ${bb.xmax}]]);""".stripMargin)
     }
-  }
-
-  /** style_element: merge a computed "style" into each feature's
-    * properties (driver-side over the bounded plot head — the reference
-    * styles per element the same way). `styleFor` receives the feature's
-    * properties JSON and returns a style JSON object string. */
-  def styleProperties(json: String, styleFor: String => String): String = {
-    // operate on the document we just built: inject per-feature styles
-    val FeatRe = """\{"type": "Feature", "geometry": (.*?), "properties": (\{.*?\})\}""".r
-    FeatRe.replaceAllIn(json, m => {
-      val style = styleFor(m.group(2))
-      val props = m.group(2) match {
-        case "{}" => s"""{"style": $style}"""
-        case p => p.dropRight(1) + s""", "style": $style}"""
-      }
-      java.util.regex.Matcher.quoteReplacement(
-        s"""{"type": "Feature", "geometry": ${m.group(1)}, "properties": $props}""")
-    })
   }
 
   /** Raster plot: the tile-layer document a notebook embeds, pointed at

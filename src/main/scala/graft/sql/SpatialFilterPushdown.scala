@@ -54,6 +54,11 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
           else bboxConjuncts(lonE, latE, xs.min, ys.min, xs.max, ys.max)
         case _ => Nil
       }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+        // also dedupe among the additions themselves: two semantically
+        // equal spatial predicates in one Filter must not double-add
+        .foldLeft(Seq.empty[Expression]) { (acc, e) =>
+          if (acc.exists(_.semanticEquals(e))) acc else acc :+ e
+        }
       if (extra.isEmpty) f
       else Filter(And(extra.reduceLeft(And), cond), child)
   }

@@ -41,13 +41,18 @@ class PlotSpec extends SparkTestBase {
   }
 
   test("style_element: computed style merges into each feature's properties") {
-    val json = Plot.featureCollectionJson(fcOf(pts))
-    val styled = Plot.styleProperties(json,
+    val styled = Plot.featureCollectionJson(fcOf(pts), styleFor =
       p => if (p.contains(""""name": "a"""")) """{"color": "red"}""" else """{"color": "gray"}""")
     assert(styled.contains(""""name": "a", "style": {"color": "red"}"""))
     assert(styled.contains(""""properties": {"style": {"color": "gray"}}"""))
     // still one style per feature, geometry untouched
     assert(""""style"""".r.findAllIn(styled).size === 3)
+    // NESTED properties survive intact (the reason styles merge at
+    // emission, not via a post-hoc regex over the document)
+    val nested = Seq((Geom.toWkb(Geom.GPoint(1.0, 2.0)),
+      """{"meta": {"x": 1}, "name": "n"}"""))
+    val s2 = Plot.featureCollectionJson(fcOf(nested), styleFor = _ => """{"w": 2}""")
+    assert(s2.contains(""""meta": {"x": 1}, "name": "n", "style": {"w": 2}}"""))
   }
 
   test("empty collection: bare map with the empty marker, no layer (plotting.py:55-57)") {
