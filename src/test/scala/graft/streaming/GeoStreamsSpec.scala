@@ -65,4 +65,18 @@ class GeoStreamsSpec extends SparkTestBase {
     // no-polygon point contributes nowhere
     assert(!streamed.exists(_._3 > 3L))
   }
+
+  test("cross-query invariant: q62 windows sum to q02's per-polygon totals") {
+    val sf = "/root/testdata/sf0.001"
+    val enriched = graft.queries.StreamQueries.streamEnrich(spark, sf)
+      .groupBy(col("poly_id"))
+      .agg(sum(col("n")).as("n"), sum(col("n_hot")).as("n_hot"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pip = graft.Queries.pipJoin(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(enriched.keySet === pip.keySet)
+    pip.foreach { case (id, (n, hot)) =>
+      assert(enriched(id) === ((n, hot)), s"poly $id windowed totals")
+    }
+  }
 }
