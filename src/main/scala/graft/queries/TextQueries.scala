@@ -175,9 +175,20 @@ object TextQueries {
     while (changed > 0) {
       val nbrMin = sym.join(lbl.withColumnRenamed("u", "v"), "v")
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
-      val next = lbl.join(nbrMin, Seq("u"), "left")
+      val propagated = lbl.join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           (col("nbr") < col("label")).as("chg"))
+      // POINTER JUMPING: label(u) ← label(label(u)). Every label value is
+      // itself a node id present in lbl, so the self-join always resolves.
+      // Neighbor-min alone needs O(component diameter) rounds — a chain
+      // of near-dups at web scale can be long; the jump halves remaining
+      // path lengths each round, so convergence is O(log n) rounds.
+      val next = propagated.join(
+          propagated.select(col("u").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"),
+          (col("chg") || col("label2") < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
         .collect().head.getLong(0)
