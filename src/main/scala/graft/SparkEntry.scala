@@ -80,6 +80,7 @@ object SparkEntry {
     "q61_freq_quality" -> (graft.queries.QualityQueries.freqQuality _),
     "q62_stream_enrich" -> (graft.queries.StreamQueries.streamEnrich _),
     "q63_percentiles" -> (graft.queries.RelQueries.percentiles _),
+    "q64_contamination_report" -> (graft.queries.QualityQueries.contaminationReport _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -146,6 +147,7 @@ object SparkEntry {
     "q61_freq_quality" -> graft.queries.QualityOracles.freqQuality,
     "q62_stream_enrich" -> graft.queries.StreamOracles.streamEnrich,
     "q63_percentiles" -> graft.queries.RelOracles.percentiles,
+    "q64_contamination_report" -> graft.queries.QualityOracles.contaminationReport,
   )
 }
 

@@ -244,14 +244,15 @@ object QualityQueries {
     * (only the per-doc rollups shuffle on doc_id); the join is left
     * UNHINTED so an oversized eval set degrades to a shuffle join rather
     * than a forced-broadcast OOM. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The distinct (doc_id, gram-hash) frame both decontamination faces
+    * share. PLANTED contamination (mirrored in the oracle) keeps the gates
+    * non-vacuous at every SF: a canary phrase shared by the eval slice and
+    * the doc_id % 53 == 7 train slice — the synthetic corpus has no
+    * guaranteed natural 5-gram leak into the tiny eval set. */
+  private def decontGrams(spark: SparkSession, sfDir: String): DataFrame = {
     val k = DecontK
-    // PLANTED contamination (mirrored in the oracle) so the gate is
-    // non-vacuous at every SF: a canary phrase shared by the eval slice
-    // and the doc_id % 53 == 7 train slice — the synthetic corpus has no
-    // guaranteed natural 5-gram leak into the tiny eval set.
     val canary = " qz1 qz2 qz3 qz4 qz5"
-    val grams = docs(spark, sfDir)
+    docs(spark, sfDir)
       .withColumn("text",
         when(col("doc_id") % EvalMod === 0 || col("doc_id") % 53 === 7,
           concat(col("text"), lit(canary))).otherwise(col("text")))
@@ -261,6 +262,10 @@ object QualityQueries {
         s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("h"))
       .distinct()
+  }
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = decontGrams(spark, sfDir)
     // only the (small) eval gram set is materialized; the train side is
     // N×L rows and streams through both rollups from a recomputed explode
     val evalSet = grams.where(col("doc_id") % EvalMod === 0)
@@ -279,6 +284,33 @@ object QualityQueries {
     hits.join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-BENCHMARK-doc contamination report (q64) — the complement of
+    * q60: is the benchmark itself compromised, and how badly. Every eval
+    * doc is reported (LEFT join — clean items show zeros, unlike q60's
+    * inner join over flagged train docs): distinct train docs sharing any
+    * gram, distinct leaked grams, and total (train doc, gram) hits. Same
+    * plan skeleton as q60 with the rollup keyed on eval_doc. */
+  def contaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = decontGrams(spark, sfDir)
+    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+      .localCheckpoint(true)
+    val train = grams.where(col("doc_id") % EvalMod =!= 0)
+    val evalTotals = evalSet.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(evalSet, Seq("h"))
+      .groupBy(col("eval_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_leaked"),
+        count(lit(1)).as("n_hits"))
+    evalTotals.join(hits, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("eval_doc"))
   }
 
   /** Token-frequency quality score (the integer-exact core of a CCNet-style
@@ -460,6 +492,34 @@ object QualityOracles {
        |       FROM tr JOIN e ON tr.h = e.h GROUP BY tr.doc_id)
        |SELECT ht.doc_id, n_grams, n_hit, n_eval_docs
        |FROM ht JOIN tot ON ht.doc_id = tot.doc_id ORDER BY ht.doc_id""".stripMargin
+  }
+
+  val contaminationReport: String = {
+    val k = QualityQueries.DecontK
+    val m = QualityQueries.EvalMod
+    s"""WITH t0 AS (SELECT doc_id,
+       |              CASE WHEN doc_id % $m = 0 OR doc_id % 53 = 7
+       |                   THEN text || ' qz1 qz2 qz3 qz4 qz5' ELSE text END AS text
+       |       FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS a FROM t0),
+       |g0 AS (SELECT doc_id,
+       |              md5(array_to_string(
+       |                list_slice(a, CAST(s AS INTEGER), CAST(s + ${k - 1} AS INTEGER)), ' ')) AS h
+       |       FROM t, unnest(generate_series(1, len(a) - ${k - 1})) AS u(s)
+       |       WHERE len(a) >= $k),
+       |g AS (SELECT DISTINCT doc_id, h FROM g0),
+       |e AS (SELECT doc_id AS eval_doc, h FROM g WHERE doc_id % $m = 0),
+       |tr AS (SELECT * FROM g WHERE doc_id % $m <> 0),
+       |tot AS (SELECT eval_doc, count(*) AS n_grams FROM e GROUP BY eval_doc),
+       |ht AS (SELECT e.eval_doc, count(DISTINCT tr.doc_id) AS n_train_docs,
+       |              count(DISTINCT e.h) AS n_leaked, count(*) AS n_hits
+       |       FROM e JOIN tr ON e.h = tr.h GROUP BY e.eval_doc)
+       |SELECT tot.eval_doc, n_grams,
+       |       COALESCE(n_train_docs, 0) AS n_train_docs,
+       |       COALESCE(n_leaked, 0) AS n_leaked,
+       |       COALESCE(n_hits, 0) AS n_hits
+       |FROM tot LEFT JOIN ht ON tot.eval_doc = ht.eval_doc
+       |ORDER BY tot.eval_doc""".stripMargin
   }
 
   val freqQuality: String =

@@ -103,13 +103,24 @@ class QualityQueriesSpec extends SparkTestBase {
       (0L, s"$leak e6 e7 e8 e9 e10", "en", "s", 0L),
       // doc 1 leaks the eval 5-gram; doc 2 is clean
       (1L, s"t1 t2 $leak t8 t9 t10", "en", "s", 0L),
-      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s", 0L))
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s", 0L),
+      // doc 202 → second eval doc (202 % 101 == 0), leaks nothing
+      (202L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10", "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val r = QualityQueries.decontaminate(spark, d).collect()
     assert(r.length == 1 && r(0).getLong(0) == 1L)
     // doc 1 has 6 distinct 5-grams, exactly 1 contaminated, from 1 eval doc
     assert(r(0).getLong(1) == 6 && r(0).getLong(2) == 1 && r(0).getLong(3) == 1)
+    // the benchmark-side report covers EVERY eval doc: 0 leaks via doc 1,
+    // 202 is clean and still reported with zeros
+    val rep = QualityQueries.contaminationReport(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(rep(0L)._1 == 1 && rep(0L)._2 == 1 && rep(0L)._3 == 1)
+    // note: both eval docs carry the planted canary, so 202's grams
+    // include canary grams shared with... no train doc (canary train
+    // slice is doc_id % 53 == 7, absent here) → zeros
+    assert(rep(202L) == ((0L, 0L, 0L)))
   }
 
   /** Invariant sweep over a 200-doc corpus with a small vocabulary (lots of
