@@ -142,10 +142,15 @@ object VrtIO {
     val coarsest = sources.map(_._2).maxBy(_.resolution)
     val (resX, resY) = (math.abs(coarsest.affine.a), math.abs(coarsest.affine.e))
     val bbs = sources.map(_._2.footprint.bbox)
-    val bounds = (bbs.map(_.xmin).min, bbs.map(_.ymin).min,
-      bbs.map(_.xmax).max, bbs.map(_.ymax).max)
-    val (w, h, affine) = graft.raster.Rasterize.rasterData(
-      Some(bounds), (resX, resY), None, None)
+    val (bxmin, bymin, bxmax, bymax) =
+      (bbs.map(_.xmin).min, bbs.map(_.ymin).min,
+        bbs.map(_.xmax).max, bbs.map(_.ymax).max)
+    // the mosaic grid is VIRTUAL (only an XML document) — same rint rule
+    // as Rasterize.rasterData without its materialization pixel budget
+    // (the reference's raster_data has no cap either)
+    val w = math.rint((bxmax - bxmin) / resX).toInt
+    val h = math.rint((bymax - bymin) / resY).toInt
+    val affine = graft.raster.Affine.northUp(bxmin, bymax, resX, resY)
 
     val dtypeName = sources.head._2.dtype match {
       case "uint8" => "Byte"
@@ -158,7 +163,8 @@ object VrtIO {
       case d => throw new IllegalArgumentException(s"cannot write VRT dtype $d")
     }
     def colorInterp(name: String): String =
-      if (Set("red", "green", "blue")(name.toLowerCase)) name.capitalize else "Gray"
+      if (Set("red", "green", "blue")(name.toLowerCase)) name.toLowerCase.capitalize
+      else "Gray"
 
     def sourceXml(fn: String, r: MRaster, band: String): String = {
       val xoff = (r.affine.c - affine.c) / affine.a

@@ -238,12 +238,10 @@ object QualityQueries {
     * [[DecontK]]-word gram with a held-out evaluation set (the standard
     * n-gram-overlap decontamination pass run before every LLM training
     * job). The "benchmark" here is the deterministic doc_id % [[EvalMod]]
-    * = 0 slice of the corpus. A real benchmark gram set is tiny relative
-    * to a 10^12-doc corpus, so the optimizer broadcasts it and the train
-    * side streams map-side with zero shuffle for the contamination probe
-    * (only the per-doc rollups shuffle on doc_id); the join is left
-    * UNHINTED so an oversized eval set degrades to a shuffle join rather
-    * than a forced-broadcast OOM. */
+    * = 0 slice of the corpus. The eval gram set — a fixed-size benchmark
+    * artifact, megabytes at any corpus scale — is explicitly broadcast so
+    * the train side streams map-side with ZERO shuffle for the
+    * contamination probe; only the per-doc rollups shuffle on doc_id. */
   /** The distinct (doc_id, gram-hash) frame both decontamination faces
     * share. PLANTED contamination (mirrored in the oracle) keeps the gates
     * non-vacuous at every SF: a canary phrase shared by the eval slice and
@@ -273,11 +271,14 @@ object QualityQueries {
       .localCheckpoint(true)
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    // no forced broadcast: a REAL benchmark gram set is tiny and the
-    // optimizer broadcasts it on its own; the synthetic 1/101 slice grows
-    // with the corpus, and an oversized eval set must degrade to a shuffle
-    // join rather than an OOM'd forced broadcast
-    val hits = train.join(evalSet, Seq("h"))
+    // the eval side is broadcast EXPLICITLY: a benchmark suite is a
+    // FIXED-size artifact (~10^6-10^7 grams — megabytes), not a corpus
+    // fraction, and the checkpointed frame's size-only stats carry no
+    // filter selectivity, so without the hint the planner would pick a
+    // sort-merge join and shuffle-write the entire N×L train gram stream.
+    // (The synthetic doc_id % EvalMod slice only APPROXIMATES a benchmark
+    // at test SFs; a caller with an unbounded eval set drops the hint.)
+    val hits = train.join(broadcast(evalSet), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_hit"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
@@ -300,7 +301,8 @@ object QualityQueries {
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val evalTotals = evalSet.groupBy(col("eval_doc"))
       .agg(count(lit(1)).as("n_grams"))
-    val hits = train.join(evalSet, Seq("h"))
+    // same explicit-broadcast reasoning as decontaminate
+    val hits = train.join(broadcast(evalSet), Seq("h"))
       .groupBy(col("eval_doc"))
       .agg(countDistinct(col("doc_id")).as("n_train_docs"),
         countDistinct(col("h")).as("n_leaked"),

@@ -178,6 +178,10 @@ object TextQueries {
       val propagated = lbl.join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           (col("nbr") < col("label")).as("chg"))
+        // both sides of the jump self-join read this frame with DIFFERENT
+        // partitionings (u vs label) — materialize once per round (the
+        // label table is the dup-graph node set, small by construction)
+        .localCheckpoint(true)
       // POINTER JUMPING: label(u) ← label(label(u)). Every label value is
       // itself a node id present in lbl, so the self-join always resolves.
       // Neighbor-min alone needs O(component diameter) rounds — a chain

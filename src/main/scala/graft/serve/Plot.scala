@@ -55,13 +55,20 @@ object Plot {
       .limit(limit)
       .collect()
       .map { r =>
-        val props0 = r.getString(1).trim
+        val raw = r.getString(1).trim
+        // normalize non-object/blank properties to an empty object so the
+        // style merge can never emit invalid JS ("", "null", "{ }", …)
+        val props0 =
+          if (raw.startsWith("{") && raw.endsWith("}")) raw else "{}"
         val props =
           if (styleFor == null) props0
           else {
             val style = styleFor(props0)
-            if (props0 == "{}") s"""{"style": $style}"""
-            else props0.dropRight(1) + s""", "style": $style}"""
+            val inner = props0.stripPrefix("{").stripSuffix("}").trim
+            // a pre-existing "style" key is overridden: JS object literals
+            // resolve duplicate keys last-wins, and ours is appended last
+            if (inner.isEmpty) s"""{"style": $style}"""
+            else s"""{$inner, "style": $style}"""
           }
         s"""{"type": "Feature", "geometry": ${r.getString(0)}, "properties": $props}"""
       }
@@ -85,12 +92,15 @@ object Plot {
 
   /** Folium-simple_plot-shaped document for a vector collection. */
   def simplePlot(fc: FeatureCollection): String = {
-    if (fc.isEmptyCollection)
-      // plotting.py:55-57 warns and leaves the bare map
+    // plotting.py:55-57 warns and leaves the bare map for empty GEOMETRY,
+    // not just empty collections — st_envelope_agg returns null when every
+    // geometry is empty/null, so probe it before dereferencing
+    val env = if (fc.isEmptyCollection) null else fc.envelope
+    if (env == null)
       document("/* <!-- empty geometry: no layer --> */ map.setView([0, 0], 2);")
     else {
       val json = featureCollectionJson(fc)
-      val bb = Geom.fromWkb(fc.envelope).bbox
+      val bb = Geom.fromWkb(env).bbox
       document(
         s"""var data = $json;
            |L.geoJSON(data, {style: function (f) { return (f.properties && f.properties.style) || {}; }}).addTo(map);
