@@ -57,4 +57,18 @@ class BucketedJoinSpec extends SparkTestBase {
       plan.take(800))
     assert(rows > 0)
   }
+
+  test("round-2 query plans: every join is keyed — no cartesian, no nested-loop") {
+    // q62 is excluded by design: its PIP join against the 6-row broadcast
+    // polygon layer is an intentional BroadcastNestedLoopJoin (like q02)
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q59_span_dedup", "q60_decontaminate", "q61_freq_quality",
+        "q63_percentiles", "q64_contamination_report")) {
+      val q = graft.SparkEntry.queries(name)(spark, sf)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: ${plan.take(400)}")
+    }
+  }
 }
