@@ -217,6 +217,19 @@ object VrtIO {
     Files.write(Paths.get(path), doc.getBytes("US-ASCII"))
   }
 
+  /** GeoMultiRaster (georaster.py:2363-2392): a virtual mosaic over a
+    * raster list, realized exactly the way the reference realizes it — a
+    * generated raster_list_vrt document read back through the VRT path.
+    * A single-member multiraster is pixel-identical to its member
+    * (test_geomultiraster.py:18-25). */
+  def multiRaster(sources: Seq[(String, MRaster)],
+                  resolve: String => String = identity): MRaster = {
+    val tmp = Files.createTempFile("multiraster", ".vrt")
+    write(sources, tmp.toString)
+    try read(tmp.toString, resolve)
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** wms_vrt (vrt.py:23-98): a VRT document over a GDAL_WMS description
     * file — the tiled-web-service half of `from_wms`. Pure deterministic
     * XML math (no network): the WMS DataWindow at its TileLevel resolution

@@ -83,6 +83,17 @@ class VrtSpec extends AnyFunSuite {
     assert(!mine.mask(d2))
   }
 
+  test("multiraster of one member is pixel-identical to the member (test_geomultiraster.py:18-25)") {
+    val r1 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap1.tif")
+    val m = VrtIO.multiRaster(Seq("overlap1.tif" -> r1), resolve)
+    assert(m.width === r1.width && m.height === r1.height && m.numBands === r1.numBands)
+    assert(m.crs === r1.crs)
+    assert(math.abs(m.affine.a - r1.affine.a) < 1e-9 &&
+      math.abs(m.affine.c - r1.affine.c) < 1e-6)
+    (0 until r1.numBands).foreach(b => assert(m.image(b).sameElements(r1.image(b))))
+    assert(m.mask.sameElements(r1.mask))
+  }
+
   test("wms_vrt numbers golden-match the reference's google_israel.vrt (test_vrt.py:50-58)") {
     // the test's `record` polygon bounds, WGS84 → the WMS projection (3857)
     val (x0, y0) = graft.core.Mercator.lngLatToMeters(34.32128906249999, 30.93050081760779)
