@@ -99,7 +99,10 @@ object Plot {
     if (env == null)
       document("/* <!-- empty geometry: no layer --> */ map.setView([0, 0], 2);")
     else {
-      val json = featureCollectionJson(fc)
+      // plot.max_rows: context-overridable head cap (GraftContext parity
+      // with the reference's thread-local option plumbing)
+      val json = featureCollectionJson(fc,
+        graft.core.GraftContext.getInt("plot.max_rows", SimplePlotMaxRows))
       val bb = Geom.fromWkb(env).bbox
       document(
         s"""var data = $json;

@@ -38,6 +38,11 @@ class PlotSpec extends SparkTestBase {
       (Geom.toWkb(Geom.GPoint(i.toDouble / 10, 0.0)), s"""{"i": $i}"""))
     val json = Plot.featureCollectionJson(fcOf(many))
     assert(""""type": "Feature"""".r.findAllIn(json).size === Plot.SimplePlotMaxRows)
+    // the cap is context-overridable (GraftContext = TelluricContext parity)
+    val html = graft.core.GraftContext.scoped("plot.max_rows" -> 3) {
+      Plot.simplePlot(fcOf(many))
+    }
+    assert(""""type": "Feature"""".r.findAllIn(html).size === 3)
   }
 
   test("style_element: computed style merges into each feature's properties") {
