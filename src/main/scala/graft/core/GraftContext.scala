@@ -16,9 +16,16 @@ object GraftContext {
 
   def getInt(key: String, default: Int): Int =
     local.get.get(key) match {
-      case Some(i: Int) => i
-      case Some(s: String) => s.toInt
-      case _ => default
+      case Some(n: Number) => n.intValue
+      case Some(s: String) =>
+        try s.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"context option $key is not an int: $s")
+        }
+      case Some(other) => throw new IllegalArgumentException(
+        s"context option $key is not an int: $other")
+      case None => default
     }
 
   def options: Map[String, Any] = local.get

@@ -225,9 +225,16 @@ object VrtIO {
   def multiRaster(sources: Seq[(String, MRaster)],
                   resolve: String => String = identity): MRaster = {
     val tmp = Files.createTempFile("multiraster", ".vrt")
-    write(sources, tmp.toString)
-    try read(tmp.toString, resolve)
-    finally Files.deleteIfExists(tmp)
+    val mosaic =
+      try {
+        write(sources, tmp.toString)
+        read(tmp.toString, resolve)
+      } finally Files.deleteIfExists(tmp)
+    // read() only sees lossy ColorInterp tags — restore the member band
+    // names via the same first-seen by-name unification write() applied,
+    // so a single-member multiraster is FULLY identical to its member
+    val names = sources.flatMap(_._2.bandNames.map(_.toString)).distinct
+    mosaic.copy(bandNames = names)
   }
 
   /** wms_vrt (vrt.py:23-98): a VRT document over a GDAL_WMS description

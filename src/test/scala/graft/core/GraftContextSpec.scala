@@ -50,9 +50,14 @@ class GraftContextSpec extends AnyFunSuite {
       GraftContext.scoped("k" -> 9) { throw new RuntimeException("boom") }
     }
     assert(GraftContext.options.isEmpty)
-    GraftContext.scoped("n" -> "42") {
+    GraftContext.scoped("n" -> "42", "l" -> 3L) {
       assert(GraftContext.getInt("n", 0) === 42)
+      assert(GraftContext.getInt("l", 0) === 3) // any Number coerces
       assert(GraftContext.getInt("missing", 7) === 7)
+    }
+    GraftContext.scoped("bad" -> "lots") {
+      val e = intercept[IllegalArgumentException](GraftContext.getInt("bad", 0))
+      assert(e.getMessage.contains("bad")) // names the malformed key
     }
   }
 }

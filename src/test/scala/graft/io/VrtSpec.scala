@@ -85,9 +85,12 @@ class VrtSpec extends AnyFunSuite {
 
   test("multiraster of one member is pixel-identical to the member (test_geomultiraster.py:18-25)") {
     val r1 = GeoTiffIO.read(s"$ref/tests/data/raster/overlap1.tif")
+      .copy(bandNames = Seq("red", "green", "blue"))
     val m = VrtIO.multiRaster(Seq("overlap1.tif" -> r1), resolve)
     assert(m.width === r1.width && m.height === r1.height && m.numBands === r1.numBands)
     assert(m.crs === r1.crs)
+    // band_names identity is part of the reference contract
+    assert(m.bandNames === r1.bandNames)
     assert(math.abs(m.affine.a - r1.affine.a) < 1e-9 &&
       math.abs(m.affine.c - r1.affine.c) < 1e-6)
     (0 until r1.numBands).foreach(b => assert(m.image(b).sameElements(r1.image(b))))

@@ -50,7 +50,9 @@ class BucketedJoinSpec extends SparkTestBase {
 
   test("q40 shuffle PIP: no BroadcastNestedLoopJoin; salted cell-equi shuffle plan (VERDICT r1 #6)") {
     val q = graft.queries.JoinQueries.shufflePip(spark, "/root/testdata/sf0.001")
-    val rows = q.count() // execute so AQE finalizes
+    // collect() executes THIS DataFrame's QueryExecution (count() would
+    // build a separate one and leave this plan unfinalized)
+    val rows = q.collect().length
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
@@ -65,7 +67,7 @@ class BucketedJoinSpec extends SparkTestBase {
     for (name <- Seq("q59_span_dedup", "q60_decontaminate", "q61_freq_quality",
         "q63_percentiles", "q64_contamination_report")) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
-      q.count()
+      q.collect() // executes this QueryExecution so AQE finalizes it
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(400)}")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: ${plan.take(400)}")
