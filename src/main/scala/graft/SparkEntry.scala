@@ -117,7 +117,7 @@ object SparkEntry {
     "q31_json_props" -> graft.queries.StreamOracles.jsonProps,
     "q32_anti_join" -> graft.queries.JoinOracles.antiJoin,
     "q33_range_join" -> graft.queries.JoinOracles.rangeJoin,
-    // q34_hll_cells: HLL sketch values are engine-specific → rows-only
+    "q34_hll_cells" -> graft.queries.MiscOracles.hllCells,
     "q35_grid_cells" -> graft.queries.MiscOracles.gridCells,
     "q36_minhash_groups" -> graft.queries.TextOracles.minhashGroups,
     "q37_simhash_neardup" -> graft.queries.TextOracles.simhashNeardup,

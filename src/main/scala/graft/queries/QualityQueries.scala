@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
 import org.apache.spark.sql.functions._
 import graft.model.Pages
 
@@ -67,7 +68,7 @@ object QualityQueries {
     // below the N×L occurrence stream at corpus scale), recompute the
     // cheap explode for the probe side — occurrences are never persisted
     val global = grams.groupBy(col("h")).agg(count(lit(1)).as("gcnt"))
-      .localCheckpoint(true)
+      .trackedCheckpoint
     grams.join(global, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -214,7 +215,7 @@ object QualityQueries {
     // (Contrast q18, where the persisted frame is the EXPENSIVE 128-perm
     // signature at 32 rows/doc — there persist-before-self-join wins.)
     val global = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2).localCheckpoint(true)
+      .where(col("cnt") >= 2).trackedCheckpoint
     val dup = grams.join(global, Seq("h"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = dup
@@ -268,7 +269,7 @@ object QualityQueries {
     // N×L rows and streams through both rollups from a recomputed explode
     val evalSet = grams.where(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("h"))
-      .localCheckpoint(true)
+      .trackedCheckpoint
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // the eval side is broadcast EXPLICITLY: a benchmark suite is a
@@ -297,7 +298,7 @@ object QualityQueries {
     val grams = decontGrams(spark, sfDir)
     val evalSet = grams.where(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("h"))
-      .localCheckpoint(true)
+      .trackedCheckpoint
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val evalTotals = evalSet.groupBy(col("eval_doc"))
       .agg(count(lit(1)).as("n_grams"))
@@ -331,7 +332,7 @@ object QualityQueries {
     // recomputed for the probe rather than persisted
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("bucket", length(bin(col("c"))))
-      .localCheckpoint(true)
+      .trackedCheckpoint
     toks.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bucket")).as("freq_sum"),

@@ -122,7 +122,7 @@ object StreamOracles {
          |GROUP BY 1""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH pages AS (${Pages.PagesSql.volumeCte("lineitem")}),
-       |pe AS (SELECT *, 1704067200 + (pid * 37) % 86400 AS epoch FROM pages)
+       |pe AS (SELECT *, 1704067200 + (CAST(pid AS BIGINT) * 37) % 86400 AS epoch FROM pages)
        |SELECT * FROM (
        |$perPoly
        |) ORDER BY win_start, poly_id""".stripMargin

@@ -101,8 +101,13 @@ object Plot {
     else {
       // plot.max_rows: context-overridable head cap (GraftContext parity
       // with the reference's thread-local option plumbing)
+      // '</' must not appear verbatim inside the inline <script>: a crawled
+      // property value containing '</script>' would terminate the script
+      // element mid-string (ADVICE r2). '<\/' is the same string to the JS
+      // parser but inert to the HTML tokenizer.
       val json = featureCollectionJson(fc,
         graft.core.GraftContext.getInt("plot.max_rows", SimplePlotMaxRows))
+        .replace("</", "<\\/")
       val bb = Geom.fromWkb(env).bbox
       document(
         s"""var data = $json;

@@ -42,12 +42,16 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val extra = conjuncts.flatMap {
+        // determinism guard (ADVICE r2): the added range conjuncts duplicate
+        // the coordinate expressions, so a non-deterministic lon/lat would
+        // be evaluated independently per conjunct and change the row set
         case StContainsXY(Literal(wkb: Array[Byte], BinaryType), lonE, latE)
-            if wkb != null =>
+            if wkb != null && lonE.deterministic && latE.deterministic =>
           val bb = Geom.fromWkb(wkb).bbox
           bboxConjuncts(lonE, latE, bb.xmin, bb.ymin, bb.xmax, bb.ymax)
         case StContainsRing(xsL: Literal, ysL: Literal, lonE, latE)
-            if xsL.value != null && ysL.value != null =>
+            if xsL.value != null && ysL.value != null &&
+              lonE.deterministic && latE.deterministic =>
           val xs = xsL.value.asInstanceOf[ArrayData].toDoubleArray()
           val ys = ysL.value.asInstanceOf[ArrayData].toDoubleArray()
           if (xs.isEmpty || ys.isEmpty) Nil
