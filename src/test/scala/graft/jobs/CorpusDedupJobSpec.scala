@@ -48,4 +48,43 @@ class CorpusDedupJobSpec extends SparkTestBase {
       assert(lake.versions(s) === Seq(1), s"stage $s must not recommit")
     }
   }
+
+  test("CC fixed-point rounds are reliable lake stages; a crash before a round's commit resumes without recomputing earlier rounds") {
+    val root = Files.createTempDirectory("cc_lake").toString
+    val lake = new graft.lake.LakeTable(root)
+
+    val labels = StagedCC.minhashLabels(spark, docsDf, lake, "cc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    // byte-equal to the in-memory (gate-query) fixed point
+    val expected = graft.queries.TextQueries.minhashLabelsOf(spark, docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(labels === expected, "staged CC must equal in-memory CC")
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+
+    // every round is an independently committed snapshot
+    val rounds = Iterator.from(0).takeWhile(i => lake.isCommitted(s"cc_round_$i")).toSeq
+    assert(rounds.length >= 3, s"expected seed + ≥1 propagation + converged round, got $rounds")
+    val lastRound = s"cc_round_${rounds.last}"
+    val earlier = ("cc_edges" +: rounds.init.map(i => s"cc_round_$i")).toSeq
+    val manifestsBefore = earlier.map(s => s -> lake.manifest(s).get).toMap
+
+    // simulate a crash where the LAST round's commit never landed: its
+    // manifest pointer is gone (partial data without a manifest is exactly
+    // what a mid-write crash leaves behind — LakeTable contract)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/$lastRound/_manifest.json"))
+    assert(!lake.isCommitted(lastRound))
+
+    // rerun: earlier rounds resume from their manifests untouched, only the
+    // crashed round recommits, and the labels are identical
+    val labels2 = StagedCC.minhashLabels(spark, docsDf, lake, "cc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(labels2 === labels, "resumed run must reproduce the labels")
+    assert(lake.isCommitted(lastRound), "crashed round recommitted")
+    earlier.foreach { s =>
+      assert(lake.manifest(s).get === manifestsBefore(s),
+        s"stage $s must not recommit on resume")
+    }
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
 }

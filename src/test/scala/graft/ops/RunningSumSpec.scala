@@ -33,4 +33,35 @@ class RunningSumSpec extends SparkTestBase {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Ordinals.withRunningSum(df, "cum", col("v"), col("id")).count() === 0)
   }
+
+  test("range shuffle is evaluated ONCE across the offsets action and the window action (VERDICT r2 #3)") {
+    import spark.implicits._
+    val n = 5000L
+    val acc = spark.sparkContext.longAccumulator("ord_input_rows")
+    val bump = udf { (id: Long) => acc.add(1L); id % 101L }
+    val df = spark.range(n).toDF("id").withColumn("v", bump(col("id")))
+
+    // jobs triggered by the CALL itself: logically the range-boundary
+    // sketch + the P-row offsets collect; under AQE each materialized
+    // query stage surfaces as its own job, so the bound is loose — the
+    // EXACT no-recompute observable is the accumulator below
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = Ordinals.withOrdinal(df, "rn", col("v"), col("id"))
+    Thread.sleep(1000) // listener bus is async; drain before reading
+    spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 6, s"withOrdinal call ran $jobs jobs")
+
+    assert(got.count() === n)
+    // one materialization = sketch pass + shuffle write over the same rows
+    // (2n UDF evaluations); the pre-fix double evaluation was 4n — the
+    // persisted frame must keep us strictly below that
+    assert(acc.value < 3 * n,
+      s"input evaluated ${acc.value} times for $n rows — range shuffle ran twice")
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
 }
