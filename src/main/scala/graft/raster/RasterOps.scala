@@ -154,11 +154,12 @@ object RasterOps {
   def invertMask(r: MRaster): MRaster = r.copy(mask = r.mask.map(!_))
 
   /** get_tile for a WGS84 raster (the cross-CRS path of
-    * georaster.py:2067-2082): crop with the 10% TELLURIC_GET_TILE_BUFFER,
-    * closed-form reproject of the sampling grid, resize to 256² —
-    * resampling is nearest (cubic parity documented approximate,
-    * SURVEY.md §7 risk 3). */
-  def getTile4326(r: MRaster, x: Long, y: Long, z: Int): MRaster = {
+    * georaster.py:2067-2082): closed-form reproject of the 256² sampling
+    * grid onto the Mercator tile. Default resampling is CUBIC B-SPLINE —
+    * the reference pins `Resampling.cubic_spline` for exactly this
+    * reprojection (georaster.py:2079); nearest/cubic remain selectable. */
+  def getTile4326(r: MRaster, x: Long, y: Long, z: Int,
+                  resampling: Resample.Method = Resample.CubicSpline): MRaster = {
     require(r.crs == 4326, "getTile4326 expects EPSG:4326 input")
     val b = Mercator.xyBounds(x, y, z)
     val res = Mercator.resolution(z)
@@ -168,21 +169,34 @@ object RasterOps {
     val inv = r.affine.inverse
     val img = Array.fill(r.numBands)(new Array[Double](256 * 256))
     val mask = Array.fill(256 * 256)(true)
+    val roundInt = Dtypes.isInteger(r.dtype)
     var row = 0
     while (row < 256) {
       var colI = 0
       while (colI < 256) {
-        // output pixel center in 3857 → lon/lat → source pixel (nearest)
+        // output pixel center in 3857 → lon/lat → continuous source pixel
         val mx = b.left + (colI + 0.5) * res
         val my = b.top - (row + 0.5) * res
         val (lon, lat) = Mercator.metersToLngLat(mx, my)
-        val sc = math.floor(inv.a * lon + inv.b * lat + inv.c).toInt
-        val sr = math.floor(inv.d * lon + inv.e * lat + inv.f).toInt
-        if (sc >= 0 && sc < r.width && sr >= 0 && sr < r.height && !r.masked(sc, sr)) {
+        val sc = inv.a * lon + inv.b * lat + inv.c
+        val sr = inv.d * lon + inv.e * lat + inv.f
+        if (sc >= 0 && sc < r.width && sr >= 0 && sr < r.height) {
           val i = row * 256 + colI
           var bd = 0
-          while (bd < r.numBands) { img(bd)(i) = r.get(bd, sc, sr); bd += 1 }
-          mask(i) = false
+          var anyValid = false
+          while (bd < r.numBands) {
+            val v = resampling match {
+              case Resample.Nearest     => Resample.sampleNearest(r, bd, sc, sr)
+              case Resample.Cubic       => Resample.sampleCubic(r, bd, sc, sr)
+              case Resample.CubicSpline => Resample.sampleSpline(r, bd, sc, sr)
+            }
+            if (!v.isNaN) {
+              img(bd)(i) = if (roundInt) Dtypes.clampToDtype(v, r.dtype) else v
+              anyValid = true
+            }
+            bd += 1
+          }
+          if (anyValid) mask(i) = false
         }
         colI += 1
       }

@@ -184,8 +184,9 @@ object Reproject {
           var anyValid = false
           while (b < src.numBands) {
             val v = resampling match {
-              case Resample.Nearest => Resample.sampleNearest(src, b, sc, sr)
-              case Resample.Cubic   => Resample.sampleCubic(src, b, sc, sr)
+              case Resample.Nearest     => Resample.sampleNearest(src, b, sc, sr)
+              case Resample.Cubic       => Resample.sampleCubic(src, b, sc, sr)
+              case Resample.CubicSpline => Resample.sampleSpline(src, b, sc, sr)
             }
             if (!v.isNaN) {
               img(b)(i) = if (roundInt) Dtypes.clampToDtype(v, src.dtype) else v

@@ -15,6 +15,7 @@ object Resample {
   sealed trait Method
   case object Nearest extends Method
   case object Cubic extends Method
+  case object CubicSpline extends Method
 
   private final val A = -0.5
 
@@ -25,6 +26,19 @@ object Resample {
     else 0.0
   }
 
+  /** Cubic B-spline kernel — GDAL/rasterio's `cubic_spline` (the reference
+    * pins it for the cross-CRS get_tile reprojection,
+    * georaster.py:2067-2082). Same 4×4 support as Keys cubic; everywhere
+    * non-negative (no overshoot/ringing, an approximating — not
+    * interpolating — smoother) and a partition of unity, so flat fields
+    * reproduce exactly under the renormalizing sampler. */
+  def splineWeight(x: Double): Double = {
+    val ax = math.abs(x)
+    if (ax <= 1.0) (4.0 + (3.0 * ax - 6.0) * ax * ax) / 6.0
+    else if (ax < 2.0) { val t = 2.0 - ax; t * t * t / 6.0 }
+    else 0.0
+  }
+
   @inline private def clamp(i: Int, lo: Int, hi: Int): Int =
     if (i < lo) lo else if (i > hi) hi else i
 
@@ -32,7 +46,16 @@ object Resample {
     * where integer values are pixel EDGES (centers at k+0.5 — the same
     * convention as `affine.inverse` applied to a geo point).
     * Returns NaN for a fully-masked neighborhood. */
-  def sampleCubic(src: MRaster, bi: Int, sc: Double, sr: Double): Double = {
+  def sampleCubic(src: MRaster, bi: Int, sc: Double, sr: Double): Double =
+    sample4x4(src, bi, sc, sr, spline = false)
+
+  /** B-spline sibling of [[sampleCubic]] — same mask renormalization and
+    * edge clamping, [[splineWeight]] kernel. */
+  def sampleSpline(src: MRaster, bi: Int, sc: Double, sr: Double): Double =
+    sample4x4(src, bi, sc, sr, spline = true)
+
+  private def sample4x4(src: MRaster, bi: Int, sc: Double, sr: Double,
+                        spline: Boolean): Double = {
     val u = sc - 0.5
     val v = sr - 0.5
     val i0 = math.floor(u).toInt
@@ -44,12 +67,13 @@ object Resample {
     var dj = -1
     while (dj <= 2) {
       val j = clamp(j0 + dj, 0, src.height - 1)
-      val wy = cubicWeight(dj - tv)
+      val wy = if (spline) splineWeight(dj - tv) else cubicWeight(dj - tv)
       var di = -1
       while (di <= 2) {
         val i = clamp(i0 + di, 0, src.width - 1)
         if (!src.masked(i, j)) {
-          val w = wy * cubicWeight(di - tu)
+          val wx = if (spline) splineWeight(di - tu) else cubicWeight(di - tu)
+          val w = wy * wx
           num += w * src.get(bi, i, j)
           den += w
         }

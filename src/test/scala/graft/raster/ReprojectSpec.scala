@@ -148,12 +148,84 @@ class ReprojectSpec extends AnyFunSuite {
     assert(deadOut.mask.forall(identity))
   }
 
+  test("cubic_spline: flat field exact, smooth field near cubic, low-frequency field near nearest") {
+    val w = 64; val h = 64
+    // flat uint8 field: partition-of-unity kernel + dtype rounding → exact
+    val flat = MRaster.filled(w, h, 7.0, Seq("1"),
+      Affine.northUp(0, h, 1, 1), 4326, "uint8", None)
+    val flatOut = Reproject.reproject(flat, dimensions = Some((40, 40)),
+      resampling = Resample.CubicSpline)
+    assert(flatOut.image(0).forall(_ === 7.0))
+    assert(!flatOut.mask.exists(identity))
+
+    // smooth field: spline is a smoother (no overshoot) — must track the
+    // Keys cubic within a tolerance AND stay within the local value range
+    val f = Array.tabulate(w * h) { i =>
+      val x = (i % w) / 8.0; val y = (i / w) / 8.0
+      100.0 + 40.0 * math.sin(x) * math.cos(y)
+    }
+    val r = MRaster(Array(f), Array.fill(w * h)(false), w, h,
+      Affine.northUp(0, h, 1, 1), 4326, Seq("1"), "float64", None)
+    val spl = Reproject.reproject(r, dimensions = Some((48, 48)),
+      resampling = Resample.CubicSpline)
+    val cub = Reproject.reproject(r, dimensions = Some((48, 48)),
+      resampling = Resample.Cubic)
+    var i = 0
+    while (i < 48 * 48) {
+      assert(math.abs(spl.image(0)(i) - cub.image(0)(i)) < 8.0)
+      assert(spl.image(0)(i) >= 60.0 - 1e-9 && spl.image(0)(i) <= 140.0 + 1e-9,
+        "B-spline must not overshoot the data range")
+      i += 1
+    }
+
+    // metamorphic vs nearest at LOW frequency: a slowly-varying ramp is
+    // reproduced to within the per-pixel step by the approximating spline
+    val ramp = Array.tabulate(w * h)(i => 1000.0 + 0.5 * (i % w) + 0.25 * (i / w))
+    val rr = MRaster(Array(ramp), Array.fill(w * h)(false), w, h,
+      Affine.northUp(0, h, 1, 1), 4326, Seq("1"), "float64", None)
+    val sOut = Reproject.reproject(rr, dimensions = Some((32, 32)),
+      resampling = Resample.CubicSpline)
+    val nOut = Reproject.reproject(rr, dimensions = Some((32, 32)),
+      resampling = Resample.Nearest)
+    i = 0
+    while (i < 32 * 32) {
+      assert(math.abs(sOut.image(0)(i) - nOut.image(0)(i)) <= 1.5)
+      i += 1
+    }
+
+    // fully-masked source stays masked
+    val dead = r.copy(mask = Array.fill(w * h)(true))
+    assert(Reproject.reproject(dead, dimensions = Some((16, 16)),
+      resampling = Resample.CubicSpline).mask.forall(identity))
+  }
+
+  test("cubic_spline vs cubic on the reference rgb.tif fixture (cross-CRS get_tile default)") {
+    val r = graft.io.GeoTiffIO.read("/root/reference/tests/data/raster/rgb.tif")
+    // band-0 means under both kernels on a modest reprojection must agree
+    // closely (the spline smooths, it must not bias)
+    val spl = Reproject.reproject(r, dimensions = Some((64, 64)),
+      resampling = Resample.CubicSpline)
+    val cub = Reproject.reproject(r, dimensions = Some((64, 64)),
+      resampling = Resample.Cubic)
+    var diffSum = 0.0; var n = 0
+    var i = 0
+    while (i < 64 * 64) {
+      if (!spl.mask(i) && !cub.mask(i)) {
+        diffSum += math.abs(spl.image(0)(i) - cub.image(0)(i)); n += 1
+      }
+      assert(spl.mask(i) === cub.mask(i), "kernels must agree on validity")
+      i += 1
+    }
+    assert(n > 1000, s"too few valid pixels: $n")
+    assert(diffSum / n < 10.0, s"mean |spline−cubic| = ${diffSum / n}")
+  }
+
   test("reproject matches getTile4326 on a tile-aligned target") {
     // same sampling rule ⇒ same pixels for a 4326 source onto a 3857 grid
     val (w, s, e, n) = graft.core.Mercator.lngLatBounds(2, 2, 2)
     val r = MRaster.filled(128, 128, 3.0, Seq("1"),
       Affine.northUp(w, n, (e - w) / 128, (n - s) / 128), 4326, "uint8", None)
-    val viaTile = RasterOps.getTile4326(r, 2, 2, 2)
+    val viaTile = RasterOps.getTile4326(r, 2, 2, 2, Resample.Nearest)
     val b = graft.core.Mercator.xyBounds(2, 2, 2)
     val res = graft.core.Mercator.resolution(2)
     val viaReproject = Reproject.reproject(r, dstCrs = Some(3857),
