@@ -88,17 +88,23 @@ object GeoTiffIO {
     val nodata = tags.get(42113).map(v => asciiValue(v).trim).filter(_.nonEmpty)
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
 
-    // mask: all bands equal nodata (dataset mask)
-    val mask = new Array[Boolean](w * h)
-    nodata.foreach { nd =>
-      var i = 0
-      while (i < w * h) {
-        var allNd = true
-        var b = 0
-        while (allNd && b < spp) { allNd = image(b)(i) == nd; b += 1 }
-        mask(i) = allNd
-        i += 1
+    // mask: an internal per-dataset mask IFD (GDAL_TIFF_INTERNAL_MASK — a
+    // chained IFD with NewSubfileType bit 4, 1-bit samples, bit 1 = valid;
+    // the COG writer emits one) takes precedence; otherwise the
+    // all-bands-equal-nodata heuristic
+    val mask = internalMask(buf, bytes, ifdOff.toInt, w, h).getOrElse {
+      val m = new Array[Boolean](w * h)
+      nodata.foreach { nd =>
+        var i = 0
+        while (i < w * h) {
+          var allNd = true
+          var b = 0
+          while (allNd && b < spp) { allNd = image(b)(i) == nd; b += 1 }
+          m(i) = allNd
+          i += 1
+        }
       }
+      m
     }
 
     val names =
@@ -108,6 +114,55 @@ object GeoTiffIO {
   }
 
   // ------------------------------------------------------------- internals
+
+  private def nextIfdOffset(buf: ByteBuffer, off: Int): Int = {
+    val n = buf.getShort(off) & 0xFFFF
+    buf.getInt(off + 2 + 12 * n)
+  }
+
+  /** Decode the full-resolution internal mask IFD if one is chained:
+    * returns masked-flags (true = INVALID; the on-disk bit is 1 = valid). */
+  private def internalMask(buf: ByteBuffer, bytes: Array[Byte],
+                           firstIfd: Int, w: Int, h: Int): Option[Array[Boolean]] = {
+    var off = nextIfdOffset(buf, firstIfd)
+    while (off != 0) {
+      val tags = readIfd(buf, off)
+      def one(t: Int, dflt: Long = 0L): Long =
+        tags.get(t).map(v => typedValues(buf, v).head).getOrElse(dflt)
+      val sub = one(254)
+      if ((sub & 4L) != 0L && one(256).toInt == w && one(257).toInt == h &&
+        tags.contains(322) && one(258, 1) == 1L) {
+        val tw = one(322).toInt
+        val th = one(323).toInt
+        val offs = typedValues(buf, tags(324))
+        val lens = typedValues(buf, tags(325))
+        val comp = one(259, 1).toInt
+        val rowBytes = (tw + 7) / 8
+        val tilesAcross = (w + tw - 1) / tw
+        val m = Array.fill(w * h)(true)
+        offs.indices.foreach { ti =>
+          val raw = java.util.Arrays.copyOfRange(
+            bytes, offs(ti).toInt, (offs(ti) + lens(ti)).toInt)
+          val seg = if (comp == 1) raw else inflate(raw, rowBytes * th)
+          val tx = (ti % tilesAcross) * tw
+          val ty = (ti / tilesAcross) * th
+          var r = 0
+          while (r < th && ty + r < h) {
+            var c = 0
+            while (c < tw && tx + c < w) {
+              val bit = (seg(r * rowBytes + (c >> 3)) >> (7 - (c & 7))) & 1
+              m((ty + r) * w + (tx + c)) = bit == 0
+              c += 1
+            }
+            r += 1
+          }
+        }
+        return Some(m)
+      }
+      off = nextIfdOffset(buf, off)
+    }
+    None
+  }
 
   private def readIfd(buf: ByteBuffer, off: Int): Map[Int, Tag] = {
     val n = buf.getShort(off) & 0xFFFF

@@ -35,10 +35,14 @@ object RasterOpen {
       s"unknown raster format for '$path' (expected .tif/.vrt/.png/.jpg)")
   }
 
-  def save(r: MRaster, path: String): Unit = {
+  /** `cog = true` writes a single-file Cloud-Optimized GeoTIFF
+    * (save_cloud_optimized, georaster.py:1923-1943): tiled + overview
+    * IFDs + internal mask, layout validated by [[CogValidator]]. */
+  def save(r: MRaster, path: String, cog: Boolean = false): Unit = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".tif") || lower.endsWith(".tiff")) GeoTiffWriter.write(r, path)
-    else if (lower.endsWith(".png"))
+    if (lower.endsWith(".tif") || lower.endsWith(".tiff")) {
+      if (cog) CogWriter.write(r, path) else GeoTiffWriter.write(r, path)
+    } else if (lower.endsWith(".png"))
       Files.write(Paths.get(path), Png.toPng(r))
     else throw new IllegalArgumentException(s"unknown raster sink for '$path'")
   }

@@ -1,0 +1,94 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raster.{Affine, MRaster, RasterArtifact}
+
+/** Single-file Cloud-Optimized GeoTIFF (save_cloud_optimized,
+  * georaster.py:1923-1943): the writer's layout is validated by the Scala
+  * port of the GDAL validator the reference vendors
+  * (tests/util/validate_cloud_optimized_geotiff.py), then reopened and
+  * compared band-for-band incl. the internal mask. */
+class CogSpec extends AnyFunSuite {
+
+  private def fixture(w: Int = 600, h: Int = 500): MRaster = {
+    val img = (0 until 2).map { b =>
+      Array.tabulate(w * h)(i => ((i * 31 + b * 7) % 251).toDouble)
+    }.toArray
+    val mask = Array.tabulate(w * h)(i => i % 97 == 0) // scattered invalid
+    MRaster(img, mask, w, h, Affine.northUp(20.0, 30.0, 0.01, 0.01),
+      4326, Seq("red", "nir"), "uint8", Some(255.0))
+  }
+
+  test("write → validate: zero errors from the ported GDAL COG checks") {
+    val r = fixture()
+    val path = Files.createTempDirectory("cog").resolve("c.tif").toString
+    CogWriter.write(r, path)
+    val errors = CogValidator.validate(path)
+    assert(errors.isEmpty, errors.mkString("; "))
+  }
+
+  test("write → reopen ≡ id: pixels, mask, geo, dtype, band names, nodata") {
+    val r = fixture()
+    val path = Files.createTempDirectory("cog").resolve("c.tif").toString
+    RasterOpen.save(r, path, cog = true)
+    val back = RasterOpen.open(path)
+    assert(back.width === r.width && back.height === r.height)
+    assert(back.dtype === r.dtype && back.crs === r.crs)
+    assert(back.bandNames === r.bandNames)
+    assert(back.nodata === r.nodata)
+    assert(math.abs(back.affine.a - r.affine.a) < 1e-12)
+    assert(math.abs(back.affine.c - r.affine.c) < 1e-12)
+    assert(math.abs(back.affine.f - r.affine.f) < 1e-12)
+    (0 until r.numBands).foreach { b =>
+      assert(back.image(b).toSeq === r.image(b).toSeq, s"band $b pixels")
+    }
+    // the internal mask IFD must reproduce the EXACT mask — including
+    // valid pixels whose value happens to equal nodata (the heuristic the
+    // mask IFD supersedes could not distinguish those)
+    assert(back.mask.toSeq === r.mask.toSeq)
+  }
+
+  test("overview count and sizes follow _calc_overviews_factors; small rasters skip overviews") {
+    val r = fixture()
+    val path = Files.createTempDirectory("cog").resolve("c.tif").toString
+    CogWriter.write(r, path)
+    val factors = RasterArtifact.overviewFactors(r)
+    assert(factors === Seq(2, 4), s"600×500 @256 blocksize: $factors")
+    assert(CogValidator.validate(path).isEmpty)
+
+    // < 512px: untiled/no-overview checks don't fire, file stays valid
+    val small = fixture(200, 150)
+    val p2 = Files.createTempDirectory("cog").resolve("s.tif").toString
+    CogWriter.write(small, p2)
+    assert(CogValidator.validate(p2).isEmpty)
+    val back = GeoTiffIO.read(p2)
+    assert(back.image(0).toSeq === small.image(0).toSeq)
+    assert(back.mask.toSeq === small.mask.toSeq)
+  }
+
+  test("negative control: the baseline strip writer is NOT cloud-optimized for large rasters") {
+    val r = fixture()
+    val path = Files.createTempDirectory("cog").resolve("strips.tif").toString
+    GeoTiffWriter.write(r, path)
+    val errors = CogValidator.validate(path)
+    assert(errors.exists(_.contains("not tiled")), errors.mkString("; "))
+    assert(errors.exists(_.contains("no overviews")), errors.mkString("; "))
+  }
+
+  test("multi-level pyramid: 1200×900 gets factors 2, 4, 8, all checks green") {
+    val w = 1200; val h = 900
+    val img = Array(Array.tabulate(w * h)(i => (i % 211).toDouble))
+    val r = MRaster(img, Array.fill(w * h)(false), w, h,
+      Affine.northUp(0, 90, 0.1, 0.1), 4326, Seq("b"), "uint8", None)
+    assert(RasterArtifact.overviewFactors(r) === Seq(2, 4, 8))
+    val path = Files.createTempDirectory("cog").resolve("p.tif").toString
+    CogWriter.write(r, path)
+    assert(CogValidator.validate(path).isEmpty)
+    val back = GeoTiffIO.read(path)
+    assert(back.image(0).toSeq === r.image(0).toSeq)
+    assert(!back.mask.exists(identity))
+  }
+}
