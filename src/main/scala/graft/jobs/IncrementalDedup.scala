@@ -1,0 +1,79 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession, GraftCheckpoints}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeTable, StageRunner}
+import graft.ops.TextOps
+import graft.queries.TextQueries
+
+/** INCREMENTAL near-dup detection (VERDICT r2 "Next round" #9): a daily
+  * batch-append face for the MinHash pipeline. The committed signature
+  * store (one row per doc: 128-perm signature) is the only state; an
+  * appended batch computes signatures for the NEW docs only, banded-joins
+  * them against the store (new×old) and against itself (new×new), refines
+  * exactly like the full pipeline, and commits the enlarged store as a new
+  * lake snapshot (time-travel keeps every prior corpus version).
+  *
+  * Equivalence contract (spec-enforced): the pairs an append reports are
+  * EXACTLY the pairs a full recompute over old ∪ new finds that involve a
+  * new doc — banding is per-doc, so candidate generation distributes over
+  * the corpus split, and the signature refine is pairwise. At 100 TB the
+  * append touches O(|batch|·bands) band rows against a bucket-partitioned
+  * store — never the whole corpus. */
+object IncrementalDedup {
+
+  val SigStage = "neardup_sig_store"
+
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+
+  /** Commit the signature store for the initial corpus; returns it. */
+  def init(spark: SparkSession, docs: DataFrame, lakeRoot: String): DataFrame = {
+    val lake = new LakeTable(lakeRoot)
+    StageRunner.stage(spark, lake, SigStage) {
+      TextQueries.sigsOf(spark, docs)
+    }
+  }
+
+  /** Append a batch: returns every near-dup pair (a < b) involving a new
+    * doc, and commits old ∪ new signatures as the store's next snapshot. */
+  def append(spark: SparkSession, newDocs: DataFrame, lakeRoot: String): DataFrame = {
+    val lake = new LakeTable(lakeRoot)
+    require(lake.isCommitted(SigStage), s"no committed $SigStage — run init first")
+    val old = lake.read(spark, SigStage)
+    val newSigs = GraftCheckpoints.local(TextQueries.sigsOf(spark, newDocs))
+
+    val oldBands = bandsOf(old)
+    val newBands = bandsOf(newSigs)
+    // new×old (either orientation) plus new×new, canonicalized a < b —
+    // old×old pairs were already reported by earlier appends/init
+    val crossCand = newBands.select(col("band"), col("key"), col("doc_id").as("x"))
+      .join(oldBands.select(col("band"), col("key"), col("doc_id").as("y")),
+        Seq("band", "key"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val selfCand = newBands.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(newBands.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val cand = crossCand.union(selfCand)
+      .where(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+
+    val allSigs = old.unionByName(newSigs)
+    val pairs = cand
+      .join(allSigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
+      .join(allSigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
+      .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
+      .where(col("n_match") >= TextOps.MatchThreshold)
+      .select(col("a"), col("b"), col("n_match"))
+      .orderBy(col("a"), col("b"))
+
+    // enlarge the store: a NEW snapshot version (readers of the old version
+    // keep time-travel access; LakeTable.commit is atomic)
+    lake.commit(SigStage, allSigs, Map("appended" -> "true"))
+    pairs
+  }
+}
