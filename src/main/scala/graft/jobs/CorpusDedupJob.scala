@@ -24,14 +24,30 @@ object StagedCC {
 
   def minhashLabels(spark: SparkSession, d: DataFrame,
                     lake: LakeTable, prefix: String): DataFrame = {
-    var sigsHandle: DataFrame = null
-    val sym = StageRunner.stage(spark, lake, s"${prefix}_edges") {
-      val (pairs, sigs) = TextQueries.minhashPairsWithSigs(spark, d)
-      sigsHandle = sigs
-      val edges = pairs.select(col("a"), col("b"))
-      edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
+    // the expensive MinHash pass is committed FIRST (the "LSH persist
+    // point" of VERDICT r2 #2): the banded self-join and the signature
+    // refine read COMMITTED parquet, so task retries after an executor
+    // loss re-read durable bytes instead of hitting truncated
+    // executor-local lineage
+    val sigs = StageRunner.stage(spark, lake, s"${prefix}_sigs") {
+      TextQueries.sigsOf(spark, d)
     }
-    if (sigsHandle != null) GraftCheckpoints.release(sigsHandle)
+    val sym = StageRunner.stage(spark, lake, s"${prefix}_edges") {
+      val bands = sigs.select(col("doc_id"),
+        posexplode(graft.ops.TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
+      val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+        .join(bands.select(col("band"), col("key"), col("doc_id").as("b")),
+          Seq("band", "key"))
+        .where(col("a") < col("b"))
+        .dropDuplicates("a", "b")
+      val pairs = cand
+        .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
+        .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
+        .where(graft.ops.TextOps.sigMatches(col("sa"), col("sb")) >=
+          graft.ops.TextOps.MatchThreshold)
+        .select(col("a"), col("b"))
+      pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+    }
 
     var lbl = StageRunner.stage(spark, lake, s"${prefix}_round_0") {
       sym.select(col("u")).distinct()
