@@ -98,8 +98,37 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"), col("pred"))
 
+  /** The 128-perm signature table for an sfDir input, staged ONCE per
+    * input fingerprint (same pattern as [[minhashLabels]]): q17/q18/q46
+    * all consume signatures, and a sweep used to run the expensive
+    * MinHash pass once per query. CorpusDedupJob stages exactly this
+    * table in its lake; here the stage cache is the query-facing twin.
+    * Values are deterministic, so every gate hash is unchanged. */
   private def sigsDf(spark: SparkSession, sfDir: String): DataFrame =
-    sigsOf(spark, docs(spark, sfDir))
+    labelStageLock.synchronized {
+      val dir = stageCacheDir(sfDir, "minhash_sigs")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        // the docs parquet is one row group (one scan task) — spread the
+        // docs BEFORE the expensive MinHash projection so the pass runs on
+        // every core, then the stage write is parallel too
+        sigsOf(spark, docs(spark, sfDir)
+            .repartition(spark.sparkContext.defaultParallelism))
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      }
+      spark.read.parquet(dir.getAbsolutePath)
+    }
+
+  /** fingerprint-keyed stage-cache directory for derived tables of an
+    * sfDir input: key = source path + size + mtime + algorithm params. */
+  private def stageCacheDir(sfDir: String, what: String): java.io.File = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = s"$what:${src.getCanonicalPath}:${src.length}:${src.lastModified}:" +
+      s"${TextOps.MatchThreshold}:${TextOps.BandRows}:v1"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-stage-cache/${what}_$fp")
+  }
 
   def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     GraftRegistrar.ensure(spark)
@@ -123,7 +152,7 @@ object TextQueries {
     * refine ≥ 90/128). Candidate volume is O(N·bands·bucket_size), never
     * O(N²): the join key is the band hash, so only same-bucket rows meet. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsOf(spark, docs(spark, sfDir))
+    pairsFromSigs(sigsDf(spark, sfDir)) // staged sigs: parquet-backed
 
   def minhashPairsOf(spark: SparkSession, d: DataFrame): DataFrame =
     minhashPairsWithSigs(spark, d)._1
@@ -140,6 +169,12 @@ object TextQueries {
     // `sigs` through the posexplode, persisting every signature 32× and
     // shuffling 128-long arrays through the join.)
     val sigs = sigsOf(spark, d).trackedCheckpoint
+    (pairsFromSigs(sigs), sigs)
+  }
+
+  /** banded candidates + exact refine over an already-materialized
+    * signature table (in-memory checkpoint or committed stage). */
+  private def pairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -153,7 +188,7 @@ object TextQueries {
       .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
       .where(col("n_match") >= TextOps.MatchThreshold)
       .select(col("a"), col("b"), col("n_match"))
-      .orderBy(col("a"), col("b")) -> sigs
+      .orderBy(col("a"), col("b"))
   }
 
   /** Near-dup GROUPS from the banded-LSH pair graph: connected components
@@ -178,15 +213,11 @@ object TextQueries {
     * a replay reads identical values and every gate hash is unchanged. */
   def minhashLabels(spark: SparkSession, sfDir: String): DataFrame =
     labelStageLock.synchronized {
-      val src = new java.io.File(s"$sfDir/documents.parquet")
-      val key = s"${src.getCanonicalPath}:${src.length}:${src.lastModified}:" +
-        s"${TextOps.MatchThreshold}:${TextOps.BandRows}:v1"
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft-stage-cache/minhash_labels_$fp")
+      val dir = stageCacheDir(sfDir, "minhash_labels")
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        val lbl = minhashLabelsOf(spark, docs(spark, sfDir))
+        // cold path builds on the STAGED signature table, so a sweep runs
+        // the MinHash pass at most once across q17/q18/q36/q46/q55
+        val lbl = labelsFromPairs(spark, pairsFromSigs(sigsDf(spark, sfDir)), None)
         lbl.write.mode("overwrite").parquet(dir.getAbsolutePath)
         GraftCheckpoints.release(lbl)
       }
@@ -197,11 +228,18 @@ object TextQueries {
 
   def minhashLabelsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     val (pairs, sigs) = minhashPairsWithSigs(spark, d)
+    labelsFromPairs(spark, pairs, Some(sigs))
+  }
+
+  /** min-propagation + pointer-jumping fixed point over a pair table;
+    * `sigsToRelease` is freed once the edge table is materialized. */
+  private def labelsFromPairs(spark: SparkSession, pairs: DataFrame,
+                              sigsToRelease: Option[DataFrame]): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
     val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
       .trackedCheckpoint
     // sym is materialized — the signature blocks behind the pair plan are dead
-    GraftCheckpoints.release(sigs)
+    sigsToRelease.foreach(GraftCheckpoints.release)
     // lblCp = the checkpoint HANDLE of the current label table (lbl may be
     // a projection of it); superseded rounds release their blocks
     // immediately, so peak residency is one round, not the fixed-point
