@@ -58,14 +58,22 @@ object Ordinals {
   }
 
   def withOrdinal(df: DataFrame, name: String, keys: Column*): DataFrame = {
-    // persisted across the offsets action and the window action — see
+    // persisted across the offsets action and the projection action — see
     // withRunningSum; also removes the determinism caveat the double
     // evaluation used to carry (both consumers now read the SAME
-    // materialized partitioning).
+    // materialized partitioning). The intra-partition index comes from
+    // monotonically_increasing_id's lower 33 bits (record number within
+    // the partition, in the sorted row order) — NOT a window: a
+    // Window.partitionBy(PartCol) would hash-EXCHANGE and re-sort data
+    // that is already partitioned exactly that way, because the optimizer
+    // cannot see that spark_partition_id() matches the physical
+    // distribution. The final ordinal is a pure projection over the
+    // persisted frame — zero additional shuffles.
     val sorted = GraftCheckpoints.persistTracked(df
       .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
-      .withColumn(PartCol, spark_partition_id()))
+      .withColumn(PartCol, spark_partition_id())
+      .withColumn("__mono", monotonically_increasing_id()))
     val counts = sorted.groupBy(col(PartCol)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
@@ -75,9 +83,9 @@ object Ordinals {
       else element_at(
         map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col(PartCol))
-    val w = Window.partitionBy(col(PartCol)).orderBy(keys: _*)
     sorted
-      .withColumn(name, (offExpr + row_number().over(w)).cast("long"))
-      .drop(PartCol)
+      .withColumn(name,
+        (offExpr + col("__mono").bitwiseAND(lit((1L << 33) - 1)) + 1L).cast("long"))
+      .drop(PartCol, "__mono")
   }
 }

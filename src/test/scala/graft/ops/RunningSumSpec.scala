@@ -34,6 +34,23 @@ class RunningSumSpec extends SparkTestBase {
     assert(Ordinals.withRunningSum(df, "cum", col("v"), col("id")).count() === 0)
   }
 
+  test("withOrdinal ≡ global row_number, with NO window operator in the plan") {
+    import spark.implicits._
+    val df = spark.range(20000).toDF("id")
+      .withColumn("k", pmod(col("id") * 131L, lit(7919L)))
+      .repartition(16)
+    val got = Ordinals.withOrdinal(df, "rn", col("k"), col("id"))
+    // the ordinal is a projection over the persisted range-shuffled frame —
+    // a Window here would mean a redundant hash exchange + sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    val exp = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    assert(got.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      exp.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
+
   test("range shuffle is evaluated ONCE across the offsets action and the window action (VERDICT r2 #3)") {
     import spark.implicits._
     val n = 5000L
