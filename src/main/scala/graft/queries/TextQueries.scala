@@ -60,7 +60,10 @@ object TextQueries {
     * ordinal (range-repartition + partition offsets — no single-partition
     * window; graft.ops.Ordinals). */
   def slice(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Ordinals.withOrdinal(docs(spark, sfDir),
+    // project BEFORE the ordinal: the range shuffle and its persisted
+    // frame carry two longs per row, not the derived html/text payload
+    graft.ops.Ordinals.withOrdinal(
+        docs(spark, sfDir).select(col("doc_id"), col("n_chars")),
         "rn", col("n_chars").desc, col("doc_id"))
       .withColumn("rn", col("rn").cast("int"))
       .where(col("rn") > 10 && col("rn") <= 20)
