@@ -17,9 +17,10 @@ import graft.raster.{MRaster, Reproject, Resample, RasterArtifact}
   *  - overview IFDs (NewSubfileType 254 = 1) chained after the main IFD in
   *    DESCENDING size order, all IFDs and their external values written
   *    before any pixel data;
-  *  - an internal per-dataset mask IFD (NewSubfileType = 4, 1-bit,
-  *    PhotometricInterpretation = 4 — GDAL_TIFF_INTERNAL_MASK layout,
-  *    bit 1 = valid) carrying `MRaster.mask`;
+  *  - internal per-dataset mask IFDs (NewSubfileType = 4 full-res,
+  *    5 per overview; 1-bit, PhotometricInterpretation = 4 —
+  *    GDAL_TIFF_INTERNAL_MASK layout, bit 1 = valid) carrying
+  *    `MRaster.mask` and its overview downsamples;
   *  - pixel data ordered smallest-overview → … → largest-overview → main
   *    image LAST (mask tiles first), so a range reader fetching the head
   *    of the file gets every IFD plus the low-resolution pyramid;
@@ -196,10 +197,12 @@ object CogWriter {
         else Nil)).sortBy(_.tag)
       Ifd(es, tiles)
     }
-    def maskIfd(lvl: MRaster): Ifd = {
+    // subfileType 4 = mask of the full-res image; 5 = FILETYPE_REDUCEDIMAGE
+    // | FILETYPE_MASK — mask of an overview (GDAL internal-mask layout)
+    def maskIfd(lvl: MRaster, subfileType: Long): Ifd = {
       val tiles = maskTilesOf(lvl)
       val es = Seq(
-        Entry(254, 4, 1, longs(4L)),
+        Entry(254, 4, 1, longs(subfileType)),
         Entry(256, 3, 1, shorts(lvl.width)),
         Entry(257, 3, 1, shorts(lvl.height)),
         Entry(258, 3, 1, shorts(1)),
@@ -215,20 +218,22 @@ object CogWriter {
       Ifd(es, tiles)
     }
 
-    // chain order = main, overviews (descending), mask
+    // chain order = main, overviews (descending), full-res mask, overview
+    // masks (the GDAL internal-mask IFD layout)
+    val nOvr = overviews.length
     val ifds: Seq[Ifd] =
-      imageIfd(r, isOverview = false, withGeo = true) +:
-        overviews.map(o => imageIfd(o, isOverview = true, withGeo = false)) :+
-        maskIfd(r)
+      (imageIfd(r, isOverview = false, withGeo = true) +:
+        overviews.map(o => imageIfd(o, isOverview = true, withGeo = false))) ++
+        (maskIfd(r, 4L) +: overviews.map(o => maskIfd(o, 5L)))
 
-    // layout: [header][IFD blocks in chain order][mask data]
+    // layout: [header][IFD blocks in chain order][all mask data]
     //         [smallest-ovr data]…[largest-ovr data][main data]
     val ifdOffsets = ifds.scanLeft(8)((off, ifd) => off + ifdBlockSize(ifd.entries)).init
     val dataStart = 8 + ifds.map(i => ifdBlockSize(i.entries)).sum
-    // data write order by IFD index: mask (last), then overviews reversed
+    // data write order by IFD index: masks first, then overviews reversed
     // (smallest first), then main (index 0) LAST
     val dataOrder: Seq[Int] =
-      Seq(ifds.length - 1) ++ (ifds.length - 2 to 1 by -1) ++ Seq(0)
+      (nOvr + 1 until ifds.length) ++ (nOvr to 1 by -1) ++ Seq(0)
     var cursor = dataStart
     val tileOffsets: Map[Int, Seq[Long]] = dataOrder.map { idx =>
       val offs = ifds(idx).tiles.map { t =>
@@ -277,6 +282,39 @@ object CogWriter {
   * reference vendors (tests/util/validate_cloud_optimized_geotiff.py):
   * returns the error list (empty = valid). Reads only IFD metadata. */
 object CogValidator {
+
+  /** (NewSubfileType, width, height) per chained IFD — spec hook for
+    * asserting the main/overview/mask IFD inventory. */
+  def ifdSummary(path: String): Seq[(Long, Int, Int)] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val order =
+      if (bytes(0) == 'I' && bytes(1) == 'I') ByteOrder.LITTLE_ENDIAN
+      else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    var out = Vector.empty[(Long, Int, Int)]
+    var off = (buf.getInt(4) & 0xFFFFFFFFL).toInt
+    while (off != 0) {
+      val n = buf.getShort(off) & 0xFFFF
+      var sub = 0L; var w = 0; var h = 0
+      (0 until n).foreach { i =>
+        val e = off + 2 + 12 * i
+        val tag = buf.getShort(e) & 0xFFFF
+        val ttype = buf.getShort(e + 2) & 0xFFFF
+        def inlineLong: Long =
+          if (ttype == 3) (buf.getShort(e + 8) & 0xFFFF).toLong
+          else buf.getInt(e + 8) & 0xFFFFFFFFL
+        tag match {
+          case 254 => sub = inlineLong
+          case 256 => w = inlineLong.toInt
+          case 257 => h = inlineLong.toInt
+          case _ => ()
+        }
+      }
+      out = out :+ ((sub, w, h))
+      off = buf.getInt(off + 2 + 12 * n)
+    }
+    out
+  }
 
   def validate(path: String): Seq[String] = {
     val bytes = Files.readAllBytes(Paths.get(path))

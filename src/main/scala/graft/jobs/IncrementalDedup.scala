@@ -38,10 +38,20 @@ object IncrementalDedup {
   }
 
   /** Append a batch: returns every near-dup pair (a < b) involving a new
-    * doc, and commits old ∪ new signatures as the store's next snapshot. */
-  def append(spark: SparkSession, newDocs: DataFrame, lakeRoot: String): DataFrame = {
+    * doc, and commits old ∪ new signatures as the store's next snapshot.
+    *
+    * `batchId` makes the append IDEMPOTENT for streaming replays
+    * (foreachBatch redelivers a batch after a crash between the store
+    * commit and the sink write): if the store's current snapshot already
+    * carries this batch id, the commit is skipped and the pair
+    * computation reads the store alone — same pair set, no duplicate
+    * signature rows. */
+  def append(spark: SparkSession, newDocs: DataFrame, lakeRoot: String,
+             batchId: Option[Long] = None): DataFrame = {
     val lake = new LakeTable(lakeRoot)
     require(lake.isCommitted(SigStage), s"no committed $SigStage — run init first")
+    val alreadyCommitted = batchId.exists(id =>
+      lake.manifest(SigStage).exists(_.contains("\"batch_id\":\"" + id + "\"")))
     val old = lake.read(spark, SigStage)
     val newSigs = GraftCheckpoints.local(TextQueries.sigsOf(spark, newDocs))
 
@@ -62,7 +72,9 @@ object IncrementalDedup {
       .where(col("a") =!= col("b"))
       .dropDuplicates("a", "b")
 
-    val allSigs = old.unionByName(newSigs)
+    // on a replay the store already holds the batch's signatures — using
+    // old ∪ new would duplicate those rows and multiply the refine join
+    val allSigs = if (alreadyCommitted) old else old.unionByName(newSigs)
     val pairs = cand
       .join(allSigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
       .join(allSigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
@@ -73,7 +85,32 @@ object IncrementalDedup {
 
     // enlarge the store: a NEW snapshot version (readers of the old version
     // keep time-travel access; LakeTable.commit is atomic)
-    lake.commit(SigStage, allSigs, Map("appended" -> "true"))
+    if (!alreadyCommitted)
+      lake.commit(SigStage, allSigs,
+        Map("appended" -> "true") ++ batchId.map("batch_id" -> _.toString))
     pairs
   }
+
+  /** Streaming face: every micro-batch of `docsStream` runs [[append]]
+    * (batch-id-idempotent) and appends its pair rows to `pairsOut` —
+    * the daily-incremental dedup operated as a continuous job. */
+  def appendStream(docsStream: DataFrame, lakeRoot: String,
+                   pairsOut: String, checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          append(batch.sparkSession, batch, lakeRoot, Some(id))
+            .write.mode("append").parquet(pairsOut)
+          // this streaming pipeline is the session's only in-flight query
+          // by construction (foreachBatch runs batches serially)
+          GraftCheckpoints.releaseAll()
+        }
+        ()
+      }
+      .start()
 }

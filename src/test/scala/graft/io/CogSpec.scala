@@ -90,5 +90,14 @@ class CogSpec extends AnyFunSuite {
     val back = GeoTiffIO.read(path)
     assert(back.image(0).toSeq === r.image(0).toSeq)
     assert(!back.mask.exists(identity))
+
+    // IFD inventory: main(0) + 3 overviews(1) + full-res mask(4) + 3
+    // overview masks(5) — the GDAL internal-mask chain layout
+    val chain = CogValidator.ifdSummary(path)
+    assert(chain.map(_._1) === Seq(0L, 1L, 1L, 1L, 4L, 5L, 5L, 5L), chain)
+    assert(chain.head === ((0L, w, h)))
+    assert(chain(4) === ((4L, w, h)), "full-res mask dims")
+    assert(chain(1)._2 === chain(5)._2 && chain(1)._3 === chain(5)._3,
+      "overview mask dims match overview dims")
   }
 }

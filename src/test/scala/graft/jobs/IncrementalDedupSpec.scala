@@ -74,4 +74,45 @@ class IncrementalDedupSpec extends SparkTestBase {
     // time-travel: version 1 still reads the original 4-doc store
     assert(lake.readAt(spark, IncrementalDedup.SigStage, 1).count() === 4)
   }
+
+  test("streaming face: micro-batches append through the store; replayed batch id is idempotent") {
+    val root = Files.createTempDirectory("incstream").toString
+    val in = Files.createTempDirectory("incstream_in").toString
+    val out = Files.createTempDirectory("incstream_out").toString + "/pairs"
+    val ck = Files.createTempDirectory("incstream_ck").toString
+    IncrementalDedup.init(spark, baseDocs, root)
+
+    def runAvailable(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = IncrementalDedup.appendStream(
+        spark.readStream.schema(schema).parquet(in), root, out, ck)
+      q.awaitTermination()
+    }
+
+    batchDocs.write.mode("append").parquet(in)
+    runAvailable()
+    val p1 = pairsOf(spark.read.parquet(out))
+    val full1 = pairsOf(graft.queries.TextQueries.minhashPairsOf(
+      spark, baseDocs.unionByName(batchDocs)))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    val newIds1 = Set(5L, 6L, 7L, 8L)
+    assert(p1 === full1.filter { case (a, b) => newIds1(a) || newIds1(b) })
+
+    val batch2 = Seq((9L, alt60 + " y9")).toDF("doc_id", "text")
+    batch2.write.mode("append").parquet(in)
+    runAvailable()
+    val p2 = pairsOf(spark.read.parquet(out))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(p2 === p1 ++ Set((6L, 9L), (7L, 9L)), s"got $p2")
+
+    // replay guard: re-running append with an ALREADY-COMMITTED batch id
+    // neither double-commits the store nor changes the pair set
+    val lake = new graft.lake.LakeTable(root)
+    val versionsBefore = lake.versions(IncrementalDedup.SigStage)
+    val replay = pairsOf(IncrementalDedup.append(spark, batch2, root, Some(1L)))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(replay === Set((6L, 9L), (7L, 9L)), s"replay=$replay")
+    assert(lake.versions(IncrementalDedup.SigStage) === versionsBefore,
+      "replayed batch must not commit a new store version")
+  }
 }
