@@ -128,9 +128,13 @@ object CogWriter {
 
   private final case class Ifd(entries: Seq[Entry], tiles: Seq[Array[Byte]])
 
+  /** external values are even-padded (TIFF 6.0: values begin on a word
+    * boundary; ASCII payloads can be odd-length). */
+  private def padded(len: Int): Int = len + (len & 1)
+
   /** IFD block size on disk: entry table + next pointer + external values. */
   private def ifdBlockSize(e: Seq[Entry]): Int =
-    2 + 12 * e.length + 4 + e.map(_.payload.length).filter(_ > 4).sum
+    2 + 12 * e.length + 4 + e.map(_.payload.length).filter(_ > 4).map(padded).sum
 
   def write(r: MRaster, path: String, blocksize: Int = BlockSize): Unit = {
     val (sampleFormat, bps) = dtypeInfo(r.dtype)
@@ -234,14 +238,18 @@ object CogWriter {
     // (smallest first), then main (index 0) LAST
     val dataOrder: Seq[Int] =
       (nOvr + 1 until ifds.length) ++ (nOvr to 1 by -1) ++ Seq(0)
-    var cursor = dataStart
+    var cursor = dataStart.toLong
     val tileOffsets: Map[Int, Seq[Long]] = dataOrder.map { idx =>
       val offs = ifds(idx).tiles.map { t =>
-        val o = cursor.toLong; cursor += t.length; o
+        val o = cursor; cursor += t.length; o
       }
       idx -> offs
     }.toMap
-    val total = cursor
+    require(cursor < Int.MaxValue.toLong,
+      s"COG would be $cursor bytes — classic TIFF offsets are 32-bit; " +
+        "shard the raster (RasterArtifact) or reduce it before writing " +
+        "(BigTIFF is out of scope)")
+    val total = cursor.toInt
 
     val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     out.put(0, 'I'.toByte); out.put(1, 'I'.toByte)
@@ -263,7 +271,7 @@ object CogWriter {
         else {
           System.arraycopy(longs(extOff.toLong), 0, out.array(), at + 8, 4)
           System.arraycopy(e.payload, 0, out.array(), extOff, e.payload.length)
-          extOff += e.payload.length
+          extOff += padded(e.payload.length)
         }
       }
       val next = if (idx + 1 < ifds.length) ifdOffsets(idx + 1) else 0
