@@ -180,8 +180,10 @@ object CogWriter {
       val tiles = tilesOf(lvl)
       val es = (Seq.empty[Entry] ++
         (if (isOverview) Seq(Entry(254, 4, 1, longs(1L))) else Nil) ++ Seq(
-        Entry(256, 3, 1, shorts(lvl.width)),
-        Entry(257, 3, 1, shorts(lvl.height)),
+        // dims as LONG (TIFF allows SHORT or LONG): a pyramided raster
+        // routinely exceeds 65535 px and a SHORT would silently wrap
+        Entry(256, 4, 1, longs(lvl.width.toLong)),
+        Entry(257, 4, 1, longs(lvl.height.toLong)),
         Entry(258, 3, spp, shorts(Seq.fill(spp)(bps): _*)),
         Entry(259, 3, 1, shorts(8)),
         Entry(262, 3, 1, shorts(if (spp >= 3) 2 else 1)),
@@ -207,8 +209,8 @@ object CogWriter {
       val tiles = maskTilesOf(lvl)
       val es = Seq(
         Entry(254, 4, 1, longs(subfileType)),
-        Entry(256, 3, 1, shorts(lvl.width)),
-        Entry(257, 3, 1, shorts(lvl.height)),
+        Entry(256, 4, 1, longs(lvl.width.toLong)),
+        Entry(257, 4, 1, longs(lvl.height.toLong)),
         Entry(258, 3, 1, shorts(1)),
         Entry(259, 3, 1, shorts(8)),
         Entry(262, 3, 1, shorts(4)),

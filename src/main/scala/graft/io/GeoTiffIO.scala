@@ -130,8 +130,13 @@ object GeoTiffIO {
       def one(t: Int, dflt: Long = 0L): Long =
         tags.get(t).map(v => typedValues(buf, v).head).getOrElse(dflt)
       val sub = one(254)
+      // only codecs this reader decodes natively (none / Deflate) — a
+      // foreign LZW/PackBits mask IFD falls through to the nodata
+      // heuristic instead of crashing the open
+      val maskComp = one(259, 1).toInt
       if ((sub & 4L) != 0L && one(256).toInt == w && one(257).toInt == h &&
-        tags.contains(322) && one(258, 1) == 1L) {
+        tags.contains(322) && one(258, 1) == 1L &&
+        (maskComp == 1 || maskComp == 8 || maskComp == 32946)) {
         val tw = one(322).toInt
         val th = one(323).toInt
         val offs = typedValues(buf, tags(324))

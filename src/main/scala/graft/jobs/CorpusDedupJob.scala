@@ -33,19 +33,10 @@ object StagedCC {
       TextQueries.sigsOf(spark, d)
     }
     val sym = StageRunner.stage(spark, lake, s"${prefix}_edges") {
-      val bands = sigs.select(col("doc_id"),
-        posexplode(graft.ops.TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
-      val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
-        .join(bands.select(col("band"), col("key"), col("doc_id").as("b")),
-          Seq("band", "key"))
-        .where(col("a") < col("b"))
-        .dropDuplicates("a", "b")
-      val pairs = cand
-        .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
-        .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
-        .where(graft.ops.TextOps.sigMatches(col("sa"), col("sb")) >=
-          graft.ops.TextOps.MatchThreshold)
-        .select(col("a"), col("b"))
+      // the SHARED LSH candidate+refine pipeline (TextQueries.pairsFromSigs)
+      // over the committed signature stage — one implementation for the
+      // gate queries and the job path
+      val pairs = TextQueries.pairsFromSigs(sigs).select(col("a"), col("b"))
       pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
     }
 

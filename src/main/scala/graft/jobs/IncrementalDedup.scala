@@ -47,13 +47,33 @@ object IncrementalDedup {
     * computation reads the store alone — same pair set, no duplicate
     * signature rows. */
   def append(spark: SparkSession, newDocs: DataFrame, lakeRoot: String,
-             batchId: Option[Long] = None): DataFrame = {
+             batchId: Option[Long] = None): DataFrame =
+    appendWithHandle(spark, newDocs, lakeRoot, batchId)._1
+
+  /** [[append]] plus the checkpointed new-signature handle, so a streaming
+    * caller can free exactly the blocks this append pinned once its sink
+    * write completes — a global releaseAll would also kill any OTHER
+    * query's live checkpoints on a shared session. */
+  private[jobs] def appendWithHandle(
+      spark: SparkSession, newDocs: DataFrame, lakeRoot: String,
+      batchId: Option[Long]): (DataFrame, DataFrame) = {
     val lake = new LakeTable(lakeRoot)
     require(lake.isCommitted(SigStage), s"no committed $SigStage — run init first")
     val alreadyCommitted = batchId.exists(id =>
       lake.manifest(SigStage).exists(_.contains("\"batch_id\":\"" + id + "\"")))
     val old = lake.read(spark, SigStage)
-    val newSigs = GraftCheckpoints.local(TextQueries.sigsOf(spark, newDocs))
+    // DISJOINTNESS GUARD: a re-delivered doc_id (crawler re-fetch, overlap
+    // between feeds) must not append a second signature row — duplicate
+    // store rows would multiply every future refine join. Re-deliveries
+    // are dropped (first-write-wins, matching exact-dedup's keep-min
+    // semantics); an UPDATE workflow would instead rollback + recommit.
+    // On a KNOWN replay (this batch id already committed) the whole batch
+    // is in the store, so the incoming signatures serve as the probe side
+    // unfiltered and the pair set reproduces exactly.
+    val incoming = TextQueries.sigsOf(spark, newDocs)
+    val newSigs = GraftCheckpoints.local(
+      if (alreadyCommitted) incoming
+      else incoming.join(old.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
     val oldBands = bandsOf(old)
     val newBands = bandsOf(newSigs)
@@ -84,11 +104,12 @@ object IncrementalDedup {
       .orderBy(col("a"), col("b"))
 
     // enlarge the store: a NEW snapshot version (readers of the old version
-    // keep time-travel access; LakeTable.commit is atomic)
-    if (!alreadyCommitted)
+    // keep time-travel access; LakeTable.commit is atomic). A batch whose
+    // docs were ALL re-deliveries contributes nothing — no version spam.
+    if (!alreadyCommitted && newSigs.limit(1).count() > 0)
       lake.commit(SigStage, allSigs,
         Map("appended" -> "true") ++ batchId.map("batch_id" -> _.toString))
-    pairs
+    (pairs, newSigs)
   }
 
   /** Streaming face: every micro-batch of `docsStream` runs [[append]]
@@ -104,11 +125,12 @@ object IncrementalDedup {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
-          append(batch.sparkSession, batch, lakeRoot, Some(id))
-            .write.mode("append").parquet(pairsOut)
-          // this streaming pipeline is the session's only in-flight query
-          // by construction (foreachBatch runs batches serially)
-          GraftCheckpoints.releaseAll()
+          val (pairs, sigHandle) =
+            appendWithHandle(batch.sparkSession, batch, lakeRoot, Some(id))
+          pairs.write.mode("append").parquet(pairsOut)
+          // release exactly what this append pinned — other queries on a
+          // shared session keep their live checkpoints
+          GraftCheckpoints.release(sigHandle)
         }
         ()
       }

@@ -110,27 +110,58 @@ object TextQueries {
   private def sigsDf(spark: SparkSession, sfDir: String): DataFrame =
     labelStageLock.synchronized {
       val dir = stageCacheDir(sfDir, "minhash_sigs")
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        // the docs parquet is one row group (one scan task) — spread the
-        // docs BEFORE the expensive MinHash projection so the pass runs on
-        // every core, then the stage write is parallel too
-        sigsOf(spark, docs(spark, sfDir)
-            .repartition(spark.sparkContext.defaultParallelism))
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
-      }
+      // the docs parquet is one row group (one scan task) — spread the
+      // docs BEFORE the expensive MinHash projection so the pass runs on
+      // every core, then the stage write is parallel too
+      publishStage(sigsOf(spark, docs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)), dir)
       spark.read.parquet(dir.getAbsolutePath)
     }
 
+  /** Bump when ANY MinHash-pipeline semantic changes that the constants
+    * below don't capture (shingling logic, permutation formula, band-key
+    * encoding) — a stale cache would otherwise outlive the code change
+    * and desynchronize the gate from the oracle. */
+  private val StageCacheVersion = "v2"
+
   /** fingerprint-keyed stage-cache directory for derived tables of an
-    * sfDir input: key = source path + size + mtime + algorithm params. */
+    * sfDir input: key = source path + size + mtime + every algorithm
+    * constant of the signature pipeline + [[StageCacheVersion]]. */
   private def stageCacheDir(sfDir: String, what: String): java.io.File = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val key = s"$what:${src.getCanonicalPath}:${src.length}:${src.lastModified}:" +
-      s"${TextOps.MatchThreshold}:${TextOps.BandRows}:v1"
+      s"${TextOps.NumPerms}:${TextOps.ShingleWidth}:${TextOps.MinhashP}:" +
+      s"${TextOps.Bands}:${TextOps.BandRows}:${TextOps.MatchThreshold}:" +
+      StageCacheVersion
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft-stage-cache/${what}_$fp")
+  }
+
+  /** Publish a stage-cache table ATOMICALLY: write to a process-unique
+    * sibling, rename into place (same filesystem → atomic), discard on
+    * lost races — a concurrent JVM can never observe a half-written dir
+    * (the in-JVM labelStageLock only serializes THIS process). */
+  private def publishStage(df: DataFrame, dir: java.io.File): Unit = {
+    if (new java.io.File(dir, "_SUCCESS").exists()) return
+    val tmp = new java.io.File(dir.getParentFile,
+      dir.getName + ".tmp-" + java.lang.ProcessHandle.current().pid())
+    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    try {
+      java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.FileSystemException =>
+        // another process published first — its content is identical
+        // (deterministic values); drop ours
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+    }
   }
 
   def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
@@ -156,6 +187,7 @@ object TextQueries {
     * O(N²): the join key is the band hash, so only same-bucket rows meet. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     pairsFromSigs(sigsDf(spark, sfDir)) // staged sigs: parquet-backed
+      .orderBy(col("a"), col("b"))
 
   def minhashPairsOf(spark: SparkSession, d: DataFrame): DataFrame =
     minhashPairsWithSigs(spark, d)._1
@@ -175,9 +207,14 @@ object TextQueries {
     (pairsFromSigs(sigs), sigs)
   }
 
-  /** banded candidates + exact refine over an already-materialized
-    * signature table (in-memory checkpoint or committed stage). */
-  private def pairsFromSigs(sigs: DataFrame): DataFrame = {
+  /** Banded candidates + exact refine over an already-materialized
+    * signature table (in-memory checkpoint or committed stage) —
+    * UNORDERED; gate queries sort, jobs don't need to. The ONE
+    * implementation of the LSH candidate+refine pipeline: the gate
+    * queries, the label fixed point, and the staged job path
+    * ([[graft.jobs.StagedCC]]) all call this, so banding/threshold
+    * changes cannot silently diverge the byte-equality-coupled paths. */
+  private[graft] def pairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -191,7 +228,6 @@ object TextQueries {
       .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
       .where(col("n_match") >= TextOps.MatchThreshold)
       .select(col("a"), col("b"), col("n_match"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Near-dup GROUPS from the banded-LSH pair graph: connected components
@@ -221,7 +257,7 @@ object TextQueries {
         // cold path builds on the STAGED signature table, so a sweep runs
         // the MinHash pass at most once across q17/q18/q36/q46/q55
         val lbl = labelsFromPairs(spark, pairsFromSigs(sigsDf(spark, sfDir)), None)
-        lbl.write.mode("overwrite").parquet(dir.getAbsolutePath)
+        publishStage(lbl, dir)
         GraftCheckpoints.release(lbl)
       }
       spark.read.parquet(dir.getAbsolutePath)

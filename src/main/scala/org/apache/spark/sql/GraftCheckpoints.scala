@@ -4,6 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
+import scala.util.control.NonFatal
+
 /** Session-hygiene registry for checkpointed/persisted frames (VERDICT r2
   * "What's wrong" #1: `localCheckpoint(true)` blocks were never unpersisted,
   * so a long-lived session — exactly what a 100-TB pipeline driver is —
@@ -12,12 +14,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * Every query-internal materialization goes through [[local]] (lineage
   * truncation + eager MEMORY_AND_DISK blocks, as before) or
-  * [[persistTracked]] (plain recomputable cache); the handle to the
-  * underlying block-holding RDD is recorded, and the harness (Bench sweep,
-  * Verify, a job's epilogue) calls [[releaseAll]] once the query's terminal
-  * action has consumed the result. Iterative jobs additionally call
-  * [[release]] on superseded per-round frames so peak block residency is
-  * one round, not the whole fixed-point history.
+  * [[persistTracked]] (plain recomputable cache); the frame maps to a
+  * RELEASE THUNK that frees whatever actually holds the blocks (the
+  * checkpointed internal RDD for local checkpoints, the CacheManager entry
+  * for persisted frames), and the harness (Bench sweep, Verify, a job's
+  * epilogue) calls [[releaseAll]] once the query's terminal action has
+  * consumed the result. Iterative jobs additionally call [[release]] on
+  * superseded per-round frames so peak block residency is one round, not
+  * the whole fixed-point history.
   *
   * NOTE a released local checkpoint is NOT recomputable (lineage is
   * truncated by design) — callers must rebuild the query from its
@@ -25,23 +29,29 @@ import org.apache.spark.storage.StorageLevel
 object GraftCheckpoints {
 
   private val tracked =
-    new java.util.IdentityHashMap[Dataset[_], RDD[_]]()
+    new java.util.IdentityHashMap[Dataset[_], () => Unit]()
 
   /** `df.localCheckpoint(eager = true)` with the block-holding internal RDD
     * registered for later release. */
   def local(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     underlyingRdd(cp).foreach { r =>
-      tracked.synchronized { tracked.put(cp, r) }
+      tracked.synchronized {
+        tracked.put(cp, () => r.unpersist(blocking = true))
+      }
     }
     cp
   }
 
-  /** Eagerly-populated recomputable cache (used where lineage must remain
-    * replayable); registered like [[local]]. */
+  /** Eagerly-releasable recomputable cache (used where lineage must remain
+    * replayable); registered like [[local]]. The release thunk goes
+    * through `Dataset.unpersist` — a persisted frame's blocks live in the
+    * CacheManager's InMemoryRelation, not in any RDD handle. */
   def persistTracked(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.synchronized { tracked.put(df, df.rdd) }
+    tracked.synchronized {
+      tracked.put(df, () => { df.unpersist(blocking = true); () })
+    }
     df
   }
 
@@ -49,26 +59,23 @@ object GraftCheckpoints {
     * is actually back before the next round allocates). No-op for frames
     * not created by this registry. */
   def release(df: DataFrame): Unit = {
-    val rdd = tracked.synchronized { tracked.remove(df) }
-    if (rdd != null) rdd.unpersist(blocking = true)
-    // persistTracked frames also sit in the cache manager
-    try df.unpersist(blocking = true) catch { case _: Throwable => () }
+    val thunk = tracked.synchronized { tracked.remove(df) }
+    if (thunk != null) {
+      try thunk() catch { case NonFatal(_) => () }
+    }
   }
 
   /** Drop every tracked frame's blocks — the per-query epilogue of a
     * long-lived session. Safe to call between sequential queries; NOT safe
     * while another query holding live checkpoints is mid-flight. */
   def releaseAll(): Unit = {
-    val entries = tracked.synchronized {
+    val thunks = tracked.synchronized {
       import scala.jdk.CollectionConverters._
-      val es = tracked.entrySet().asScala.map(e => (e.getKey, e.getValue)).toSeq
+      val ts = tracked.values().asScala.toSeq
       tracked.clear()
-      es
+      ts
     }
-    entries.foreach { case (df, rdd) =>
-      rdd.unpersist(blocking = true)
-      try df.unpersist(blocking = true) catch { case _: Throwable => () }
-    }
+    thunks.foreach { t => try t() catch { case NonFatal(_) => () } }
   }
 
   /** Count of still-tracked frames (spec hook). */
@@ -77,11 +84,13 @@ object GraftCheckpoints {
   /** Register `derived` (a projection/narrowing of a tracked frame) so that
     * `release(derived)` frees the SOURCE's blocks — callers that return a
     * `.drop(...)` of a checkpoint would otherwise hand out a handle the
-    * registry can't resolve. Double-unpersist on releaseAll is a no-op. */
+    * registry can't resolve. The source's thunk is shared, so this works
+    * for [[local]] AND [[persistTracked]] sources; double invocation on
+    * releaseAll is an idempotent no-op. */
   def alias(derived: DataFrame, source: DataFrame): DataFrame = {
     tracked.synchronized {
-      val rdd = tracked.get(source)
-      if (rdd != null) tracked.put(derived, rdd)
+      val thunk = tracked.get(source)
+      if (thunk != null) tracked.put(derived, thunk)
     }
     derived
   }
