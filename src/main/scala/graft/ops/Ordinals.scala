@@ -48,7 +48,7 @@ object Ordinals {
     val offExpr =
       if (offsets.isEmpty) lit(0L)
       else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        map(offsets.toIndexedSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col(PartCol))
     val w = Window.partitionBy(col(PartCol)).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -81,7 +81,7 @@ object Ordinals {
     val offExpr =
       if (offsets.isEmpty) lit(0L)
       else element_at(
-        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        map(offsets.toIndexedSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col(PartCol))
     sorted
       .withColumn(name,
