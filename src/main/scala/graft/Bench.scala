@@ -243,7 +243,12 @@ object Bench {
     // session stays clean instead of accumulating 64 queries of blocks.
     val s32 = session(32)
     val (tiles, tileWall) = time(pyramidJob(s32, sfDir))
-    val sweep = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // per query: TWO independent builds; the headline is the min (the
+    // reproducible-evidence estimator), and the FIRST-run wall is emitted
+    // beside it so the cost the shared stage cache absorbs (signature /
+    // label tables built once per input, like a real pipeline) stays
+    // visible in the artifact rather than hidden by the min
+    val sweepRuns = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>
         val (_, sec) = time {
           try fn(s32, sfDir).count()
@@ -252,8 +257,10 @@ object Bench {
         org.apache.spark.sql.GraftCheckpoints.releaseAll()
         sec
       }
-      name -> secs.min
+      (name, secs.min, secs.head)
     }
+    val sweep = sweepRuns.map { case (n, m, _) => n -> m }
+    val sweepCold = sweepRuns.map { case (n, _, c) => n -> c }
     s32.stop()
 
     val rps2 = rows2 / wall2
@@ -268,7 +275,10 @@ object Bench {
     val effNorm = (rps32 / rps8) / kernelSpeedup
     val qs = sweep.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsCold = sweepCold.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = f"${sweep.map(_._2).sum}%.3f"
+    val totalCold = f"${sweepCold.map(_._2).sum}%.3f"
     val eff2S = f"$eff2to8%.3f"
     val effS = f"$eff%.3f"
     val effNormS = f"$effNorm%.3f"
@@ -276,6 +286,6 @@ object Bench {
     val effMedS = f"$eff2to8Median%.3f"
     val effsJson = effsList.map(e => f"$e%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_first_run":$totalCold,"queries_first_run":$qsCold,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
   }
 }

@@ -136,7 +136,15 @@ object CogWriter {
   private def ifdBlockSize(e: Seq[Entry]): Int =
     2 + 12 * e.length + 4 + e.map(_.payload.length).filter(_ > 4).map(padded).sum
 
-  def write(r: MRaster, path: String, blocksize: Int = BlockSize): Unit = {
+  def write(r: MRaster, path: String, blocksize: Int = BlockSize): Unit =
+    writeLayout(r, path, blocksize, cogDataOrder = true)
+
+  /** test hook: `cogDataOrder = false` writes the SAME IFDs but puts the
+    * main image's data FIRST — a structurally valid TIFF that violates the
+    * COG data-ordering contract, proving the validator's ordering checks
+    * are not vacuous. */
+  private[io] def writeLayout(r: MRaster, path: String, blocksize: Int,
+                              cogDataOrder: Boolean): Unit = {
     val (sampleFormat, bps) = dtypeInfo(r.dtype)
     val spp = r.numBands
     val bytesPerSample = bps / 8
@@ -239,7 +247,8 @@ object CogWriter {
     // data write order by IFD index: masks first, then overviews reversed
     // (smallest first), then main (index 0) LAST
     val dataOrder: Seq[Int] =
-      (nOvr + 1 until ifds.length) ++ (nOvr to 1 by -1) ++ Seq(0)
+      if (cogDataOrder) (nOvr + 1 until ifds.length) ++ (nOvr to 1 by -1) ++ Seq(0)
+      else Seq(0) ++ (nOvr + 1 until ifds.length) ++ (nOvr to 1 by -1)
     var cursor = dataStart.toLong
     val tileOffsets: Map[Int, Seq[Long]] = dataOrder.map { idx =>
       val offs = ifds(idx).tiles.map { t =>

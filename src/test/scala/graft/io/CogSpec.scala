@@ -69,6 +69,19 @@ class CogSpec extends AnyFunSuite {
     assert(back.mask.toSeq === small.mask.toSeq)
   }
 
+  test("negative control: main-data-first layout is flagged by the ordering checks") {
+    val r = fixture()
+    val path = Files.createTempDirectory("cog").resolve("mainfirst.tif").toString
+    CogWriter.writeLayout(r, path, CogWriter.BlockSize, cogDataOrder = false)
+    val errors = CogValidator.validate(path)
+    assert(errors.exists(_.contains("main resolution image")),
+      s"ordering violation not flagged: $errors")
+    // still a structurally valid TIFF — the reader reproduces it exactly
+    val back = GeoTiffIO.read(path)
+    assert(back.image(0).toSeq === r.image(0).toSeq)
+    assert(back.mask.toSeq === r.mask.toSeq)
+  }
+
   test("negative control: the baseline strip writer is NOT cloud-optimized for large rasters") {
     val r = fixture()
     val path = Files.createTempDirectory("cog").resolve("strips.tif").toString
