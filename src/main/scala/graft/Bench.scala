@@ -210,8 +210,13 @@ object Bench {
     // ratio of sums, where a ratio of two best windows is whipsawed by
     // which level catches the quieter window (measured quiet-run spread
     // of the best-window ratio: 0.77–0.99; per-trial medians similar).
+    // FOUR interleaved trials (round 3; was 3): measured run-to-run spread
+    // of the pair ratio under co-tenant bursts is 0.71–0.95, and more
+    // fixed-size samples is the only unbiased way to tighten the
+    // total-ratio estimator (adaptive "retry until ≥0.8" would be optional
+    // stopping — the cherry-picking ADVICE r2 flagged).
     val pairEffs = Seq.newBuilder[Double]
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 4) {
       val r2 = forkChild(2, sfDir, Rep2)
       val r8 = forkChild(8, sfDir, Rep2)
       results2 += r2
