@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_stream_enrich" -> (graft.queries.StreamQueries.streamEnrich _),
     "q63_percentiles" -> (graft.queries.RelQueries.percentiles _),
     "q64_contamination_report" -> (graft.queries.QualityQueries.contaminationReport _),
+    "q65_decontaminate_bloom" -> (graft.queries.QualityQueries.decontaminateBloom _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -148,6 +149,9 @@ object SparkEntry {
     "q62_stream_enrich" -> graft.queries.StreamOracles.streamEnrich,
     "q63_percentiles" -> graft.queries.RelOracles.percentiles,
     "q64_contamination_report" -> graft.queries.QualityOracles.contaminationReport,
+    // the Bloom sketch is a PRE-FILTER only; the exact refine makes the
+    // output byte-equal to q60, so the same oracle gates both plans
+    "q65_decontaminate_bloom" -> graft.queries.QualityOracles.decontaminate,
   )
 }
 

@@ -288,6 +288,40 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination (q65) — the scale path for the case
+    * q60's explicit broadcast documents as its limit: an eval gram set too
+    * large to broadcast raw. A Bloom sketch of the eval grams (~1 MB per
+    * ~4M grams at the default FPP, vs GBs of raw 16-byte hashes) is built
+    * with one aggregate, shipped as a LITERAL into a map-side
+    * `might_contain` pre-filter, and only the surviving sliver of the
+    * train gram stream (true matches + Bloom false positives) reaches the
+    * exact refine join — the N×L train stream itself never shuffles.
+    * False positives die in the inner join, so the OUTPUT is byte-equal to
+    * q60 and faces the SAME oracle: the sketch buys the plan, never the
+    * answer. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
+    val grams = decontGrams(spark, sfDir)
+    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+      .trackedCheckpoint
+    val bf = evalSet.agg(expr("bloom_filter_agg(xxhash64(h))").as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val train = grams.where(col("doc_id") % EvalMod =!= 0)
+    val pre = train.where(
+      call_function("might_contain", lit(bf), xxhash64(col("h"))))
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // exact refine: inner join keeps only TRUE matches; the join input is
+    // the Bloom survivors, so no hint is needed at any eval-set size
+    val hits = pre.join(evalSet, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hit"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+    hits.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-BENCHMARK-doc contamination report (q64) — the complement of
     * q60: is the benchmark itself compromised, and how badly. Every eval
     * doc is reported (LEFT join — clean items show zeros, unlike q60's

@@ -103,6 +103,14 @@ object GraftFunctions {
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),
     "winnow_fp" -> (a => graft.ops.WinnowFp(a.head)),
     "nfc_normalize" -> (a => graft.ops.NfcNormalize(a.head)),
+    // Spark ships Bloom sketches only as INTERNAL expressions (used by its
+    // own runtime row-level filtering); surfacing them gives the q65
+    // decontamination pre-filter a codegen'd probe instead of a UDF
+    "bloom_filter_agg" -> (a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(a.head)
+        .toAggregateExpression()),
+    "might_contain" -> (a =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))),
     // raster serving
     "tile_to_png" -> (a => graft.raster.TileToPng(a(0), a(1), a(2), a(3))),
     // aggregates

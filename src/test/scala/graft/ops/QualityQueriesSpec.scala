@@ -121,6 +121,15 @@ class QualityQueriesSpec extends SparkTestBase {
     // include canary grams shared with... no train doc (canary train
     // slice is doc_id % 53 == 7, absent here) → zeros
     assert(rep(202L) == ((0L, 0L, 0L)))
+
+    // q65: the Bloom-prefiltered plan must reproduce q60 byte-for-byte
+    // (the sketch only shrinks the refine-join input; false positives die
+    // in the inner join) and actually probe through might_contain
+    val bloom = QualityQueries.decontaminateBloom(spark, d)
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "Bloom probe missing from the physical plan")
+    assert(bloom.collect().map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
 
   /** Invariant sweep over a 200-doc corpus with a small vocabulary (lots of
