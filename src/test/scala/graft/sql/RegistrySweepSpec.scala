@@ -83,7 +83,11 @@ class RegistrySweepSpec extends SparkTestBase {
       "nfc_normalize" -> "nfc_normalize('é Å')",
       "tile_to_png" -> "tile_to_png(array(array(1.0d, 2.0d)), array(false, false), 2, 1)",
       "st_envelope_agg" -> s"st_envelope_agg($g)",
-      "st_union_agg" -> s"st_union_agg($g)")
+      "st_union_agg" -> s"st_union_agg($g)",
+      "bloom_filter_agg" -> "bloom_filter_agg(xxhash64('probe'))",
+      "might_contain" ->
+        ("might_contain((SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING))) " +
+          "FROM range(10)), xxhash64('5'))"))
   }
 
   test("every registered function resolves and evaluates") {
