@@ -271,16 +271,25 @@ object QualityQueries {
       .select(col("doc_id").as("eval_doc"), col("h"))
       .trackedCheckpoint
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // the eval side is broadcast EXPLICITLY: a benchmark suite is a
     // FIXED-size artifact (~10^6-10^7 grams — megabytes), not a corpus
     // fraction, and the checkpointed frame's size-only stats carry no
     // filter selectivity, so without the hint the planner would pick a
     // sort-merge join and shuffle-write the entire N×L train gram stream.
     // (The synthetic doc_id % EvalMod slice only APPROXIMATES a benchmark
-    // at test SFs; a caller with an unbounded eval set drops the hint.)
-    val hits = train.join(broadcast(evalSet), Seq("h"))
-      .groupBy(col("doc_id"))
+    // at test SFs; a caller with an unbounded eval set drops the hint —
+    // or uses the Bloom path, [[decontaminateBloom]].)
+    decontOutput(train, train.join(broadcast(evalSet), Seq("h")))
+  }
+
+  /** The ONE exact-refine rollup both decontamination plans share (q60's
+    * broadcast join and q65's Bloom-prefiltered join feed `matched`), so
+    * the two oracle-coupled faces cannot silently diverge: per-train-doc
+    * totals from the UNFILTERED gram stream, distinct-hit/eval-doc counts
+    * from the matched stream. */
+  private def decontOutput(train: DataFrame, matched: DataFrame): DataFrame = {
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = matched.groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_hit"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
     hits.join(totals, Seq("doc_id"))
@@ -300,7 +309,6 @@ object QualityQueries {
     * q60 and faces the SAME oracle: the sketch buys the plan, never the
     * answer. */
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
     val grams = decontGrams(spark, sfDir)
     val evalSet = grams.where(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("h"))
@@ -310,16 +318,9 @@ object QualityQueries {
     val train = grams.where(col("doc_id") % EvalMod =!= 0)
     val pre = train.where(
       call_function("might_contain", lit(bf), xxhash64(col("h"))))
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // exact refine: inner join keeps only TRUE matches; the join input is
     // the Bloom survivors, so no hint is needed at any eval-set size
-    val hits = pre.join(evalSet, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("h")).as("n_hit"),
-        countDistinct(col("eval_doc")).as("n_eval_docs"))
-    hits.join(totals, Seq("doc_id"))
-      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
-      .orderBy(col("doc_id"))
+    decontOutput(train, pre.join(evalSet, Seq("h")))
   }
 
   /** Per-BENCHMARK-doc contamination report (q64) — the complement of
