@@ -82,6 +82,8 @@ object SparkEntry {
     "q63_percentiles" -> (graft.queries.RelQueries.percentiles _),
     "q64_contamination_report" -> (graft.queries.QualityQueries.contaminationReport _),
     "q65_decontaminate_bloom" -> (graft.queries.QualityQueries.decontaminateBloom _),
+    "q66_clustered_scan" -> (graft.queries.GeoQueries.clusteredScan _),
+    "q67_bm25_rank" -> (graft.queries.TextQueries.bm25Rank _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -152,6 +154,8 @@ object SparkEntry {
     // the Bloom sketch is a PRE-FILTER only; the exact refine makes the
     // output byte-equal to q60, so the same oracle gates both plans
     "q65_decontaminate_bloom" -> graft.queries.QualityOracles.decontaminate,
+    "q66_clustered_scan" -> graft.queries.GeoOracles.clusteredScan,
+    "q67_bm25_rank" -> graft.queries.TextOracles.bm25Rank,
   )
 }
 

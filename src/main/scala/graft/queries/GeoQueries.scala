@@ -147,6 +147,69 @@ object GeoQueries {
         max(col("value")).as("max_cell"), min(col("value")).as("min_cell"))
       .orderBy(col("poly_id"))
   }
+
+  /** q66 write-time spatial clustering + scan-time FILE pruning: the
+    * file-level complement of the row-group skipping the
+    * SpatialFilterPushdown rule already buys. The volume pages are staged
+    * ONCE per input fingerprint, hive-partitioned by their z-[[ClusterZoom]]
+    * tile (x4, y4) and Morton-ordered within each partition file (z12 key —
+    * write locality for the row-group skipping inside a file). A bbox scan
+    * then becomes: driver-side tile-range arithmetic → range predicates on
+    * the PARTITION columns (Catalyst partition pruning — untouched
+    * directories are never listed into the scan) → exact lon/lat refine on
+    * the surviving rows. At 100 TB this is the layout that turns a
+    * city-sized query over a planet-sized table into a handful-of-files
+    * read; z4 here keeps the directory fan-out test-sized (a real lake
+    * would cluster at z8–z12). ClusteredScanSpec asserts the plan prunes
+    * (partitionFilters non-empty, selected partitions < total). */
+  val ClusterZoom = 4
+  // bbox around the injected hot cluster (Paris): lon ∈ [2.0, 2.5), lat ∈ [48.5, 49.0)
+  val ScanLonMin = 2.0; val ScanLonMax = 2.5
+  val ScanLatMin = 48.5; val ScanLatMax = 49.0
+
+  /** The clustered stage reader — also the spec's hook for plan asserts. */
+  def clusteredPages(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StageCache.dir(s"$sfDir/lineitem.parquet", "clustered_pages",
+      s"z$ClusterZoom:v1")
+    clusterStageLock.synchronized {
+      if (!StageCache.isPublished(dir)) {
+        val cell12 = G.st_tile(col("lon"), col("lat"), 12)
+        val pages = Pages.volumePages(spark, sfDir)
+          .select(col("pid"), col("lon"), col("lat"), col("lang"), col("is_hot"),
+            G.tile_x(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("x4"),
+            G.tile_y(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("y4"),
+            G.st_morton(G.tile_x(cell12), G.tile_y(cell12)).as("morton"))
+        // one shuffle keyed by the cluster cell, Morton-sorted within, so
+        // each partition directory holds few, locally-ordered files
+        StageCache.publish(
+          pages.repartition(col("x4"), col("y4"))
+            .sortWithinPartitions("x4", "y4", "morton"),
+          dir, partitionCols = Seq("x4", "y4"))
+      }
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+  private val clusterStageLock = new Object
+
+  def clusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.Mercator
+    // driver-side covering tile range for the bbox (4 longs — no data scan)
+    val x0 = Mercator.tileAt(ScanLonMin, 0.0, ClusterZoom).x
+    val x1 = Mercator.tileAt(ScanLonMax, 0.0, ClusterZoom).x
+    val y0 = Mercator.tileAt(0.0, ScanLatMax, ClusterZoom).y // north edge → smaller y
+    val y1 = Mercator.tileAt(0.0, ScanLatMin, ClusterZoom).y
+    clusteredPages(spark, sfDir)
+      .where(col("x4") >= x0 && col("x4") <= x1 &&
+        col("y4") >= y0 && col("y4") <= y1) // partition pruning (file-level)
+      .where(col("lon") >= ScanLonMin && col("lon") < ScanLonMax &&
+        col("lat") >= ScanLatMin && col("lat") < ScanLatMax) // exact refine
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"),
+        max(col("pid")).as("max_pid"), sum(col("pid")).as("sum_pid"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"),
+        countDistinct(col("x4") * lit(16) + col("y4")).as("n_cells"))
+      .orderBy(col("lang"))
+  }
 }
 
 object GeoOracles {
@@ -245,5 +308,22 @@ object GeoOracles {
        |FROM cells JOIN zones
        |  ON cx >= txmin AND cx <= txmax AND cy >= tymin AND cy <= tymax
        |GROUP BY poly_id ORDER BY poly_id""".stripMargin
+  }
+
+  /** q66: the oracle replays the same bbox filter + aggregate over the RAW
+    * derivation — the clustered layout and partition pruning are plan-level
+    * only, so the row set must be identical to an unclustered scan. */
+  val clusteredScan: String = {
+    import GeoQueries._
+    withVolume(
+      s"""SELECT lang, count(*) AS n, min(pid) AS min_pid, max(pid) AS max_pid,
+         |       CAST(sum(pid) AS BIGINT) AS sum_pid,
+         |       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+         |       count(DISTINCT ${tileXSql("lon", ClusterZoom)} * 16 +
+         |                      ${tileYSql("lat", ClusterZoom)}) AS n_cells
+         |FROM pages
+         |WHERE lon >= $ScanLonMin AND lon < $ScanLonMax
+         |  AND lat >= $ScanLatMin AND lat < $ScanLatMax
+         |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

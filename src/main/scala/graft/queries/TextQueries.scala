@@ -101,6 +101,48 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"), col("pred"))
 
+  /** q67 BM25 relevance ranking over the corpus for a fixed query — the
+    * retrieval scorer a training-data pipeline runs to mine topical
+    * subsets. Rational-arithmetic BM25 variant: the idf factor is the raw
+    * Robertson–Spärck-Jones odds (N−df+½)/(df+½) WITHOUT the log, and
+    * k1=3/2, b=3/4 are folded into one integer numerator/denominator pair
+    * (tf·(k1+1))/(tf + k1(1−b+b·dl/avgdl)) ≡ 20·tf·Σdl / (8·tf·Σdl + 3·Σdl
+    * + 9·dl·N) — so the whole score is BIGINT products plus IEEE + * /,
+    * which DuckDB reproduces bit-for-bit (no libm). Corpus stats (N, Σdl,
+    * df_t) are ONE row, explicitly broadcast; the ranking is a distributed
+    * top-k (TakeOrderedAndProject), never a global sort. */
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
+  val Bm25TopK = 20
+
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val tf = toks.select(
+      col("doc_id") +: size(col("a")).cast("long").as("dl") +:
+        Bm25Terms.indices.map { i =>
+          size(filter(col("a"), x => x === lit(Bm25Terms(i))))
+            .cast("long").as(s"tf$i")
+        }: _*)
+    val aggs = sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    def term(i: Int) =
+      ((col("n_docs") * 2 - col(s"df$i") * 2 + 1).cast("double") /
+        (col(s"df$i") * 2 + 1).cast("double")) *
+        ((col(s"tf$i") * col("sum_dl") * 20).cast("double") /
+          (col(s"tf$i") * col("sum_dl") * 8 + col("sum_dl") * 3 +
+            col("dl") * col("n_docs") * 9).cast("double"))
+    tf.crossJoin(broadcast(stats))
+      .withColumn("score", term(0) + term(1) + term(2))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+      // rank lands AFTER the top-k: the unpartitioned window sees 20 rows
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("dl"),
+        col("tf0"), col("tf1"), col("tf2"), col("score"))
+  }
+
   /** The 128-perm signature table for an sfDir input, staged ONCE per
     * input fingerprint (same pattern as [[minhashLabels]]): q17/q18/q46
     * all consume signatures, and a sweep used to run the expensive
@@ -124,45 +166,17 @@ object TextQueries {
     * and desynchronize the gate from the oracle. */
   private val StageCacheVersion = "v2"
 
-  /** fingerprint-keyed stage-cache directory for derived tables of an
-    * sfDir input: key = source path + size + mtime + every algorithm
-    * constant of the signature pipeline + [[StageCacheVersion]]. */
-  private def stageCacheDir(sfDir: String, what: String): java.io.File = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val key = s"$what:${src.getCanonicalPath}:${src.length}:${src.lastModified}:" +
+  /** fingerprint-keyed stage-cache directory (shared [[StageCache]]
+    * machinery): key = source fingerprint + every algorithm constant of
+    * the signature pipeline + [[StageCacheVersion]]. */
+  private def stageCacheDir(sfDir: String, what: String): java.io.File =
+    StageCache.dir(s"$sfDir/documents.parquet", what,
       s"${TextOps.NumPerms}:${TextOps.ShingleWidth}:${TextOps.MinhashP}:" +
-      s"${TextOps.Bands}:${TextOps.BandRows}:${TextOps.MatchThreshold}:" +
-      StageCacheVersion
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft-stage-cache/${what}_$fp")
-  }
+        s"${TextOps.Bands}:${TextOps.BandRows}:${TextOps.MatchThreshold}:" +
+        StageCacheVersion)
 
-  /** Publish a stage-cache table ATOMICALLY: write to a process-unique
-    * sibling, rename into place (same filesystem → atomic), discard on
-    * lost races — a concurrent JVM can never observe a half-written dir
-    * (the in-JVM labelStageLock only serializes THIS process). */
-  private def publishStage(df: DataFrame, dir: java.io.File): Unit = {
-    if (new java.io.File(dir, "_SUCCESS").exists()) return
-    val tmp = new java.io.File(dir.getParentFile,
-      dir.getName + ".tmp-" + java.lang.ProcessHandle.current().pid())
-    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    try {
-      java.nio.file.Files.move(tmp.toPath, dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.FileSystemException =>
-        // another process published first — its content is identical
-        // (deterministic values); drop ours
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-    }
-  }
+  private def publishStage(df: DataFrame, dir: java.io.File): Unit =
+    StageCache.publish(df, dir)
 
   def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     GraftRegistrar.ensure(spark)
@@ -472,6 +486,35 @@ object TextQueries {
 
 object TextOracles {
   import TextOps._
+
+  /** q67: same rational BM25 — only BIGINT products and IEEE + * / in the
+    * same operation order as the Spark plan, so the double score is
+    * bit-identical. */
+  val bm25Rank: String = {
+    val ts = TextQueries.Bm25Terms
+    val tfDefs = ts.indices.map(i =>
+      s"len(list_filter(a, x -> x = '${ts(i)}')) AS tf$i").mkString(",\n  ")
+    val dfDefs = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n  ")
+    val termSum = ts.indices.map(i =>
+      s"""(CAST(n_docs*2 - df$i*2 + 1 AS DOUBLE) / CAST(df$i*2 + 1 AS DOUBLE))
+         | * (CAST(tf$i*sum_dl*20 AS DOUBLE)
+         |    / CAST(tf$i*sum_dl*8 + sum_dl*3 + dl*n_docs*9 AS DOUBLE))"""
+        .stripMargin).mkString("\n  + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |tf AS (SELECT doc_id, len(a) AS dl,
+       |  $tfDefs FROM toks),
+       |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |  $dfDefs FROM tf),
+       |sc AS (SELECT doc_id, dl, tf0, tf1, tf2,
+       |  $termSum AS score
+       |  FROM tf, s)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, dl, tf0, tf1, tf2, score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT ${TextQueries.Bm25TopK}"""
+      .stripMargin
+  }
 
   val textIdentity: String =
     """SELECT doc_id, text, md5(text) AS text_md5,
