@@ -131,6 +131,87 @@ class LakeTable(val root: String) {
     if (isCommitted(stage)) Some(new String(
       Files.readAllBytes(manifestPath(stage)), StandardCharsets.UTF_8))
     else None
+
+  def currentVersion(stage: String): Option[Int] =
+    manifest(stage).flatMap(manifestField(_, "version")).map(_.toInt)
+
+  // ------------------------------------------------- table maintenance
+  /** Bytes of parquet data files in snapshot `version` (the stats a real
+    * table format keeps in its manifest; here read from the filesystem). */
+  def dataBytes(stage: String, version: Int): Long = {
+    val dir = Paths.get(s"${stageDir(stage)}/data_v$version")
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    }
+  }
+
+  /** Small-file compaction (Iceberg `rewrite_data_files` / Delta
+    * `OPTIMIZE`): rewrite the CURRENT snapshot's rows into
+    * ceil(bytes/targetFileBytes) files and commit the result as a NEW
+    * snapshot — readers are never blocked (old snapshot stays readable
+    * until vacuumed), a crash mid-compaction leaves the pointer on the old
+    * snapshot. `clusterBy` optionally range-partitions + sorts the rewrite
+    * (Delta `ZORDER BY`-shaped: contiguous key ranges per file, so
+    * min/max stats give file-level skipping on those columns — the
+    * maintenance-time twin of q66's write-time clustering). At 100 TB
+    * this is the nightly job that keeps a streamed-in table scannable.
+    * Returns the new snapshot version. */
+  def compact(spark: SparkSession, stage: String, targetFileBytes: Long,
+              clusterBy: Seq[String] = Nil): Int = {
+    val cur = currentVersion(stage).getOrElse(
+      throw new IllegalStateException(s"stage $stage has no committed snapshot"))
+    val bytes = dataBytes(stage, cur)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val data = read(spark, stage)
+    val rewritten =
+      if (clusterBy.nonEmpty) {
+        val keys = clusterBy.map(col)
+        data.repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      } else data.repartition(nFiles)
+    commit(stage, rewritten, Map(
+      "compaction_of" -> cur.toString,
+      "target_file_bytes" -> targetFileBytes.toString,
+      "cluster_by" -> clusterBy.mkString(",")))
+    versions(stage).last
+  }
+
+  /** Snapshot-retention vacuum (Iceberg `expire_snapshots` + orphan-file
+    * removal): drop every snapshot older than the newest `retainLast`,
+    * ALWAYS keeping the one the current pointer references (a rolled-back
+    * table never loses the data it is serving) — then delete the dropped
+    * snapshots' data/lineage files and any stray tmp dirs. Time-travel to
+    * a dropped version fails afterwards; retained versions are untouched.
+    * Returns the dropped versions. */
+  def vacuum(stage: String, retainLast: Int): Seq[Int] = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val all = versions(stage)
+    val keep = all.takeRight(retainLast).toSet ++ currentVersion(stage)
+    val drop = all.filterNot(keep)
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    drop.foreach { v =>
+      rmTree(Paths.get(s"${stageDir(stage)}/data_v$v"))
+      rmTree(Paths.get(s"${stageDir(stage)}/lineage_v$v"))
+      Files.deleteIfExists(Paths.get(s"${stageDir(stage)}/_manifest_v$v.json"))
+    }
+    // orphaned crash leftovers (never referenced by any manifest)
+    val dir = Paths.get(stageDir(stage))
+    if (Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .foreach(p => rmTree(p))
+    }
+    drop
+  }
 }
 
 /** Deterministic stage DAG runner with per-partition lineage

@@ -1,0 +1,105 @@
+package graft.lake
+
+import graft.sql.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+/** Table-maintenance contracts: small-file compaction (content-identical,
+  * non-blocking, optionally range-clustered) and snapshot-retention vacuum
+  * (never drops the snapshot the current pointer serves). The nightly jobs
+  * a 100-TB streamed-in lake table needs to stay scannable. */
+class LakeMaintenanceSpec extends SparkTestBase {
+
+  private def freshRoot(name: String): String =
+    Files.createTempDirectory(s"lakemaint_$name").toString
+
+  private def parquetFiles(root: String, stage: String, v: Int): Seq[File] = {
+    val d = new File(s"$root/$stage/data_v$v")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+  }
+
+  private def globalChecksum(df: org.apache.spark.sql.DataFrame): Long = {
+    val cols = df.columns.map(col).toSeq
+    df.agg(bit_xor(xxhash64(cols: _*))).collect()(0).getLong(0)
+  }
+
+  test("compact rewrites many small files into few, content-identical, old snapshot readable") {
+    val root = freshRoot("compact")
+    val lake = new LakeTable(root)
+    // a streamed-in table: 16 tiny files
+    lake.commit("t", spark.range(2000).toDF("id")
+      .withColumn("k", pmod(col("id"), lit(7))).repartition(16), Map.empty)
+    assert(parquetFiles(root, "t", 1).size === 16)
+    val before = globalChecksum(lake.read(spark, "t"))
+
+    val bytes = lake.dataBytes("t", 1)
+    val newV = lake.compact(spark, "t", targetFileBytes = bytes) // everything fits one file
+    assert(newV === 2)
+    assert(parquetFiles(root, "t", 2).size === 1)
+    assert(globalChecksum(lake.read(spark, "t")) === before)
+    assert(lake.read(spark, "t").count() === 2000)
+    // non-blocking: the pre-compaction snapshot is still time-travelable
+    assert(lake.readAt(spark, "t", 1).count() === 2000)
+    assert(lake.manifest("t").get.contains("\"compaction_of\":\"1\""))
+  }
+
+  test("compact clusterBy produces non-overlapping per-file key ranges (file-level skipping)") {
+    val root = freshRoot("cluster")
+    val lake = new LakeTable(root)
+    // keys arrive shuffled across files, as a stream would leave them
+    lake.commit("t", spark.range(4000).toDF("id")
+      .withColumn("key", pmod(col("id") * 2654435761L, lit(4000)))
+      .repartition(16), Map.empty)
+    val bytes = lake.dataBytes("t", 1)
+    lake.compact(spark, "t", targetFileBytes = bytes / 4 + 1, clusterBy = Seq("key"))
+    val files = parquetFiles(root, "t", 2)
+    assert(files.size >= 2, s"expected a multi-file rewrite, got ${files.size}")
+    // each file holds a contiguous key range; ranges must not overlap —
+    // that is exactly what parquet min/max footer stats need for skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("key")), max(col("key"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    assert(globalChecksum(lake.read(spark, "t")) ===
+      globalChecksum(lake.readAt(spark, "t", 1)))
+  }
+
+  test("vacuum drops expired snapshots, keeps retained ones, time-travel fails only on dropped") {
+    val root = freshRoot("vacuum")
+    val lake = new LakeTable(root)
+    lake.commit("t", spark.range(10).toDF("id"), Map.empty)  // v1
+    lake.commit("t", spark.range(20).toDF("id"), Map.empty)  // v2
+    lake.commit("t", spark.range(30).toDF("id"), Map.empty)  // v3
+    // crash leftover that no manifest references
+    Files.createDirectories(Paths.get(s"$root/t/junk.tmp"))
+    val dropped = lake.vacuum("t", retainLast = 2)
+    assert(dropped === Seq(1))
+    assert(lake.versions("t") === Seq(2, 3))
+    assert(lake.read(spark, "t").count() === 30)
+    assert(lake.readAt(spark, "t", 2).count() === 20)
+    intercept[IllegalArgumentException](lake.readAt(spark, "t", 1))
+    assert(!Files.exists(Paths.get(s"$root/t/data_v1")))
+    assert(!Files.exists(Paths.get(s"$root/t/junk.tmp")))
+  }
+
+  test("vacuum never drops the snapshot the current pointer serves (rollback safety)") {
+    val root = freshRoot("rollback")
+    val lake = new LakeTable(root)
+    lake.commit("t", spark.range(10).toDF("id"), Map.empty)  // v1
+    lake.commit("t", spark.range(20).toDF("id"), Map.empty)  // v2
+    lake.commit("t", spark.range(30).toDF("id"), Map.empty)  // v3
+    lake.rollback("t", 1)                                    // serving v1
+    val dropped = lake.vacuum("t", retainLast = 1)
+    assert(dropped === Seq(2))                               // v1 pinned, v3 retained
+    assert(lake.read(spark, "t").count() === 10)             // still serving v1
+    assert(lake.readAt(spark, "t", 3).count() === 30)
+    intercept[IllegalArgumentException](lake.readAt(spark, "t", 2))
+  }
+}
