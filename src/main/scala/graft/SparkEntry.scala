@@ -84,6 +84,7 @@ object SparkEntry {
     "q65_decontaminate_bloom" -> (graft.queries.QualityQueries.decontaminateBloom _),
     "q66_clustered_scan" -> (graft.queries.GeoQueries.clusteredScan _),
     "q67_bm25_rank" -> (graft.queries.TextQueries.bm25Rank _),
+    "q68_mix_epochs" -> (graft.queries.QualityQueries.mixEpochs _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -156,6 +157,7 @@ object SparkEntry {
     "q65_decontaminate_bloom" -> graft.queries.QualityOracles.decontaminate,
     "q66_clustered_scan" -> graft.queries.GeoOracles.clusteredScan,
     "q67_bm25_rank" -> graft.queries.TextOracles.bm25Rank,
+    "q68_mix_epochs" -> graft.queries.QualityOracles.mixEpochs,
   )
 }
 

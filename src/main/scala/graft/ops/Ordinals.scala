@@ -57,6 +57,56 @@ object Ordinals {
       .drop(PartCol, "__val")
   }
 
+  /** Distributed dense ordinals 1..n_g WITHIN each group — the skew-proof
+    * replacement for `row_number() OVER (PARTITION BY group ORDER BY …)`
+    * when groups are FEW and HUGE (5 languages × 10¹² rows: a per-group
+    * window gives one reducer per group; this gives full parallelism).
+    *
+    * Plan: range-repartition on (group, orderKeys) — a big group spans
+    * MANY partitions, each partition holds a contiguous (group, order)
+    * run — then per-(partition, group) counts + first-record indexes
+    * (≤ P + G − 1 rows by contiguity, never data-sized) collected once;
+    * the rank is a pure projection: group-prefix offset + local record
+    * number − group's first record number in the partition + 1.
+    *
+    * Use the plain window for MANY small groups (the driver map is
+    * (P+G)-sized); use this when the group count is small relative to the
+    * data. `orderKeys` must total-order within every group. */
+  def withGroupedOrdinal(df: DataFrame, name: String, group: Column,
+                         orderKeys: Column*): DataFrame = {
+    val keys = group +: orderKeys
+    val mask = (1L << 33) - 1
+    val sorted = GraftCheckpoints.persistTracked(df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn(PartCol, spark_partition_id())
+      .withColumn("__grp", coalesce(group.cast("string"), lit("NULL")))
+      .withColumn("__mono", monotonically_increasing_id().bitwiseAND(lit(mask))))
+    val stats = sorted.groupBy(col(PartCol), col("__grp"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__min"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per group: exclusive prefix sum of counts over ascending partition id
+    // (key "<part> <group>" decodes uniquely: the partition id contains no
+    // space and the first space is the separator)
+    val entries: Seq[(String, Long, Long)] =
+      stats.toSeq.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (p, _, c, mn) =>
+          val e = (p + " " + g, acc, mn); acc += c; e
+        }
+      }
+    val keyExpr = concat_ws(" ", col(PartCol).cast("string"), col("__grp"))
+    def mapOf(f: ((String, Long, Long)) => Long): Column =
+      if (entries.isEmpty) lit(0L)
+      else element_at(
+        map(entries.toIndexedSeq.flatMap(e => Seq(lit(e._1), lit(f(e)))): _*),
+        keyExpr)
+    sorted
+      .withColumn(name, (mapOf(_._2) + col("__mono") - mapOf(_._3) + 1L).cast("long"))
+      .drop(PartCol, "__grp", "__mono")
+  }
+
   def withOrdinal(df: DataFrame, name: String, keys: Column*): DataFrame = {
     // persisted across the offsets action and the projection action — see
     // withRunningSum; also removes the determinism caveat the double

@@ -164,6 +164,48 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** q68 training-mix weights in basis points of ONE epoch per language:
+    * >10000 → repetition (full epochs plus a hash-ordered partial epoch),
+    * <10000 → downsampling. The mixture-rebalancing table every LLM
+    * pretraining pipeline applies before sharding (e.g. upweight
+    * low-resource languages, downsample the English crawl). */
+  val MixBp: Seq[(String, Long)] = Seq(
+    "de" -> 12500L, "en" -> 4000L, "es" -> 10000L, "fr" -> 20000L, "zh" -> 15000L)
+
+  /** q68: materialize the training mix — each document appears
+    * `bp div 10⁴` full epochs, and the first `n_lang·(bp mod 10⁴)/10⁴`
+    * docs in per-lang hash order once more (deterministic partial epoch).
+    * Ranks come from [[graft.ops.Ordinals.withGroupedOrdinal]] — a
+    * per-lang `row_number()` window would put each language on ONE reducer
+    * (5 languages at 100 TB = 5 reducers); the grouped distributed ordinal
+    * range-partitions on (lang, hash) so a language spans many partitions
+    * and the rank is a projection over (P+G)-row driver offsets. Per-lang
+    * totals are a G-row broadcast; epoch materialization is a generator
+    * (`explode(sequence)`), map-side. */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val ranked = graft.ops.Ordinals.withGroupedOrdinal(
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h")),
+      "rn", col("lang"), col("h"), col("doc_id"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val bpMap = map(MixBp.flatMap { case (l, b) => Seq(lit(l), lit(b)) }: _*)
+    ranked.join(broadcast(counts), "lang")
+      .withColumn("bp", element_at(bpMap, col("lang")))
+      .withColumn("copies", expr(
+        "bp div 10000 + (CASE WHEN rn <= (n_lang * (bp % 10000)) div 10000 THEN 1 ELSE 0 END)"))
+      .where(col("copies") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("copies"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("epoch")).as("max_epoch"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   val ShardBudget = 20000L
 
   /** Sequence packing: documents in doc_id order packed into fixed
@@ -466,6 +508,31 @@ object QualityOracles {
        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM r WHERE rn <= ${QualityQueries.SampleQuota}
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q68: the oracle ranks with a plain per-lang window (DuckDB is
+    * single-node — skew is the DISTRIBUTED plan's problem) and computes
+    * the epoch aggregates arithmetically from `copies` instead of
+    * materializing rows: sum(copies) ≡ count of exploded rows,
+    * sum(n_chars·copies) ≡ exploded sum, max(copies) ≡ max epoch. */
+  val mixEpochs: String = {
+    val vals = QualityQueries.MixBp
+      .map { case (l, b) => s"('$l', CAST($b AS BIGINT))" }.mkString(", ")
+    s"""WITH r AS (SELECT doc_id, lang, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM documents),
+       |m(lang, bp) AS (VALUES $vals),
+       |c AS (SELECT r.*, m.bp,
+       |    bp // 10000 + (CASE WHEN rn <= (n_lang * (bp % 10000)) // 10000
+       |                   THEN 1 ELSE 0 END) AS copies
+       |  FROM r JOIN m USING (lang))
+       |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+       |       count(*) AS n_docs, CAST(max(copies) AS BIGINT) AS max_epoch,
+       |       CAST(sum(n_chars * copies) AS BIGINT) AS sum_chars,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM c WHERE copies > 0 GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   val sequencePack: String =
     s"""WITH c AS (
