@@ -221,6 +221,86 @@ object EmbQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Write-time IVF partitioning — the 100-TB serving layout [[ivfAnn]]'s
+    * doc promises ("the cell is a write-time bucketing column"): the
+    * embeddings table staged hive-partitioned by its coarse cell (fixed
+    * seed quantizer; a production lake freezes trained centroids the same
+    * way), vectors hash-clustered into one file set per cell. An ANN
+    * query resolves its nprobe best cells DRIVER-side (the coarse
+    * quantizer over the query batch — ≤ probes·nprobe ints, exactly how
+    * an IVF serving layer computes its inverted-list reads) and pushes
+    * them as a literal partition filter, so the scan lists and reads only
+    * nprobe/[[IvfCells]] of the directories. (Dynamic partition pruning
+    * was evaluated for the join-driven variant: Spark inserts the DPP
+    * filter but degrades it to `true` because broadcast-exchange reuse
+    * fails against the window-bearing probe plan — the literal filter is
+    * strictly stronger: STATIC pruning, directories never listed.)
+    * IvfStoreSpec asserts the in-plan pruning and result parity with the
+    * unpartitioned path. */
+  def ivfStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_store",
+      s"c$IvfCells:v1")
+    ivfStoreLock.synchronized {
+      if (!StageCache.isPublished(dir)) {
+        StageCache.publish(seedAssigned(spark, sfDir).repartition(col("cell")),
+          dir, partitionCols = Seq("cell"))
+      }
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+  private val ivfStoreLock = new Object
+
+  /** (vec_id, embedding, norm, cell): every vector assigned to its best
+    * seed cell (max dot, ties → lowest cell id). */
+  def seedAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val seedDots = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      posexplode(array((0 until IvfCells).map(j =>
+        dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("cell", "dot")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
+    seedDots.withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+  }
+
+  /** nprobe best seed cells per probe vector. */
+  def probeCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val dots = emb.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"),
+        posexplode(array((0 until IvfCells).map(j =>
+          dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("cell", "dot")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cell"))
+    dots.withColumn("crank", row_number().over(w))
+      .where(col("crank") <= IvfNProbe)
+      .select(col("qid"), col("qemb"), col("qnorm"), col("cell"))
+  }
+
+  /** ANN top-k served FROM the partitioned store: literal probe-cell
+    * partition filter → directory pruning → cell equi-join → exact cosine
+    * re-rank inside the surviving cells. */
+  def ivfStoreSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = probeCells(spark, sfDir).trackedCheckpoint
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    ivfSearchOver(
+      ivfStore(spark, sfDir).where(col("cell").isin(cells: _*)), probes)
+  }
+
+  def ivfSearchOver(assigned: DataFrame, probes: DataFrame): DataFrame = {
+    val cand = assigned.join(probes.hint("broadcast"), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding near-dup pairs — multi-table banded LSH: per-table 16-bit
     * bucket equi-join (candidates O(N·tables·bucket_size), bounded by the
     * bucket cap), cross-table pair dedup, exact cosine refine ≥ 0.95. */
