@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_clustered_scan" -> (graft.queries.GeoQueries.clusteredScan _),
     "q67_bm25_rank" -> (graft.queries.TextQueries.bm25Rank _),
     "q68_mix_epochs" -> (graft.queries.QualityQueries.mixEpochs _),
+    "q69_url_canonical" -> (graft.queries.QualityQueries.urlCanonical _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -158,6 +159,7 @@ object SparkEntry {
     "q66_clustered_scan" -> graft.queries.GeoOracles.clusteredScan,
     "q67_bm25_rank" -> graft.queries.TextOracles.bm25Rank,
     "q68_mix_epochs" -> graft.queries.QualityOracles.mixEpochs,
+    "q69_url_canonical" -> graft.queries.QualityOracles.urlCanonical,
   )
 }
 

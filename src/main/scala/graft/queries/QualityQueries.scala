@@ -102,6 +102,48 @@ object QualityQueries {
       .orderBy(col("tld"))
   }
 
+  /** Canonical-URL dedup (q69): the first pass of any web-crawl pipeline —
+    * the same page is recrawled under tracking-param / fragment / default-
+    * port / authority-case / trailing-slash variants, and exact-text dedup
+    * misses them. Two deterministic crawl variants per base page are
+    * derived from doc_id; normalization lowercases the authority, strips
+    * `:443`, the `#fragment`, `utm_*` params and trailing slashes — all
+    * codegen'd regexp built-ins, no UDF. One hash shuffle on the canonical
+    * key (same plan at 10^12 rows); keeper = newest warc_epoch, which the
+    * derivation makes unique within a group (7919·Δdoc ≢ 0 mod 31536000
+    * for Δdoc=1), so arg-max faces the oracle deterministically. */
+  def urlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("warc_epoch"), expr("doc_id div 2").as("base"))
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("https://WWW.Example.COM:443/page/"), col("base").cast("string"),
+            lit("/?utm_source=feed&id="), pmod(col("base"), lit(7)).cast("string"),
+            lit("#frag")))
+        .otherwise(
+          concat(lit("https://www.example.com/page/"), col("base").cast("string"),
+            lit("?id="), pmod(col("base"), lit(7)).cast("string"),
+            lit("&utm_campaign=x"))))
+    val norm = d
+      .withColumn("auth", regexp_replace(
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", ""))
+      .withColumn("q", regexp_replace(regexp_replace(
+        regexp_extract(col("url"), "\\?([^#]*)", 1),
+        "(^|&)utm_[a-z_]+=[^&]*", ""), "^&", ""))
+      .withColumn("canon_url", concat(
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)), lit("://"),
+        col("auth"), col("path"),
+        when(col("q") =!= "", concat(lit("?"), col("q"))).otherwise(lit(""))))
+    norm.groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        max_by(col("doc_id"), col("warc_epoch")).as("keep_doc"),
+        max(col("warc_epoch")).as("kept_ts"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("canon_url"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
@@ -473,6 +515,41 @@ object QualityOracles {
       |SELECT tld, count(*) AS n, count(DISTINCT host) AS n_hosts,
       |       min(path) AS min_path, max(query) AS max_query
       |FROM d GROUP BY tld ORDER BY tld""".stripMargin
+
+  val urlCanonical: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    1704067200 + (CAST(doc_id AS BIGINT) * 7919) % 31536000 AS warc_epoch,
+      |    CAST(doc_id AS BIGINT) // 2 AS base
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, warc_epoch,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      'https://WWW.Example.COM:443/page/' || CAST(base AS VARCHAR) ||
+      |      '/?utm_source=feed&id=' || CAST(base % 7 AS VARCHAR) || '#frag'
+      |    ELSE
+      |      'https://www.example.com/page/' || CAST(base AS VARCHAR) ||
+      |      '?id=' || CAST(base % 7 AS VARCHAR) || '&utm_campaign=x'
+      |    END AS url
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, warc_epoch, url,
+      |    regexp_replace(regexp_replace(
+      |      regexp_extract(url, '\?([^#]*)', 1),
+      |      '(^|&)utm_[a-z_]+=[^&]*', '', 'g'), '^&', '') AS qs
+      |  FROM u),
+      |n AS (
+      |  SELECT doc_id, warc_epoch,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '') ||
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '', 'g') ||
+      |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+      |  FROM q)
+      |SELECT canon_url, count(*) AS n_variants,
+      |       arg_max(doc_id, warc_epoch) AS keep_doc,
+      |       max(warc_epoch) AS kept_ts,
+      |       min(doc_id) AS first_doc
+      |FROM n GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
   val piiRedact: String =
     """WITH t AS (

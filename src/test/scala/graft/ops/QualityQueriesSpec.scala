@@ -188,4 +188,28 @@ class QualityQueriesSpec extends SparkTestBase {
     // doc 4 all-unique tokens appearing once each → every bucket 1
     assert(r(4L).getLong(2) == r(4L).getLong(1) && r(4L).getInt(4) == 1)
   }
+
+  test("canonical-URL dedup collapses tracking/port/case/slash variants") {
+    // dir has docs 0..4 → bases {0,0,1,1,2}: two full variant pairs plus a
+    // singleton even-variant group.
+    val rows = QualityQueries.urlCanonical(spark, dir).collect()
+    assert(rows.length == 3)
+    val byUrl = rows.map(r => r.getString(0) -> r).toMap
+    byUrl.keys.foreach { u =>
+      // normalization contract: no uppercase authority, default port,
+      // fragment, utm param, or trailing slash survives
+      assert(u == u.toLowerCase && !u.contains(":443") && !u.contains("#") &&
+        !u.contains("utm_") && !u.endsWith("/"), u)
+    }
+    def epoch(id: Long): Long = 1704067200L + (id * 7919L) % 31536000L
+    (0L to 1L).foreach { base =>
+      val r = byUrl(s"https://www.example.com/page/$base?id=${base % 7}")
+      assert(r.getLong(1) == 2, s"pair collapses: $r")             // n_variants
+      val ids = Seq(2 * base, 2 * base + 1)
+      assert(r.getLong(2) == ids.maxBy(epoch), s"keeper is newest: $r")
+      assert(r.getLong(3) == ids.map(epoch).max && r.getLong(4) == ids.min)
+    }
+    val lone = byUrl("https://www.example.com/page/2?id=2")
+    assert(lone.getLong(1) == 1 && lone.getLong(2) == 4L && lone.getLong(4) == 4L)
+  }
 }
