@@ -86,6 +86,8 @@ object SparkEntry {
     "q67_bm25_rank" -> (graft.queries.TextQueries.bm25Rank _),
     "q68_mix_epochs" -> (graft.queries.QualityQueries.mixEpochs _),
     "q69_url_canonical" -> (graft.queries.QualityQueries.urlCanonical _),
+    "q70_crawl_diff" -> (graft.queries.QualityQueries.crawlDiff _),
+    "q71_domain_blocklist" -> (graft.queries.QualityQueries.domainBlocklist _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -160,6 +162,8 @@ object SparkEntry {
     "q67_bm25_rank" -> graft.queries.TextOracles.bm25Rank,
     "q68_mix_epochs" -> graft.queries.QualityOracles.mixEpochs,
     "q69_url_canonical" -> graft.queries.QualityOracles.urlCanonical,
+    "q70_crawl_diff" -> graft.queries.QualityOracles.crawlDiff,
+    "q71_domain_blocklist" -> graft.queries.QualityOracles.domainBlocklist,
   )
 }
 

@@ -144,6 +144,69 @@ object QualityQueries {
       .orderBy(col("canon_url"))
   }
 
+  /** Crawl-snapshot diff (q70): classify every url across two crawl
+    * snapshots as added / removed / changed / unchanged by content
+    * fingerprint — the incremental-processing primitive that decides which
+    * pages re-enter the pipeline after a recrawl. Snapshots are derived
+    * deterministically: A drops doc_id≡9 (mod 10), B drops ≡0 and rewrites
+    * text for doc_id≡3 (mod 7). The comparison key is md5(text), never the
+    * N-char text itself, so the full-outer join carries one 32-char hash
+    * per side. One shuffle per side on url; at 100 TB both snapshots live
+    * url-bucketed in the lake (StageCache layout) and the join is a
+    * shuffle-free sort-merge over co-located buckets. */
+  def crawlDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("url"), col("text"))
+    val a = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("url"), col("doc_id").as("doc_a"), md5(col("text")).as("h_a"))
+    val b = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("url"), col("doc_id").as("doc_b"),
+        md5(when(pmod(col("doc_id"), lit(7)) === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_b"))
+    a.join(b, Seq("url"), "full_outer")
+      .withColumn("status",
+        when(col("doc_a").isNull, lit("added"))
+          .when(col("doc_b").isNull, lit("removed"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("doc_id", coalesce(col("doc_b"), col("doc_a")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("doc_id")).as("sum_doc"))
+      .orderBy(col("status"))
+  }
+
+  /** Domain-suffix blocklist (q71): block a page when ANY dot-boundary
+    * suffix of its host (host itself → registrable domain → TLD) appears in
+    * the blocklist — the hierarchical match every crawl filter needs
+    * (blocklists name whole domains, hosts arrive fully qualified). The
+    * suffix chain is generated in-plan (`transform(sequence)` over the
+    * split labels — codegen'd, no UDF), multiplying the stream only by the
+    * label count (~4); the blocklist (~10⁵ rows real-world) is an explicit
+    * broadcast, so matching is map-side with ZERO shuffle before the
+    * per-pattern rollup. countDistinct absorbs a doc matching via several
+    * suffixes. */
+  def domainBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = docs(spark, sfDir).select(col("doc_id"), concat(
+      lit("h"), pmod(col("doc_id"), lit(97)).cast("string"),
+      lit(".example."),
+      when(pmod(col("doc_id"), lit(3)) === 0, "com")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net")).as("host"))
+    val labels = split(col("host"), "\\.")
+    val chain = hosts.select(col("doc_id"), col("host"),
+      explode(transform(sequence(lit(1), size(labels)),
+        i => array_join(slice(labels, i, size(labels)), "."))).as("suffix"))
+    val blocklist = BlockPatterns.toDF("pattern")
+    chain.join(broadcast(blocklist), col("suffix") === col("pattern"))
+      .groupBy(col("pattern"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("pattern"))
+  }
+
+  val BlockPatterns = Seq("h13.example.com", "example.net", "h2.example.org")
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
@@ -550,6 +613,45 @@ object QualityOracles {
       |       max(warc_epoch) AS kept_ts,
       |       min(doc_id) AS first_doc
       |FROM n GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  val crawlDiff: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'https://example.org/d/' || CAST(doc_id AS VARCHAR) AS url, text
+      |  FROM documents),
+      |a AS (SELECT url, doc_id AS doc_a, md5(text) AS h_a
+      |      FROM d WHERE doc_id % 10 <> 9),
+      |b AS (SELECT url, doc_id AS doc_b,
+      |        md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS h_b
+      |      FROM d WHERE doc_id % 10 <> 0),
+      |j AS (SELECT COALESCE(b.doc_b, a.doc_a) AS doc_id,
+      |        CASE WHEN a.doc_a IS NULL THEN 'added'
+      |             WHEN b.doc_b IS NULL THEN 'removed'
+      |             WHEN a.h_a <> b.h_b THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      |      FROM a FULL OUTER JOIN b USING (url))
+      |SELECT status, count(*) AS n_pages, min(doc_id) AS min_doc,
+      |       max(doc_id) AS max_doc, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  val domainBlocklist: String = {
+    val vals = QualityQueries.BlockPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, host, host AS suffix FROM u
+       |  UNION ALL SELECT doc_id, host, regexp_extract(host, '\\.(.*)$$', 1) FROM u
+       |  UNION ALL SELECT doc_id, host, regexp_extract(host, '\\.([a-z]+)$$', 1) FROM u),
+       |bl(pattern) AS (VALUES $vals),
+       |m AS (SELECT doc_id, host, pattern FROM s JOIN bl ON suffix = pattern)
+       |SELECT pattern, count(DISTINCT doc_id) AS n_docs,
+       |       count(DISTINCT host) AS n_hosts,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin
+  }
 
   val piiRedact: String =
     """WITH t AS (

@@ -212,4 +212,30 @@ class QualityQueriesSpec extends SparkTestBase {
     val lone = byUrl("https://www.example.com/page/2?id=2")
     assert(lone.getLong(1) == 1 && lone.getLong(2) == 4L && lone.getLong(4) == 4L)
   }
+
+  test("crawl diff classifies removed/changed/unchanged by content hash") {
+    // docs 0..4: A drops ≡9 (mod 10) → none; B drops 0 and rewrites doc 3
+    // (≡3 mod 7) → removed={0}, changed={3}, unchanged={1,2,4}, added=∅
+    val rows = QualityQueries.crawlDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("removed", "changed", "unchanged"))
+    val rem = rows("removed")
+    assert(rem.getLong(1) == 1 && rem.getLong(2) == 0 && rem.getLong(4) == 0)
+    val chg = rows("changed")
+    assert(chg.getLong(1) == 1 && chg.getLong(2) == 3 && chg.getLong(3) == 3)
+    val same = rows("unchanged")
+    assert(same.getLong(1) == 3 && same.getLong(2) == 1 &&
+      same.getLong(3) == 4 && same.getLong(4) == 7)
+  }
+
+  test("domain blocklist matches any dot-boundary suffix of the host") {
+    // hosts h0.example.com … h4.example.org: only doc 2 (h2.example.net)
+    // has a blocklisted suffix — via the registrable-domain 'example.net',
+    // NOT an exact-host entry, proving the suffix-chain expansion
+    val rows = QualityQueries.domainBlocklist(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "example.net" && r.getLong(1) == 1 &&
+      r.getLong(2) == 1 && r.getLong(3) == 2 && r.getLong(4) == 2)
+  }
 }
