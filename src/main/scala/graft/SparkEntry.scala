@@ -88,6 +88,7 @@ object SparkEntry {
     "q69_url_canonical" -> (graft.queries.QualityQueries.urlCanonical _),
     "q70_crawl_diff" -> (graft.queries.QualityQueries.crawlDiff _),
     "q71_domain_blocklist" -> (graft.queries.QualityQueries.domainBlocklist _),
+    "q72_heavy_hitters" -> (graft.queries.TextQueries.heavyHitters _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -164,6 +165,7 @@ object SparkEntry {
     "q69_url_canonical" -> graft.queries.QualityOracles.urlCanonical,
     "q70_crawl_diff" -> graft.queries.QualityOracles.crawlDiff,
     "q71_domain_blocklist" -> graft.queries.QualityOracles.domainBlocklist,
+    "q72_heavy_hitters" -> graft.queries.TextOracles.heavyHitters,
   )
 }
 

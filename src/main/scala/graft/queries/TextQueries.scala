@@ -143,6 +143,28 @@ object TextQueries {
         col("tf0"), col("tf1"), col("tf2"), col("score"))
   }
 
+  /** Corpus heavy hitters (q72): the exact top-K most frequent word
+    * trigrams — the vocabulary/boilerplate census every corpus report
+    * starts with. The plan is the point at 100 TB: explode → map-side
+    * partial count → ONE hash shuffle on the gram → global count →
+    * `TakeOrderedAndProject(K)` — a K-row driver result with no global
+    * sort and no window over the full vocabulary; the rank window runs
+    * AFTER the limit, over K rows. Ties break on the gram string so the
+    * result is deterministic under the oracle. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .select(split(col("text"), " ").as("a"))
+      .where(size(col("a")) >= 3)
+      .select(explode(expr("sequence(1, size(a) - 2)")).as("p"), col("a"))
+      .select(expr("array_join(slice(a, p, 3), ' ')").as("g"))
+    grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(HeavyK)
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("g"))))
+      .select(col("rank"), col("g"), col("c"))
+  }
+
+  val HeavyK = 50
+
   /** The 128-perm signature table for an sfDir input, staged ONCE per
     * input fingerprint (same pattern as [[minhashLabels]]): q17/q18/q46
     * all consume signatures, and a sweep used to run the expensive
@@ -515,6 +537,16 @@ object TextOracles {
        |FROM sc ORDER BY score DESC, doc_id LIMIT ${TextQueries.Bm25TopK}"""
       .stripMargin
   }
+
+  val heavyHitters: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+       |f AS (SELECT a FROM t WHERE len(a) >= 3),
+       |g AS (SELECT array_to_string(
+       |        list_slice(a, CAST(s AS INTEGER), CAST(s + 2 AS INTEGER)), ' ') AS g
+       |      FROM f, unnest(generate_series(1, len(a) - 2)) AS u(s)),
+       |c AS (SELECT g, count(*) AS c FROM g GROUP BY g)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, g) AS INT) AS rank, g, c
+       |FROM c ORDER BY c DESC, g LIMIT ${TextQueries.HeavyK}""".stripMargin
 
   val textIdentity: String =
     """SELECT doc_id, text, md5(text) AS text_md5,
