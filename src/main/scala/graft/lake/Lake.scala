@@ -187,7 +187,8 @@ class LakeTable(val root: String) {
     * snapshots' data/lineage files and any stray tmp dirs. Time-travel to
     * a dropped version fails afterwards; retained versions are untouched.
     * Returns the dropped versions. */
-  def vacuum(stage: String, retainLast: Int): Seq[Int] = {
+  def vacuum(stage: String, retainLast: Int,
+             orphanMinAgeMs: Long = LakeTable.DefaultOrphanMinAgeMs): Seq[Int] = {
     require(retainLast >= 1, "retainLast must be >= 1")
     val all = versions(stage)
     val keep = all.takeRight(retainLast).toSet ++ currentVersion(stage)
@@ -202,16 +203,30 @@ class LakeTable(val root: String) {
       rmTree(Paths.get(s"${stageDir(stage)}/lineage_v$v"))
       Files.deleteIfExists(Paths.get(s"${stageDir(stage)}/_manifest_v$v.json"))
     }
-    // orphaned crash leftovers (never referenced by any manifest)
+    // orphaned crash leftovers (never referenced by any manifest). An
+    // age cutoff keeps the sweep from racing a CONCURRENT commit/rollback
+    // whose _manifest.json.tmp exists between write and ATOMIC_MOVE —
+    // Iceberg's remove_orphan_files has the same guard for the same
+    // reason (default there: 3 days; crash leftovers are old by
+    // definition, in-flight tmps are milliseconds old).
     val dir = Paths.get(stageDir(stage))
     if (Files.isDirectory(dir)) {
       import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - orphanMinAgeMs
       Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach(p => rmTree(p))
     }
     drop
   }
+}
+
+object LakeTable {
+  /** Orphan-sweep age cutoff: a .tmp younger than this is presumed to be a
+    * concurrent commit/rollback between write and ATOMIC_MOVE, not a crash
+    * leftover (Iceberg remove_orphan_files ships the same guard). */
+  val DefaultOrphanMinAgeMs: Long = 60L * 60 * 1000
 }
 
 /** Deterministic stage DAG runner with per-partition lineage

@@ -80,7 +80,10 @@ object Ordinals {
       .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn(PartCol, spark_partition_id())
-      .withColumn("__grp", coalesce(group.cast("string"), lit("NULL")))
+      // tag-prefix: the null group can never collide with ANY real
+      // string value (a bare sentinel could, however exotic)
+      .withColumn("__grp", when(group.isNull, lit("N"))
+        .otherwise(concat(lit("V"), group.cast("string"))))
       .withColumn("__mono", monotonically_increasing_id().bitwiseAND(lit(mask))))
     val stats = sorted.groupBy(col(PartCol), col("__grp"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__min"))

@@ -240,15 +240,10 @@ object EmbQueries {
   def ivfStore(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_store",
       s"c$IvfCells:v1")
-    ivfStoreLock.synchronized {
-      if (!StageCache.isPublished(dir)) {
-        StageCache.publish(seedAssigned(spark, sfDir).repartition(col("cell")),
-          dir, partitionCols = Seq("cell"))
-      }
+    StageCache.getOrPublish(spark, dir, partitionCols = Seq("cell")) {
+      seedAssigned(spark, sfDir).repartition(col("cell"))
     }
-    spark.read.parquet(dir.getAbsolutePath)
   }
-  private val ivfStoreLock = new Object
 
   /** (vec_id, embedding, norm, cell): every vector assigned to its best
     * seed cell (max dot, ties → lowest cell id). */

@@ -171,25 +171,19 @@ object GeoQueries {
   def clusteredPages(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StageCache.dir(s"$sfDir/lineitem.parquet", "clustered_pages",
       s"z$ClusterZoom:v1")
-    clusterStageLock.synchronized {
-      if (!StageCache.isPublished(dir)) {
-        val cell12 = G.st_tile(col("lon"), col("lat"), 12)
-        val pages = Pages.volumePages(spark, sfDir)
-          .select(col("pid"), col("lon"), col("lat"), col("lang"), col("is_hot"),
-            G.tile_x(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("x4"),
-            G.tile_y(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("y4"),
-            G.st_morton(G.tile_x(cell12), G.tile_y(cell12)).as("morton"))
-        // one shuffle keyed by the cluster cell, Morton-sorted within, so
-        // each partition directory holds few, locally-ordered files
-        StageCache.publish(
-          pages.repartition(col("x4"), col("y4"))
-            .sortWithinPartitions("x4", "y4", "morton"),
-          dir, partitionCols = Seq("x4", "y4"))
-      }
+    StageCache.getOrPublish(spark, dir, partitionCols = Seq("x4", "y4")) {
+      val cell12 = G.st_tile(col("lon"), col("lat"), 12)
+      val pages = Pages.volumePages(spark, sfDir)
+        .select(col("pid"), col("lon"), col("lat"), col("lang"), col("is_hot"),
+          G.tile_x(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("x4"),
+          G.tile_y(G.st_tile(col("lon"), col("lat"), ClusterZoom)).cast("int").as("y4"),
+          G.st_morton(G.tile_x(cell12), G.tile_y(cell12)).as("morton"))
+      // one shuffle keyed by the cluster cell, Morton-sorted within, so
+      // each partition directory holds few, locally-ordered files
+      pages.repartition(col("x4"), col("y4"))
+        .sortWithinPartitions("x4", "y4", "morton")
     }
-    spark.read.parquet(dir.getAbsolutePath)
   }
-  private val clusterStageLock = new Object
 
   def clusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.core.Mercator
@@ -207,7 +201,7 @@ object GeoQueries {
       .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"),
         max(col("pid")).as("max_pid"), sum(col("pid")).as("sum_pid"),
         sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"),
-        countDistinct(col("x4") * lit(16) + col("y4")).as("n_cells"))
+        countDistinct(col("x4") * lit(1L << ClusterZoom) + col("y4")).as("n_cells"))
       .orderBy(col("lang"))
   }
 }
@@ -319,7 +313,7 @@ object GeoOracles {
       s"""SELECT lang, count(*) AS n, min(pid) AS min_pid, max(pid) AS max_pid,
          |       CAST(sum(pid) AS BIGINT) AS sum_pid,
          |       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
-         |       count(DISTINCT ${tileXSql("lon", ClusterZoom)} * 16 +
+         |       count(DISTINCT ${tileXSql("lon", ClusterZoom)} * ${1L << ClusterZoom} +
          |                      ${tileYSql("lat", ClusterZoom)}) AS n_cells
          |FROM pages
          |WHERE lon >= $ScanLonMin AND lon < $ScanLonMax

@@ -25,6 +25,31 @@ object StageCache {
   def isPublished(dir: java.io.File): Boolean =
     new java.io.File(dir, "_SUCCESS").exists()
 
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The publish-under-lock choreography every stage site needs:
+    * double-checked per-dir in-process lock (cross-process safety comes
+    * from [[publish]]'s atomic rename), `build` evaluated only on the
+    * cold path, then the COMMITTED bytes are what callers read.
+    * `afterPublish` runs on the freshly-built frame once its bytes are on
+    * disk — the hook for releasing build-internal checkpoint blocks. */
+  def getOrPublish(spark: org.apache.spark.sql.SparkSession,
+                   dir: java.io.File,
+                   partitionCols: Seq[String] = Nil,
+                   afterPublish: DataFrame => Unit = _ => ())
+                  (build: => DataFrame): DataFrame = {
+    val lock = locks.computeIfAbsent(dir.getAbsolutePath, _ => new Object)
+    lock.synchronized {
+      if (!isPublished(dir)) {
+        val df = build
+        publish(df, dir, partitionCols)
+        afterPublish(df)
+      }
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
   /** Publish a stage-cache table ATOMICALLY: write to a process-unique
     * sibling, rename into place (same filesystem → atomic), discard on
     * lost races — a concurrent JVM can never observe a half-written dir.

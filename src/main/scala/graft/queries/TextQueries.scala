@@ -117,12 +117,16 @@ object TextQueries {
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
+    // persisted: tf feeds BOTH the stats aggregate and the scoring side of
+    // the crossJoin — without it Spark plans two independent corpus
+    // scans + tokenize passes. tf is (doc_id, dl, tf0..tf2): tiny to
+    // store, expensive to recompute (same trade as the staged signatures).
     val tf = toks.select(
       col("doc_id") +: size(col("a")).cast("long").as("dl") +:
         Bm25Terms.indices.map { i =>
           size(filter(col("a"), x => x === lit(Bm25Terms(i))))
             .cast("long").as(s"tf$i")
-        }: _*)
+        }: _*).trackedCheckpoint
     val aggs = sum(col("dl")).as("sum_dl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
@@ -172,14 +176,12 @@ object TextQueries {
     * table in its lake; here the stage cache is the query-facing twin.
     * Values are deterministic, so every gate hash is unchanged. */
   private def sigsDf(spark: SparkSession, sfDir: String): DataFrame =
-    labelStageLock.synchronized {
-      val dir = stageCacheDir(sfDir, "minhash_sigs")
+    StageCache.getOrPublish(spark, stageCacheDir(sfDir, "minhash_sigs")) {
       // the docs parquet is one row group (one scan task) — spread the
       // docs BEFORE the expensive MinHash projection so the pass runs on
       // every core, then the stage write is parallel too
-      publishStage(sigsOf(spark, docs(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)), dir)
-      spark.read.parquet(dir.getAbsolutePath)
+      sigsOf(spark, docs(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
     }
 
   /** Bump when ANY MinHash-pipeline semantic changes that the constants
@@ -196,9 +198,6 @@ object TextQueries {
       s"${TextOps.NumPerms}:${TextOps.ShingleWidth}:${TextOps.MinhashP}:" +
         s"${TextOps.Bands}:${TextOps.BandRows}:${TextOps.MatchThreshold}:" +
         StageCacheVersion)
-
-  private def publishStage(df: DataFrame, dir: java.io.File): Unit =
-    StageCache.publish(df, dir)
 
   def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     GraftRegistrar.ensure(spark)
@@ -287,19 +286,12 @@ object TextQueries {
     * source table plus the algorithm version; labels are deterministic, so
     * a replay reads identical values and every gate hash is unchanged. */
   def minhashLabels(spark: SparkSession, sfDir: String): DataFrame =
-    labelStageLock.synchronized {
-      val dir = stageCacheDir(sfDir, "minhash_labels")
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        // cold path builds on the STAGED signature table, so a sweep runs
-        // the MinHash pass at most once across q17/q18/q36/q46/q55
-        val lbl = labelsFromPairs(spark, pairsFromSigs(sigsDf(spark, sfDir)), None)
-        publishStage(lbl, dir)
-        GraftCheckpoints.release(lbl)
-      }
-      spark.read.parquet(dir.getAbsolutePath)
+    StageCache.getOrPublish(spark, stageCacheDir(sfDir, "minhash_labels"),
+      afterPublish = GraftCheckpoints.release) {
+      // cold path builds on the STAGED signature table, so a sweep runs
+      // the MinHash pass at most once across q17/q18/q36/q46/q55
+      labelsFromPairs(spark, pairsFromSigs(sigsDf(spark, sfDir)), None)
     }
-
-  private val labelStageLock = new Object
 
   def minhashLabelsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     val (pairs, sigs) = minhashPairsWithSigs(spark, d)

@@ -79,7 +79,11 @@ class LakeMaintenanceSpec extends SparkTestBase {
     lake.commit("t", spark.range(30).toDF("id"), Map.empty)  // v3
     // crash leftover that no manifest references
     Files.createDirectories(Paths.get(s"$root/t/junk.tmp"))
-    val dropped = lake.vacuum("t", retainLast = 2)
+    // under the DEFAULT age cutoff a fresh .tmp is presumed in-flight
+    // (a concurrent commit between write and ATOMIC_MOVE) and survives
+    val dropped0 = lake.vacuum("t", retainLast = 3)
+    assert(dropped0.isEmpty && Files.exists(Paths.get(s"$root/t/junk.tmp")))
+    val dropped = lake.vacuum("t", retainLast = 2, orphanMinAgeMs = 0L)
     assert(dropped === Seq(1))
     assert(lake.versions("t") === Seq(2, 3))
     assert(lake.read(spark, "t").count() === 30)

@@ -57,7 +57,8 @@ class ClusteredScanSpec extends SparkTestBase {
         max(col("pid")).as("max_pid"), sum(col("pid")).as("sum_pid"),
         sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"),
         countDistinct(graft.sql.functions.tile_x(
-            graft.sql.functions.st_tile(col("lon"), col("lat"), GeoQueries.ClusterZoom)) * lit(16) +
+            graft.sql.functions.st_tile(col("lon"), col("lat"), GeoQueries.ClusterZoom)) *
+            lit(1L << GeoQueries.ClusterZoom) +
           graft.sql.functions.tile_y(
             graft.sql.functions.st_tile(col("lon"), col("lat"), GeoQueries.ClusterZoom))).as("n_cells"))
       .orderBy(col("lang"))
