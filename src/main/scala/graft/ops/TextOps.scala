@@ -19,6 +19,24 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Canonical form of a crawl URL (q69's normalization, shared with the
+    * streaming dedup face): lowercase scheme + authority, strip the
+    * default :443 port, the #fragment, `utm_*` tracking params and
+    * trailing slashes. Pure codegen'd regexp built-ins — the same column
+    * expression runs batch and streaming. */
+  def canonicalUrl(url: Column): Column = {
+    val auth = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = regexp_replace(regexp_replace(
+      regexp_extract(url, "\\?([^#]*)", 1),
+      "(^|&)utm_[a-z_]+=[^&]*", ""), "^&", "")
+    concat(lower(regexp_extract(url, "^([A-Za-z]+)://", 1)), lit("://"),
+      auth, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** Occurrences of a literal substring via length arithmetic — exact in
     * any SQL dialect (no regex dialect drift). */
   def occurrences(text: Column, pat: String): Column =

@@ -124,18 +124,8 @@ object QualityQueries {
           concat(lit("https://www.example.com/page/"), col("base").cast("string"),
             lit("?id="), pmod(col("base"), lit(7)).cast("string"),
             lit("&utm_campaign=x"))))
-    val norm = d
-      .withColumn("auth", regexp_replace(
-        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", ""))
-      .withColumn("path", regexp_replace(
-        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", ""))
-      .withColumn("q", regexp_replace(regexp_replace(
-        regexp_extract(col("url"), "\\?([^#]*)", 1),
-        "(^|&)utm_[a-z_]+=[^&]*", ""), "^&", ""))
-      .withColumn("canon_url", concat(
-        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)), lit("://"),
-        col("auth"), col("path"),
-        when(col("q") =!= "", concat(lit("?"), col("q"))).otherwise(lit(""))))
+    val norm = d.withColumn("canon_url",
+      graft.ops.TextOps.canonicalUrl(col("url")))
     norm.groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_variants"),
         max_by(col("doc_id"), col("warc_epoch")).as("keep_doc"),

@@ -86,6 +86,19 @@ object StatefulStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming canonical-URL dedup — q69's streaming face: recrawl
+    * variants (tracking params, default port, authority case, fragments,
+    * trailing slashes) of the same page collapse to one survivor within
+    * the watermark horizon. The normalization is the SAME codegen'd
+    * column expression the batch gate runs ([[graft.ops.TextOps
+    * .canonicalUrl]]); state holds one canonical key per page inside the
+    * horizon — at 100 TB/day the horizon bounds state, not the corpus. */
+  def canonicalDedupStream(pages: DataFrame, urlCol: String = "url",
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    dedupStream(pages.withColumn("canon_url",
+      graft.ops.TextOps.canonicalUrl(col(urlCol))), "canon_url",
+      watermarkDelay)
+
   /** Stream-stream INTERVAL join: each click paired with every view of the
     * same user inside the trailing window. The time-range condition bounds
     * both join states — a view leaves state once the click-side watermark

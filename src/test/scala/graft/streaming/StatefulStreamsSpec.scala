@@ -100,6 +100,43 @@ class StatefulStreamsSpec extends SparkTestBase {
     assert(keys === Set(("A", 1L), ("B", 2L), ("C", 4L))) // first-wins, B once
   }
 
+  test("streaming canonical-URL dedup collapses recrawl variants across batches") {
+    val in = Files.createTempDirectory("cd_in").toString
+    val out = Files.createTempDirectory("cd_out").toString
+    val ck = Files.createTempDirectory("cd_ck").toString
+
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StatefulStreams.canonicalDedupStream(stream)
+        .select("canon_url", "doc_id")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: docs 1 and 2 are the SAME page under recrawl variants
+    Seq((1L, ts("2024-01-01 10:00:00"),
+          "https://WWW.Example.COM:443/page/7/?utm_source=feed&id=3#frag"),
+        (2L, ts("2024-01-01 10:01:00"),
+          "https://www.example.com/page/7?id=3&utm_campaign=x"))
+      .toDF("doc_id", "ts", "url").coalesce(1).write.mode("append").parquet(in)
+    run()
+    // batch 2: doc 3 is ANOTHER variant of the same page (dropped), doc 4 new
+    Seq((3L, ts("2024-01-01 10:10:00"),
+          "https://www.example.com:443/page/7/?id=3"),
+        (4L, ts("2024-01-01 10:11:00"), "https://www.example.com/page/8?id=1"))
+      .toDF("doc_id", "ts", "url").coalesce(1).write.mode("append").parquet(in)
+    run()
+
+    val keys = spark.read.parquet(out).select("canon_url", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keys === Set(
+      ("https://www.example.com/page/7?id=3", 1L),   // first variant wins
+      ("https://www.example.com/page/8?id=1", 4L)))
+  }
+
   test("stream-stream interval join emits exactly the batch-face pairs across two batches") {
     val in = Files.createTempDirectory("ij_in").toString
     val out = Files.createTempDirectory("ij_out").toString
