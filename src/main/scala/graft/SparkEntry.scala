@@ -89,6 +89,7 @@ object SparkEntry {
     "q70_crawl_diff" -> (graft.queries.QualityQueries.crawlDiff _),
     "q71_domain_blocklist" -> (graft.queries.QualityQueries.domainBlocklist _),
     "q72_heavy_hitters" -> (graft.queries.TextQueries.heavyHitters _),
+    "q73_quality_classifier" -> (graft.queries.QualityQueries.qualityClassifier _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -166,6 +167,7 @@ object SparkEntry {
     "q70_crawl_diff" -> graft.queries.QualityOracles.crawlDiff,
     "q71_domain_blocklist" -> graft.queries.QualityOracles.domainBlocklist,
     "q72_heavy_hitters" -> graft.queries.TextOracles.heavyHitters,
+    "q73_quality_classifier" -> graft.queries.QualityOracles.qualityClassifier,
   )
 }
 

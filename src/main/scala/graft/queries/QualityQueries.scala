@@ -197,6 +197,36 @@ object QualityQueries {
 
   val BlockPatterns = Seq("h13.example.com", "example.net", "h2.example.org")
 
+  /** Model-based quality classifier (q73): the fastText-style linear
+    * scorer every production corpus filter runs (CCNet / RefinedWeb shape),
+    * here with integer basis-point features so every value faces the
+    * oracle exactly: stopword ratio, lexical diversity, digit-density,
+    * combined with fixed integer weights. The 100-TB point is the plan:
+    * all features come from ARRAY functions over one split — no explode,
+    * no shuffle; scoring is a pure codegen'd projection, so the classifier
+    * pass is map-side over the corpus with the output order as the only
+    * exchange. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val stop = filter(a, x => x.isin(StopWords: _*))
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+      size(a).cast("long").as("n_words"),
+      size(stop).cast("long").as("n_stop"),
+      size(array_distinct(a)).cast("long").as("n_distinct"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"))
+    d.select(col("doc_id"), col("n_words"), col("n_stop"), col("n_distinct"),
+        col("n_digit"),
+        (expr("n_stop * 10000 div n_words") * 2L +
+          expr("n_distinct * 10000 div n_words") * 3L -
+          expr("n_digit * 10000 div greatest(length(text), 1)") * 5L).as("score"))
+      .withColumn("keep", col("score") >= KeepThresholdBp)
+      .orderBy(col("doc_id"))
+  }
+
+  val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
+  val KeepThresholdBp = 15000L
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
@@ -623,6 +653,26 @@ object QualityOracles {
       |SELECT status, count(*) AS n_pages, min(doc_id) AS min_doc,
       |       max(doc_id) AS max_doc, CAST(sum(doc_id) AS BIGINT) AS sum_doc
       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  val qualityClassifier: String = {
+    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
+    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
+       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+       |f AS (SELECT doc_id, text,
+       |        len(a) AS n_words,
+       |        len(list_filter(a, x -> x IN ($stops))) AS n_stop,
+       |        len(list_distinct(a)) AS n_distinct,
+       |        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |      FROM t)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(n_stop AS BIGINT) AS n_stop,
+       |       CAST(n_distinct AS BIGINT) AS n_distinct,
+       |       CAST(n_digit AS BIGINT) AS n_digit,
+       |       CAST($score AS BIGINT) AS score,
+       |       ($score) >= ${QualityQueries.KeepThresholdBp} AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   val domainBlocklist: String = {
     val vals = QualityQueries.BlockPatterns.map(p => s"('$p')").mkString(", ")

@@ -228,6 +228,32 @@ class QualityQueriesSpec extends SparkTestBase {
       same.getLong(3) == 4 && same.getLong(4) == 7)
   }
 
+  test("quality classifier scores match an independent recomputation; map-side plan") {
+    val df = QualityQueries.qualityClassifier(spark, dir)
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val a = t.split(" ", -1)
+      val stop = a.count(QualityQueries.StopWords.contains)
+      val dist = a.distinct.length
+      val dig = t.count(_.isDigit)
+      val score = stop * 10000L / a.length * 2 + dist * 10000L / a.length * 3 -
+        dig * 10000L / math.max(t.length, 1) * 5
+      val r = rows(id)
+      assert(r.getLong(1) == a.length && r.getLong(2) == stop &&
+        r.getLong(3) == dist && r.getLong(4) == dig && r.getLong(5) == score, t)
+      assert(r.getBoolean(6) == (score >= QualityQueries.KeepThresholdBp))
+    }
+    // scoring must be a pure projection: the ONLY exchange is the output
+    // ordering — no aggregate/join shuffle anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(
+      plan.split("== Initial Plan ==")(0)).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), plan.take(900))
+  }
+
   test("domain blocklist matches any dot-boundary suffix of the host") {
     // hosts h0.example.com … h4.example.org: only doc 2 (h2.example.net)
     // has a blocklisted suffix — via the registrable-domain 'example.net',
