@@ -90,6 +90,7 @@ object SparkEntry {
     "q71_domain_blocklist" -> (graft.queries.QualityQueries.domainBlocklist _),
     "q72_heavy_hitters" -> (graft.queries.TextQueries.heavyHitters _),
     "q73_quality_classifier" -> (graft.queries.QualityQueries.qualityClassifier _),
+    "q74_pagerank" -> (graft.queries.GraphQueries.pageRank _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -168,6 +169,7 @@ object SparkEntry {
     "q71_domain_blocklist" -> graft.queries.QualityOracles.domainBlocklist,
     "q72_heavy_hitters" -> graft.queries.TextOracles.heavyHitters,
     "q73_quality_classifier" -> graft.queries.QualityOracles.qualityClassifier,
+    "q74_pagerank" -> graft.queries.GraphOracles.pageRank,
   )
 }
 

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Pages
+
+/** Link-graph analytics over the pages table — the authority signal a
+  * crawl scheduler / quality pipeline derives from the web graph itself
+  * (the other rankings here are content-based: q67 BM25, q73 classifier).
+  *
+  * PageRank is THE iterative-shuffle workload: every round is one join
+  * (ranks × edges on src) plus one aggregate (contributions by dst). The
+  * 100-TB shape: edges are partitioned ONCE by src (write-time bucketing
+  * in a real lake); each round reuses that partitioning for the join side
+  * and shuffles only the (dst, contribution) pairs; rank state is
+  * checkpointed every few rounds so lineage stays bounded (the staged-CC
+  * lesson — reliable snapshots in the job path, local checkpoints here in
+  * the gate query). All arithmetic is integer micro-ranks (r//deg, ×85//100
+  * damping), so every value faces the DuckDB oracle exactly — and the sum
+  * is over longs, associative under any partitioning. */
+object GraphQueries {
+
+  val Iters = 10
+  val TopK = 200
+  /** out-link offsets: node i links to (i+1), and for i%3>=1 also (i+7),
+    * and for i%3=2 also (i+40) — all mod N. Offsets distinct mod N for
+    * N > 40, so out-degree is exactly 1 + i%3; the +1 ring keeps every
+    * node reachable (no dangling mass in either engine). */
+  val Offsets = Seq(1L, 7L, 40L)
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.documentsPages(spark, sfDir)
+
+  /** (src, dst, deg) edge table, derived deterministically from doc_id. */
+  def edges(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id").as("src"))
+    val links = d.select(col("src"),
+      explode(when(pmod(col("src"), lit(3)) === 0, array(lit(Offsets(0))))
+        .when(pmod(col("src"), lit(3)) === 1, array(lit(Offsets(0)), lit(Offsets(1))))
+        .otherwise(array(lit(Offsets(0)), lit(Offsets(1)), lit(Offsets(2)))))
+        .as("off"))
+    links.select(col("src"), pmod(col("src") + col("off"), lit(n)).as("dst"),
+      (pmod(col("src"), lit(3)) + 1L).as("deg"))
+  }
+
+  /** q74: ten damped integer-PageRank rounds, top-K authorities. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val e = edges(spark, sfDir, n).trackedCheckpoint
+    var ranks = docs(spark, sfDir)
+      .select(col("doc_id").as("node"), lit(1000000L).as("r"))
+    for (i <- 1 to Iters) {
+      ranks = e.join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg((sum(expr("r div deg")) * 85L).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("s div 100")).as("r"))
+      // bound the lineage: 10 chained join+agg rounds otherwise stack
+      // into one giant plan (real job path: reliable lake snapshots)
+      if (i % 3 == 0 && i < Iters) ranks = ranks.trackedCheckpoint
+    }
+    ranks.orderBy(col("r").desc, col("node")).limit(TopK)
+  }
+}
+
+object GraphOracles {
+
+  val pageRank: String = {
+    val offs = GraphQueries.Offsets
+    val rounds = (1 to GraphQueries.Iters).map { i =>
+      s"""p$i AS (
+         |  SELECT dst AS node, CAST(150000 + (sum(r // deg) * 85) // 100 AS BIGINT) AS r
+         |  FROM p${i - 1} JOIN e ON node = src GROUP BY dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id + o) % nn.n AS dst,
+       |         doc_id % 3 + 1 AS deg
+       |  FROM documents, nn, unnest([${offs.mkString(", ")}]) AS t(o)
+       |  WHERE o = ${offs(0)}
+       |     OR (o = ${offs(1)} AND doc_id % 3 >= 1)
+       |     OR (o = ${offs(2)} AND doc_id % 3 = 2)),
+       |p0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |$rounds
+       |SELECT node, r FROM p${GraphQueries.Iters}
+       |ORDER BY r DESC, node LIMIT ${GraphQueries.TopK}""".stripMargin
+  }
+}
