@@ -91,6 +91,7 @@ object SparkEntry {
     "q72_heavy_hitters" -> (graft.queries.TextQueries.heavyHitters _),
     "q73_quality_classifier" -> (graft.queries.QualityQueries.qualityClassifier _),
     "q74_pagerank" -> (graft.queries.GraphQueries.pageRank _),
+    "q75_robots_filter" -> (graft.queries.QualityQueries.robotsFilter _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -170,6 +171,7 @@ object SparkEntry {
     "q72_heavy_hitters" -> graft.queries.TextOracles.heavyHitters,
     "q73_quality_classifier" -> graft.queries.QualityOracles.qualityClassifier,
     "q74_pagerank" -> graft.queries.GraphOracles.pageRank,
+    "q75_robots_filter" -> graft.queries.QualityOracles.robotsFilter,
   )
 }
 

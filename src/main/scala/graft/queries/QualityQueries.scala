@@ -227,6 +227,58 @@ object QualityQueries {
   val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
   val KeepThresholdBp = 15000L
 
+  /** (host, path_prefix, allow, rule_id): a parsed robots.txt rule set.
+    * Most-specific-wins: the longest matching prefix decides; ties break
+    * least-restrictive (allow) then rule_id — Google's published
+    * robots.txt precedence. */
+  val RobotsRules: Seq[(String, String, Boolean, Int)] = Seq(
+    ("h1.example.org", "/", true, 1),
+    ("h1.example.org", "/private", false, 2),
+    ("h1.example.org", "/private/open", true, 3),
+    ("h2.example.net", "/", false, 4),
+    ("h2.example.net", "/pub", true, 5),
+    ("h4.example.org", "/a", false, 6))
+
+  /** Robots-rules evaluation (q75): every crawl pipeline's admission
+    * check — for each page, the most specific matching rule of its host
+    * decides allow/deny; hosts with no rules default to allow. The rule
+    * set (a few MB real-world) is an explicit broadcast; prefix matching
+    * is a map-side `startswith`; the per-page argmax is a window
+    * PARTITIONED BY doc_id (billions of tiny groups — the shape windows
+    * scale on), so the only data shuffle is that window's hash exchange. */
+  def robotsFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val pages = docs(spark, sfDir).select(col("doc_id"), concat(
+        lit("h"), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net")).as("host"))
+      .withColumn("path",
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("/private/p"), col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("/private/open/q"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/pub/r"), col("doc_id").cast("string"))))
+    val rules = RobotsRules.toDF("r_host", "prefix", "allow", "rule_id")
+    val matched = pages.join(broadcast(rules),
+      col("host") === col("r_host") && col("path").startsWith(col("prefix")),
+      "left")
+    val w = Window.partitionBy(col("doc_id")).orderBy(
+      length(col("prefix")).desc_nulls_last, col("allow").desc_nulls_last,
+      col("rule_id").asc_nulls_last)
+    matched.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"),
+        coalesce(col("allow"), lit(true)).as("verdict"),
+        coalesce(col("rule_id"), lit(0)).as("rule"))
+      .groupBy(col("rule"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("doc_id")).as("sum_doc"))
+      .orderBy(col("rule"), col("verdict"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
@@ -653,6 +705,34 @@ object QualityOracles {
       |SELECT status, count(*) AS n_pages, min(doc_id) AS min_doc,
       |       max(doc_id) AS max_doc, CAST(sum(doc_id) AS BIGINT) AS sum_doc
       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  val robotsFilter: String = {
+    val vals = QualityQueries.RobotsRules
+      .map { case (h, p, a, id) => s"('$h', '$p', $a, $id)" }.mkString(",\n  ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN '/'
+       |      WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+       |      WHEN 2 THEN '/private/open/q' || CAST(doc_id AS VARCHAR)
+       |      ELSE '/pub/r' || CAST(doc_id AS VARCHAR) END AS path
+       |  FROM documents),
+       |r(r_host, prefix, allow, rule_id) AS (VALUES
+       |  $vals),
+       |m AS (SELECT p.doc_id, r.prefix, r.allow, r.rule_id
+       |      FROM p LEFT JOIN r ON p.host = r.r_host AND starts_with(p.path, r.prefix)),
+       |b AS (SELECT doc_id, allow, rule_id,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY length(prefix) DESC NULLS LAST, allow DESC NULLS LAST,
+       |                   rule_id ASC NULLS LAST) AS rn
+       |      FROM m)
+       |SELECT COALESCE(rule_id, 0) AS rule, COALESCE(allow, true) AS verdict,
+       |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_doc
+       |FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY rule, verdict""".stripMargin
+  }
 
   val qualityClassifier: String = {
     val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")

@@ -254,6 +254,22 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(exchanges.forall(_.contains("rangepartitioning")), plan.take(900))
   }
 
+  test("robots rules: most specific prefix wins, no-rule hosts default allow") {
+    // docs 0..4 → doc 1: h1.example.org /private/p1 → rule 2 (deny beats
+    // the shorter '/' allow); doc 2: h2.example.net /private/open/q2 →
+    // rule 4 deny; doc 4: h4.example.org path '/' — rule 6 '/a' does NOT
+    // match → DEFAULT allow despite the host having a rule; docs 0,3: no
+    // rules at all → default allow
+    val rows = QualityQueries.robotsFilter(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1)) -> r).toMap
+    assert(rows.keySet == Set((0, true), (2, false), (4, false)))
+    val dflt = rows((0, true))
+    assert(dflt.getLong(2) == 3 && dflt.getLong(3) == 0 && dflt.getLong(4) == 4 &&
+      dflt.getLong(5) == 7) // docs 0, 3, 4
+    assert(rows((2, false)).getLong(3) == 1 && rows((2, false)).getLong(2) == 1)
+    assert(rows((4, false)).getLong(3) == 2 && rows((4, false)).getLong(2) == 1)
+  }
+
   test("domain blocklist matches any dot-boundary suffix of the host") {
     // hosts h0.example.com … h4.example.org: only doc 2 (h2.example.net)
     // has a blocklisted suffix — via the registrable-domain 'example.net',
