@@ -92,6 +92,7 @@ object SparkEntry {
     "q73_quality_classifier" -> (graft.queries.QualityQueries.qualityClassifier _),
     "q74_pagerank" -> (graft.queries.GraphQueries.pageRank _),
     "q75_robots_filter" -> (graft.queries.QualityQueries.robotsFilter _),
+    "q76_posting_lookup" -> (graft.queries.TextQueries.postingLookup _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -172,6 +173,7 @@ object SparkEntry {
     "q73_quality_classifier" -> graft.queries.QualityOracles.qualityClassifier,
     "q74_pagerank" -> graft.queries.GraphOracles.pageRank,
     "q75_robots_filter" -> graft.queries.QualityOracles.robotsFilter,
+    "q76_posting_lookup" -> graft.queries.TextOracles.postingLookup,
   )
 }
 

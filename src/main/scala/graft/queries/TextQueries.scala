@@ -169,6 +169,51 @@ object TextQueries {
 
   val HeavyK = 50
 
+  val PostingBuckets = 16
+
+  /** Inverted-index posting store — the TEXT twin of the IVF serving
+    * layout (`EmbQueries.ivfStore`): postings (term, doc_id, tf) staged
+    * hive-partitioned by a term-hash bucket. A term lookup resolves its
+    * buckets driver-side (a |terms|-row job) and pushes a literal
+    * partition filter, so the scan lists/reads only the queried buckets'
+    * directories of a corpus-sized posting table — static pruning, the
+    * inverted-list access pattern. */
+  def postingStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StageCache.dir(s"$sfDir/documents.parquet", "posting_store",
+      s"b$PostingBuckets:v1")
+    StageCache.getOrPublish(spark, dir, partitionCols = Seq("bkt")) {
+      postingsOf(docs(spark, sfDir)).repartition(col("bkt"))
+    }
+  }
+
+  /** (term, doc_id, tf, bkt) postings from a documents frame. */
+  def postingsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt",
+        pmod(xxhash64(col("term")), lit(PostingBuckets)).cast("int"))
+
+  /** Per-term corpus stats over a posting frame (shared by the pruned
+    * store path and the direct recomputation the spec compares against). */
+  def termStatsOver(postings: DataFrame, terms: Seq[String]): DataFrame =
+    postings.where(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("term"))
+
+  /** q76: term lookup THROUGH the bucket-pruned store. */
+  def postingLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Bm25Terms
+    val bkts = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(PostingBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    termStatsOver(
+      postingStore(spark, sfDir).where(col("bkt").isin(bkts: _*)), terms)
+  }
+
   /** The 128-perm signature table for an sfDir input, staged ONCE per
     * input fingerprint (same pattern as [[minhashLabels]]): q17/q18/q46
     * all consume signatures, and a sweep used to run the expensive
@@ -528,6 +573,18 @@ object TextOracles {
        |       doc_id, dl, tf0, tf1, tf2, score
        |FROM sc ORDER BY score DESC, doc_id LIMIT ${TextQueries.Bm25TopK}"""
       .stripMargin
+  }
+
+  val postingLookup: String = {
+    val terms = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |p AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       |      WHERE term IN ($terms) GROUP BY term, doc_id)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |       CAST(max(tf) AS BIGINT) AS max_tf,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM p GROUP BY term ORDER BY term""".stripMargin
   }
 
   val heavyHitters: String =
