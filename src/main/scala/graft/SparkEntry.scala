@@ -93,6 +93,7 @@ object SparkEntry {
     "q74_pagerank" -> (graft.queries.GraphQueries.pageRank _),
     "q75_robots_filter" -> (graft.queries.QualityQueries.robotsFilter _),
     "q76_posting_lookup" -> (graft.queries.TextQueries.postingLookup _),
+    "q77_dupgroup_histogram" -> (graft.queries.TextQueries.dupGroupHistogram _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -174,6 +175,7 @@ object SparkEntry {
     "q74_pagerank" -> graft.queries.GraphOracles.pageRank,
     "q75_robots_filter" -> graft.queries.QualityOracles.robotsFilter,
     "q76_posting_lookup" -> graft.queries.TextOracles.postingLookup,
+    "q77_dupgroup_histogram" -> graft.queries.TextOracles.dupGroupHistogram,
   )
 }
 

@@ -322,6 +322,20 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), min(col("u")).as("min_doc"), max(col("u")).as("max_doc"))
       .orderBy(col("label"))
 
+  /** q77: dup-cluster size histogram — the observability readout every
+    * dedup pass ships (how much mass sits in how-big clusters decides
+    * whether near-dup thresholds need tuning). Reads the SAME staged
+    * label table as q36/q55 (zero recompute in a sweep); two tiny
+    * aggregations over the dup-graph nodes — the corpus itself is never
+    * touched. */
+  def dupGroupHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLabels(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_groups"), min(col("label")).as("min_label"),
+        max(col("label")).as("max_label"))
+      .orderBy(col("sz"))
+
   /** Component membership (u → label) of the banded-LSH pair graph — the
     * min-propagation fixed point shared by q36 and q55, staged ONCE per
     * input fingerprint (VERDICT r2 #4: the two gate queries used to
@@ -702,6 +716,20 @@ object TextOracles {
        |lbl AS (SELECT u, LEAST(u, min(v)) AS label FROM reach GROUP BY u)
        |SELECT label, count(*) AS n, min(u) AS min_doc, max(u) AS max_doc
        |FROM lbl GROUP BY label ORDER BY label""".stripMargin
+
+  /** cluster-size histogram: same recursive closure, one more rollup. */
+  val dupGroupHistogram: String =
+    s"""WITH RECURSIVE ${pairsCte},
+       |sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |lbl AS (SELECT u, LEAST(u, min(v)) AS label FROM reach GROUP BY u),
+       |g AS (SELECT label, count(*) AS sz FROM lbl GROUP BY label)
+       |SELECT sz, count(*) AS n_groups, min(label) AS min_label,
+       |       max(label) AS max_label
+       |FROM g GROUP BY sz ORDER BY sz""".stripMargin
 
   /** keep-best per component: same recursive closure as minhashGroups,
     * then per-label argmax by (n_chars DESC, doc_id). */

@@ -115,6 +115,18 @@ class DedupSpec extends SparkTestBase {
     // without the cap the hot bucket alone yields 3000*2999/2 ≈ 4.5M pairs
     assert(n < 20000, s"candidate pairs $n — bucket cap not effective")
   }
+
+  test("q77 histogram is exactly the size distribution of the group table") {
+    val sf = "/root/testdata/sf0.001"
+    val groups = graft.queries.TextQueries.minhashGroups(spark, sf).collect()
+    val hist = graft.queries.TextQueries.dupGroupHistogram(spark, sf).collect()
+    val bySz = groups.groupBy(_.getLong(1)).map { case (k, v) => k -> v.length.toLong }
+    assert(hist.map(r => r.getLong(0) -> r.getLong(1)).toMap === bySz)
+    // mass conservation: Σ sz·n_groups = labeled nodes
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum ===
+      groups.map(_.getLong(1)).sum)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
 }
 
 /** winnowing fingerprint guarantees (Schleimer et al. 2003 §2: any match
