@@ -32,9 +32,14 @@ object TextOps {
     val q = regexp_replace(regexp_replace(
       regexp_extract(url, "\\?([^#]*)", 1),
       "(^|&)utm_[a-z_]+=[^&]*", ""), "^&", "")
-    concat(lower(regexp_extract(url, "^([A-Za-z]+)://", 1)), lit("://"),
-      auth, path,
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    // scheme-less/malformed URLs (mailto:, android-app://-less relatives,
+    // garbage) pass through UNCHANGED: normalizing them all to '://' would
+    // make every malformed page a "duplicate" of the first one a streaming
+    // dedup sees — silent data loss, not normalization
+    when(regexp_extract(url, "^[A-Za-z]+://", 0) === "", url).otherwise(
+      concat(lower(regexp_extract(url, "^([A-Za-z]+)://", 1)), lit("://"),
+        auth, path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** Occurrences of a literal substring via length arithmetic — exact in

@@ -50,6 +50,7 @@ object GraphQueries {
     val e = edges(spark, sfDir, n).trackedCheckpoint
     var ranks = docs(spark, sfDir)
       .select(col("doc_id").as("node"), lit(1000000L).as("r"))
+    var prevCp: Option[DataFrame] = None
     for (i <- 1 to Iters) {
       ranks = e.join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -57,8 +58,14 @@ object GraphQueries {
         .select(col("dst").as("node"),
           (lit(150000L) + expr("s div 100")).as("r"))
       // bound the lineage: 10 chained join+agg rounds otherwise stack
-      // into one giant plan (real job path: reliable lake snapshots)
-      if (i % 3 == 0 && i < Iters) ranks = ranks.trackedCheckpoint
+      // into one giant plan (real job path: reliable lake snapshots).
+      // The superseded round's blocks release as soon as the new eager
+      // checkpoint holds its successor — peak residency is ONE round.
+      if (i % 3 == 0 && i < Iters) {
+        ranks = ranks.trackedCheckpoint
+        prevCp.foreach(org.apache.spark.sql.GraftCheckpoints.release)
+        prevCp = Some(ranks)
+      }
     }
     ranks.orderBy(col("r").desc, col("node")).limit(TopK)
   }

@@ -32,6 +32,7 @@ class GraphQueriesSpec extends SparkTestBase {
     val got = GraphQueries.pageRank(spark, sf).collect().toSeq
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(got === expected)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
 
   test("q74: derived edge table is the declared 1+i%3 out-regular graph") {

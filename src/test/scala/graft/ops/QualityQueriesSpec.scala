@@ -213,6 +213,19 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(lone.getLong(1) == 1 && lone.getLong(2) == 4L && lone.getLong(4) == 4L)
   }
 
+  test("canonicalUrl passes scheme-less/malformed URLs through unchanged") {
+    import spark.implicits._
+    val in = Seq("mailto:a@b.com", "not a url", "/relative/path",
+      "https://A.B:443/x/?utm_source=z&k=1#f").toDF("url")
+    val out = in.select(graft.ops.TextOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect()
+    // malformed inputs keep their own identity (a constant '://' key would
+    // make a streaming dedup drop every malformed page after the first)
+    assert(out(0) == "mailto:a@b.com" && out(1) == "not a url" &&
+      out(2) == "/relative/path")
+    assert(out(3) == "https://a.b/x?k=1")
+  }
+
   test("crawl diff classifies removed/changed/unchanged by content hash") {
     // docs 0..4: A drops ≡9 (mod 10) → none; B drops 0 and rewrites doc 3
     // (≡3 mod 7) → removed={0}, changed={3}, unchanged={1,2,4}, added=∅

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.sql.SparkTestBase
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** The IVF serving layout: the cell-partitioned embeddings store must be
   * read with STATIC partition pruning (the probe batch's nprobe cells are
@@ -13,21 +12,8 @@ class IvfStoreSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** collect() does not cross AQE query-stage or reused-exchange
-    * boundaries — walk them explicitly to reach the store's scan node. */
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
-
   private def storeScan(plan: org.apache.spark.sql.execution.SparkPlan) =
-    allNodes(plan).collectFirst {
+    allPlanNodes(plan).collectFirst {
       case f: FileSourceScanExec if f.metadata.get("Location")
         .exists(_.contains("ivf_store")) => f
     }

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.sql.SparkTestBase
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** q76 serving layout: the bucket-partitioned posting store must be read
   * with STATIC partition pruning (queried terms' buckets resolved
@@ -13,21 +12,10 @@ class PostingStoreSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
-
   test("term lookup reads only the queried buckets (partition pruning in-plan)") {
     val df = TextQueries.postingLookup(spark, sf)
     df.collect()
-    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+    val scan = allPlanNodes(df.queryExecution.executedPlan).collectFirst {
       case f: FileSourceScanExec if f.metadata.get("Location")
         .exists(_.contains("posting_store")) => f
     }.getOrElse(fail("no posting_store scan in plan: " +

@@ -8,6 +8,21 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   override def afterAll(): Unit = { /* shared session stays up for the run */ }
+
+  /** Full physical-plan walk: `collect()` does not cross AQE query-stage
+    * or reused-exchange boundaries — cross them explicitly so plan asserts
+    * can reach scan nodes inside adaptive stages. */
+  protected def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(allPlanNodes)
+  }
 }
 
 object SparkTestBase {
