@@ -30,6 +30,14 @@ object SparkTestBase {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val s = GraftSession.builder("local[4]", shufflePartitions = 4)
       .config("spark.sql.warehouse.dir", wh)
+      // this host has heavy co-tenant CPU steal (CLAUDE.md): a multi-second
+      // scheduler stall can starve the in-process heartbeater until the
+      // executor self-exits with code 56 and kills the whole forked suite.
+      // Long intervals + high failure tolerance make the 25-minute
+      // single-JVM run immune to stall bursts (observed: one such abort).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "240")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
