@@ -458,16 +458,22 @@ object QualityQueries {
     * [[DecontK]]-word gram with a held-out evaluation set (the standard
     * n-gram-overlap decontamination pass run before every LLM training
     * job). The "benchmark" here is the deterministic doc_id % [[EvalMod]]
-    * = 0 slice of the corpus. The eval gram set — a fixed-size benchmark
-    * artifact, megabytes at any corpus scale — is explicitly broadcast so
-    * the train side streams map-side with ZERO shuffle for the
-    * contamination probe; only the per-doc rollups shuffle on doc_id. */
-  /** The distinct (doc_id, gram-hash) frame both decontamination faces
-    * share. PLANTED contamination (mirrored in the oracle) keeps the gates
-    * non-vacuous at every SF: a canary phrase shared by the eval slice and
-    * the doc_id % 53 == 7 train slice — the synthetic corpus has no
-    * guaranteed natural 5-gram leak into the tiny eval set. */
-  private def decontGrams(spark: SparkSession, sfDir: String): DataFrame = {
+    * = 0 slice of the corpus.
+    *
+    * Plan shape (VERDICT r3 #2 — the previous shape globally
+    * `.distinct()`ed the N×L gram stream and then consumed it TWICE, a
+    * doubled full-stream exchange): the raw gram stream is exploded ONCE,
+    * per-doc distinctness is folded into the rollup's distinct aggregates
+    * (computed inside the doc_id shuffle, never as a global exchange), and
+    * totals + hits come out of ONE groupBy. Per query the raw stream faces
+    * exactly one explode and one aggregation exchange. */
+  /** Raw (doc_id, gram-hash) stream — NOT deduplicated; distinctness is
+    * the rollups' job. PLANTED contamination (mirrored in the oracle)
+    * keeps the gates non-vacuous at every SF: a canary phrase shared by
+    * the eval slice and the doc_id % 53 == 7 train slice — the synthetic
+    * corpus has no guaranteed natural 5-gram leak into the tiny eval
+    * set. */
+  private def decontGramStream(spark: SparkSession, sfDir: String): DataFrame = {
     val k = DecontK
     val canary = " qz1 qz2 qz3 qz4 qz5"
     docs(spark, sfDir)
@@ -479,39 +485,40 @@ object QualityQueries {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("h"))
-      .distinct()
   }
+
+  /** Distinct (eval_doc, h) eval gram set — a fixed-size benchmark
+    * artifact (~10^6-10^7 grams — megabytes at any corpus scale), so the
+    * distinct exchange here is over the tiny eval slice only. */
+  private def evalGramSet(spark: SparkSession, sfDir: String): DataFrame =
+    decontGramStream(spark, sfDir)
+      .where(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+      .distinct()
+      .trackedCheckpoint
 
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = decontGrams(spark, sfDir)
-    // only the (small) eval gram set is materialized; the train side is
-    // N×L rows and streams through both rollups from a recomputed explode
-    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
-      .select(col("doc_id").as("eval_doc"), col("h"))
-      .trackedCheckpoint
-    val train = grams.where(col("doc_id") % EvalMod =!= 0)
-    // the eval side is broadcast EXPLICITLY: a benchmark suite is a
-    // FIXED-size artifact (~10^6-10^7 grams — megabytes), not a corpus
-    // fraction, and the checkpointed frame's size-only stats carry no
-    // filter selectivity, so without the hint the planner would pick a
-    // sort-merge join and shuffle-write the entire N×L train gram stream.
-    // (The synthetic doc_id % EvalMod slice only APPROXIMATES a benchmark
-    // at test SFs; a caller with an unbounded eval set drops the hint —
-    // or uses the Bloom path, [[decontaminateBloom]].)
-    decontOutput(train, train.join(broadcast(evalSet), Seq("h")))
-  }
-
-  /** The ONE exact-refine rollup both decontamination plans share (q60's
-    * broadcast join and q65's Bloom-prefiltered join feed `matched`), so
-    * the two oracle-coupled faces cannot silently diverge: per-train-doc
-    * totals from the UNFILTERED gram stream, distinct-hit/eval-doc counts
-    * from the matched stream. */
-  private def decontOutput(train: DataFrame, matched: DataFrame): DataFrame = {
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = matched.groupBy(col("doc_id"))
-      .agg(countDistinct(col("h")).as("n_hit"),
+    val evalSet = evalGramSet(spark, sfDir)
+    val train = decontGramStream(spark, sfDir)
+      .where(col("doc_id") % EvalMod =!= 0)
+    // the eval side is broadcast EXPLICITLY: a benchmark suite is a fixed
+    // artifact, not a corpus fraction, and the checkpointed frame's
+    // size-only stats carry no filter selectivity, so without the hint the
+    // planner could pick a sort-merge join and shuffle-write the entire
+    // N×L train gram stream. LEFT join: unmatched grams keep flowing (null
+    // eval_doc) so totals and hits come out of the same single pass.
+    // (A caller with an unbounded eval set drops the hint — or uses the
+    // Bloom path, [[decontaminateBloom]].)
+    val joined = train.join(broadcast(evalSet), Seq("h"), "left")
+    // ONE rollup: n_grams = distinct grams per doc (the oracle's
+    // distinct-pair totals), n_hit = distinct matched grams, n_eval_docs =
+    // distinct eval docs (countDistinct ignores nulls). The only exchange
+    // the gram stream faces is this aggregation's.
+    joined.groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_grams"),
+        countDistinct(when(col("eval_doc").isNotNull, col("h"))).as("n_hit"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
-    hits.join(totals, Seq("doc_id"))
+      .where(col("n_hit") > 0) // flagged docs only — the oracle's inner join
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
       .orderBy(col("doc_id"))
   }
@@ -520,48 +527,75 @@ object QualityQueries {
     * q60's explicit broadcast documents as its limit: an eval gram set too
     * large to broadcast raw. A Bloom sketch of the eval grams (~1 MB per
     * ~4M grams at the default FPP, vs GBs of raw 16-byte hashes) is built
-    * with one aggregate, shipped as a LITERAL into a map-side
-    * `might_contain` pre-filter, and only the surviving sliver of the
-    * train gram stream (true matches + Bloom false positives) reaches the
-    * exact refine join — the N×L train stream itself never shuffles.
-    * False positives die in the inner join, so the OUTPUT is byte-equal to
-    * q60 and faces the SAME oracle: the sketch buys the plan, never the
-    * answer. */
+    * with one aggregate and shipped as a LITERAL map-side flag. The gram
+    * stream is exploded ONCE and rolled up by doc_id in one pass: exact
+    * distinct totals plus the collect_set of Bloom-SURVIVING grams (true
+    * matches + false positives — a tiny, FPP-bounded set per doc). Only
+    * that survivor sliver is re-exploded and joined against the eval set
+    * for the exact refine, so the N×L stream never shuffles on gram hash
+    * and never runs twice. False positives die in the refine join, so the
+    * OUTPUT is byte-equal to q60 and faces the SAME oracle: the sketch
+    * buys the plan, never the answer. */
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = decontGrams(spark, sfDir)
-    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
-      .select(col("doc_id").as("eval_doc"), col("h"))
-      .trackedCheckpoint
+    val evalSet = evalGramSet(spark, sfDir)
+    // one pass: per-doc exact totals + the Bloom-survivor gram set,
+    // materialized at one row per doc with a tiny survivor set
+    val perDoc = bloomRollup(spark, sfDir, evalSet).trackedCheckpoint
+    // exact refine over the survivor sliver only; inner joins keep TRUE
+    // matches, so flagged-doc output matches q60 byte-for-byte
+    val hits = perDoc.select(col("doc_id"), explode(col("cand")).as("h"))
+      .join(evalSet, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hit"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+    hits.join(perDoc.select(col("doc_id"), col("n_grams")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The single-pass Bloom rollup plan (un-materialized — spec hook: the
+    * `might_contain` probe must sit in THIS plan, map-side before the
+    * doc_id aggregation; collect_set drops the nulls of Bloom-rejected
+    * grams, so `cand` is the FPP-bounded survivor set per doc). */
+  private[graft] def bloomRollup(spark: SparkSession, sfDir: String,
+                                 evalSet: DataFrame): DataFrame = {
     val bf = evalSet.agg(expr("bloom_filter_agg(xxhash64(h))").as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
-    val train = grams.where(col("doc_id") % EvalMod =!= 0)
-    val pre = train.where(
-      call_function("might_contain", lit(bf), xxhash64(col("h"))))
-    // exact refine: inner join keeps only TRUE matches; the join input is
-    // the Bloom survivors, so no hint is needed at any eval-set size
-    decontOutput(train, pre.join(evalSet, Seq("h")))
+    decontGramStream(spark, sfDir)
+      .where(col("doc_id") % EvalMod =!= 0)
+      .withColumn("mh",
+        when(call_function("might_contain", lit(bf), xxhash64(col("h"))), col("h")))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_grams"),
+        collect_set(col("mh")).as("cand"))
   }
+
+  /** spec hook for [[bloomRollup]] (builds the eval set too). */
+  private[graft] def bloomRollupOf(spark: SparkSession, sfDir: String): DataFrame =
+    bloomRollup(spark, sfDir, evalGramSet(spark, sfDir))
 
   /** Per-BENCHMARK-doc contamination report (q64) — the complement of
     * q60: is the benchmark itself compromised, and how badly. Every eval
     * doc is reported (LEFT join — clean items show zeros, unlike q60's
     * inner join over flagged train docs): distinct train docs sharing any
-    * gram, distinct leaked grams, and total (train doc, gram) hits. Same
-    * plan skeleton as q60 with the rollup keyed on eval_doc. */
+    * gram, distinct leaked grams, and distinct (train doc, gram) hits.
+    * Same single-pass skeleton as q60 with the rollup keyed on eval_doc:
+    * the raw train stream meets the broadcast eval set map-side and is
+    * aggregated once — per-pair distinctness (the oracle joins DISTINCT
+    * pair streams) is the rollup's countDistinct, not a global exchange. */
   def contaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = decontGrams(spark, sfDir)
-    val evalSet = grams.where(col("doc_id") % EvalMod === 0)
-      .select(col("doc_id").as("eval_doc"), col("h"))
-      .trackedCheckpoint
-    val train = grams.where(col("doc_id") % EvalMod =!= 0)
+    val evalSet = evalGramSet(spark, sfDir)
+    val train = decontGramStream(spark, sfDir)
+      .where(col("doc_id") % EvalMod =!= 0)
     val evalTotals = evalSet.groupBy(col("eval_doc"))
       .agg(count(lit(1)).as("n_grams"))
-    // same explicit-broadcast reasoning as decontaminate
+    // same explicit-broadcast reasoning as decontaminate; inner join is
+    // fine here — the LEFT totals join below restores clean eval docs
     val hits = train.join(broadcast(evalSet), Seq("h"))
       .groupBy(col("eval_doc"))
       .agg(countDistinct(col("doc_id")).as("n_train_docs"),
         countDistinct(col("h")).as("n_leaked"),
-        count(lit(1)).as("n_hits"))
+        countDistinct(col("doc_id"), col("h")).as("n_hits"))
     evalTotals.join(hits, Seq("eval_doc"), "left")
       .select(col("eval_doc"), col("n_grams"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),

@@ -125,9 +125,13 @@ class QualityQueriesSpec extends SparkTestBase {
     // q65: the Bloom-prefiltered plan must reproduce q60 byte-for-byte
     // (the sketch only shrinks the refine-join input; false positives die
     // in the inner join) and actually probe through might_contain
+    // the probe sits in the single-pass rollup plan (map-side, before the
+    // doc_id aggregation); the final refine plan never re-touches the
+    // corpus — that side is asserted by SinglePassPlanSpec
+    assert(QualityQueries.bloomRollupOf(spark, d)
+        .queryExecution.executedPlan.toString.contains("might_contain"),
+      "Bloom probe missing from the rollup's physical plan")
     val bloom = QualityQueries.decontaminateBloom(spark, d)
-    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
-      "Bloom probe missing from the physical plan")
     assert(bloom.collect().map(_.toSeq).toSeq === r.map(_.toSeq).toSeq)
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.sql.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftCheckpoints
+import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
+
+/** Plan-shape gates for the VERDICT r3 single-pass fixes: the expensive
+  * streams (the N×L 5-gram explode of the decontamination family, the
+  * 4-table × 16-hyperplane bucket pass of embedding dedup) must be
+  * evaluated exactly once per query — the r3 shapes ran each twice inside
+  * one action (a doubled full-stream pass at 100 TB). */
+class SinglePassPlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docScans(df: DataFrame): Int =
+    allPlanNodes(df.queryExecution.executedPlan).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("documents.parquet"))
+      case _ => false
+    }
+
+  private def generates(df: DataFrame): Int =
+    allPlanNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[GenerateExec])
+
+  test("q60 decontaminate explodes the train gram stream exactly once") {
+    val df = QualityQueries.decontaminate(spark, sf)
+    // one corpus scan, one gram explode: totals AND hits come out of the
+    // single rollup (the r3 shape had two of each plus a global distinct)
+    assert(docScans(df) === 1, "train side must scan documents once")
+    assert(generates(df) === 1, "train gram stream must explode once")
+    assert(df.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+
+  test("q64 contamination report explodes the train gram stream exactly once") {
+    val df = QualityQueries.contaminationReport(spark, sf)
+    assert(docScans(df) === 1, "train side must scan documents once")
+    assert(generates(df) === 1, "train gram stream must explode once")
+    assert(df.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+
+  test("q65 bloom refine never re-runs the gram stream") {
+    val df = QualityQueries.decontaminateBloom(spark, sf)
+    // the gram stream was consumed ONCE into the checkpointed per-doc
+    // rollup; the exact refine explodes only the tiny Bloom-survivor sets,
+    // so the final plan touches no documents scan at all
+    assert(docScans(df) === 0, "refine must read the materialized rollup, not the corpus")
+    assert(generates(df) === 1, "only the survivor-set explode remains")
+    assert(df.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+
+  test("q22 bucket self-join reads the materialized hyperplane triples") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b = EmbQueries.bucketedOf(emb)
+    // both the size aggregate and the size-filter join must read the
+    // checkpointed (vec_id, t, bucket) ints: no embeddings scan and no
+    // posexplode may survive in the returned plan (each would mean a
+    // second run of the ≈4096-FMA bucket expression)
+    val embScans = allPlanNodes(b.queryExecution.executedPlan).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("embeddings.parquet"))
+      case _ => false
+    }
+    assert(embScans === 0, "hyperplane pass must not re-run for either consumer")
+    assert(generates(b) === 0, "bucket explode must be materialized, not replayed")
+    assert(b.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+}
