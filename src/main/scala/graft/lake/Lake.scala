@@ -86,8 +86,15 @@ class LakeTable(val root: String) {
     *     by data size) are written back from the driver — a zero-data-scan
     *     job — then the manifest lands via write-tmp + ATOMIC_MOVE.
     * Partial writes without a manifest are invisible to readers and get
-    * overwritten on retry. */
-  def commit(stage: String, data: DataFrame, meta: Map[String, String]): Unit = {
+    * overwritten on retry.
+    *
+    * Returns the version it actually wrote (ADVICE r3: callers must not
+    * re-derive it from `versions(stage).last`, which can name a DIFFERENT
+    * concurrent commit). Version allocation itself (last+1) is
+    * non-atomic: the table assumes a SINGLE WRITER per stage — the lake's
+    * committers (StageRunner, CorpusDedupJob, compact) all run one job
+    * per stage; concurrent writers to one stage are out of contract. */
+  def commit(stage: String, data: DataFrame, meta: Map[String, String]): Int = {
     val t0 = System.nanoTime()
     val dir = stageDir(stage)
     val version = versions(stage).lastOption.getOrElse(0) + 1
@@ -125,6 +132,7 @@ class LakeTable(val root: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    version
   }
 
   def manifest(stage: String): Option[String] =
@@ -173,11 +181,12 @@ class LakeTable(val root: String) {
         data.repartitionByRange(nFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
       } else data.repartition(nFiles)
+    // propagate the version commit() actually wrote (ADVICE r3:
+    // versions(stage).last could name a different writer's snapshot)
     commit(stage, rewritten, Map(
       "compaction_of" -> cur.toString,
       "target_file_bytes" -> targetFileBytes.toString,
       "cluster_by" -> clusterBy.mkString(",")))
-    versions(stage).last
   }
 
   /** Snapshot-retention vacuum (Iceberg `expire_snapshots` + orphan-file

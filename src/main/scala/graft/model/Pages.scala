@@ -35,6 +35,15 @@ object Pages {
   val HotLon = 2.29
   val HotLat = 48.85
 
+  /** Derivation-version token for STAGE-CACHE KEYS over pages-derived
+    * tables (ADVICE r3: a key that omits a mirrored constant silently
+    * serves stale staged bytes after a constant change without a manual
+    * :vN bump, desynchronizing the gate from the oracle). Folds every
+    * constant of the volumePages derivation; any change to a mirrored
+    * constant changes this token and invalidates every derived stage. */
+  val DerivationKey: String =
+    s"$M1:$M2:$A2:$P:$HotLon:$HotLat:${Langs.mkString(",")}"
+
   def documentsPages(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
     spark.read.parquet(s"$sfDir/documents.parquet")

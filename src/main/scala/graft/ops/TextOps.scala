@@ -21,12 +21,18 @@ object TextOps {
 
   /** Canonical form of a crawl URL (q69's normalization, shared with the
     * streaming dedup face): lowercase scheme + authority, strip the
-    * default :443 port, the #fragment, `utm_*` tracking params and
-    * trailing slashes. Pure codegen'd regexp built-ins — the same column
-    * expression runs batch and streaming. */
+    * scheme's OWN default port (:443 for https, :80 for http — ADVICE r3:
+    * stripping :443 regardless of scheme canonicalized http://host:443/x,
+    * a real distinct resource, onto http://host/x, while http://host:80/x
+    * stayed distinct from http://host/x), the #fragment, `utm_*` tracking
+    * params and trailing slashes. Pure codegen'd regexp built-ins — the
+    * same column expression runs batch and streaming. */
   def canonicalUrl(url: Column): Column = {
-    val auth = regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val rawAuth = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val auth = when(scheme === "https", regexp_replace(rawAuth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(rawAuth, ":80$", ""))
+      .otherwise(rawAuth)
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
     val q = regexp_replace(regexp_replace(
@@ -37,7 +43,7 @@ object TextOps {
     // make every malformed page a "duplicate" of the first one a streaming
     // dedup sees — silent data loss, not normalization
     when(regexp_extract(url, "^[A-Za-z]+://", 0) === "", url).otherwise(
-      concat(lower(regexp_extract(url, "^([A-Za-z]+)://", 1)), lit("://"),
+      concat(scheme, lit("://"),
         auth, path,
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }

@@ -245,8 +245,11 @@ object EmbQueries {
     * IvfStoreSpec asserts the in-plan pruning and result parity with the
     * unpartitioned path. */
   def ivfStore(spark: SparkSession, sfDir: String): DataFrame = {
+    // key folds the quantizer's full derivation (ADVICE r3): the seed
+    // offset 7000 and the planeWeights integer chain (M1, P, Dim) — a
+    // constant change invalidates the stage without a manual bump
     val dir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_store",
-      s"c$IvfCells:v1")
+      s"c$IvfCells:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1")
     StageCache.getOrPublish(spark, dir, partitionCols = Seq("cell")) {
       seedAssigned(spark, sfDir).repartition(col("cell"))
     }

@@ -169,8 +169,10 @@ object GeoQueries {
 
   /** The clustered stage reader — also the spec's hook for plan asserts. */
   def clusteredPages(spark: SparkSession, sfDir: String): DataFrame = {
+    // key folds the pages-derivation constants (ADVICE r3): changing a
+    // mirrored constant invalidates the stage without a manual bump
     val dir = StageCache.dir(s"$sfDir/lineitem.parquet", "clustered_pages",
-      s"z$ClusterZoom:v1")
+      s"z$ClusterZoom:${Pages.DerivationKey}:v1")
     StageCache.getOrPublish(spark, dir, partitionCols = Seq("x4", "y4")) {
       val cell12 = G.st_tile(col("lon"), col("lat"), 12)
       val pages = Pages.volumePages(spark, sfDir)

@@ -107,7 +107,8 @@ object QualityQueries {
     * port / authority-case / trailing-slash variants, and exact-text dedup
     * misses them. Two deterministic crawl variants per base page are
     * derived from doc_id; normalization lowercases the authority, strips
-    * `:443`, the `#fragment`, `utm_*` params and trailing slashes — all
+    * the scheme's own default port (:443 https / :80 http), the
+    * `#fragment`, `utm_*` params and trailing slashes — all
     * codegen'd regexp built-ins, no UDF. One hash shuffle on the canonical
     * key (same plan at 10^12 rows); keeper = newest warc_epoch, which the
     * derivation makes unique within a group (7919·Δdoc ≢ 0 mod 31536000
@@ -710,7 +711,10 @@ object QualityOracles {
       |n AS (
       |  SELECT doc_id, warc_epoch,
       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
-      |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '') ||
+      |    CASE lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+      |      WHEN 'https' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '')
+      |      WHEN 'http' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', '')
+      |      ELSE lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) END ||
       |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '', 'g') ||
       |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
       |  FROM q)

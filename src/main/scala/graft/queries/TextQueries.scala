@@ -179,8 +179,10 @@ object TextQueries {
     * directories of a corpus-sized posting table — static pruning, the
     * inverted-list access pattern. */
   def postingStore(spark: SparkSession, sfDir: String): DataFrame = {
+    // key names the tokenizer + bucket hash (ADVICE r3): a tokenizer or
+    // bucketing change invalidates the stage without a manual bump
     val dir = StageCache.dir(s"$sfDir/documents.parquet", "posting_store",
-      s"b$PostingBuckets:v1")
+      s"b$PostingBuckets:tok=ws-space:h=xxhash64:v1")
     StageCache.getOrPublish(spark, dir, partitionCols = Seq("bkt")) {
       postingsOf(docs(spark, sfDir)).repartition(col("bkt"))
     }
@@ -482,22 +484,31 @@ object TextQueries {
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
+      .trackedCheckpoint // read by the staging build AND the count joins
     // shingle sets are computed ONLY for LSH-shortlisted docs: the
     // broadcast semi-join lands BEFORE the shingle explode, so the md5
     // pass runs over the few hundred candidates, not the whole corpus
     // (~100× less explode/hash/distinct work; counts for non-candidates
-    // are never used by the output, so values are unchanged)
-    val candDocs = cand.select(col("a").as("doc_id"))
-      .union(cand.select(col("b").as("doc_id"))).distinct()
-    val shc = docs(spark, sfDir)
-      .join(candDocs.hint("broadcast"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"), col("text"))
-      .select(col("doc_id"),
-        (conv(substring(md5(expr("substring(text, p, 8)")), 1, 15), 16, 10)
-          .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
-      .distinct()
-      .trackedCheckpoint // both intersection branches + counts read this
+    // are never used by the output, so values are unchanged). STAGED once
+    // per input fingerprint next to the signatures (VERDICT r3 #5: the
+    // explode+md5+distinct pass used to be recomputed per run) — the
+    // candidate set is fully determined by the staged signatures and the
+    // banding constants already in the key, so the bytes are
+    // deterministic and every gate hash is unchanged. Warm path: the LSH
+    // candidate join plus three joins over parquet.
+    val shc = StageCache.getOrPublish(spark,
+        stageCacheDir(sfDir, "jaccard_shingles")) {
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      docs(spark, sfDir)
+        .join(candDocs.hint("broadcast"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("p"), col("text"))
+        .select(col("doc_id"),
+          (conv(substring(md5(expr("substring(text, p, 8)")), 1, 15), 16, 10)
+            .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
+        .distinct()
+    }
     val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(shc.select(col("doc_id").as("a"), col("h")), Seq("a"))

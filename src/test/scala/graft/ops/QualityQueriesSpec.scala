@@ -230,6 +230,24 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(out(3) == "https://a.b/x?k=1")
   }
 
+  test("canonicalUrl strips only the scheme's OWN default port") {
+    import spark.implicits._
+    // ADVICE r3: http://host:443/x is a real, distinct resource — stripping
+    // :443 regardless of scheme silently merged it with http://host/x;
+    // conversely http's :80 default was never stripped
+    val in = Seq("http://h.co:443/x", "http://h.co:80/x", "http://h.co/x",
+      "https://h.co:80/x", "https://h.co:443/x", "ftp://h.co:443/x")
+      .toDF("url")
+    val out = in.select(graft.ops.TextOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(out(0) == "http://h.co:443/x", "non-default port must survive")
+    assert(out(1) == "http://h.co/x" && out(2) == "http://h.co/x",
+      "http default :80 collapses onto the portless form")
+    assert(out(3) == "https://h.co:80/x", "non-default port must survive")
+    assert(out(4) == "https://h.co/x")
+    assert(out(5) == "ftp://h.co:443/x", "unknown scheme strips nothing")
+  }
+
   test("crawl diff classifies removed/changed/unchanged by content hash") {
     // docs 0..4: A drops ≡9 (mod 10) → none; B drops 0 and rewrites doc 3
     // (≡3 mod 7) → removed={0}, changed={3}, unchanged={1,2,4}, added=∅
