@@ -119,12 +119,12 @@ object Bench {
     * the parent can report a host-normalized efficiency (the sandbox VM's
     * co-tenant steal and FP oversubscription cap 8→32 speedup well below
     * 4× even for plain threads; see BENCH/BASELINE.md). */
-  private def rayKernelWall(threads: Int): Double = {
+  private def rayKernelWall(threads: Int,
+                            total: Long = 160000000L): Double = {
     val ring = (0 until 64).map { k =>
       val a = 2 * math.Pi * k / 64
       graft.core.Geom.Pt(math.cos(a) * 10, math.sin(a) * 10)
     }.toArray
-    val total = 160000000L
     val perThread = total / threads
     val ts = (0 until threads).map { tid =>
       new Thread(new Runnable { def run(): Unit = {
@@ -258,20 +258,48 @@ object Bench {
     // reproducible-evidence estimator), and the FIRST-run wall is emitted
     // beside it so the cost the shared stage cache absorbs (signature /
     // label tables built once per input, like a real pipeline) stays
-    // visible in the artifact rather than hidden by the min
-    val sweepRuns = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // visible in the artifact rather than hidden by the min.
+    //
+    // HOSTILE-WINDOW INSTRUMENTATION (VERDICT r3 #3/#4 — the r3 driver
+    // artifact showed a late-sweep inflation the builder could not
+    // reproduce, and the exoneration lived in prose):
+    //  * per-query leak canaries: persisted-RDD count after releaseAll
+    //    (must be 0) and shuffles the query left registered; both land in
+    //    the JSON, so leaked session state is visible per query.
+    //  * every query epilogue explicitly purges registered shuffles
+    //    (map-output state + files) instead of waiting for the GC-driven
+    //    cleaner — the one accumulation channel releaseAll didn't cover.
+    //  * a small fixed-size 32-thread kernel sample (1/16 of the scaling
+    //    kernel, ~0.2 s quiet) runs at sweep start/quartiles/end: the
+    //    host's parallel-FP ceiling IN the sweep window, so a noisy
+    //    driver run carries its own weather record.
+    val probes = org.apache.spark.graft.BenchProbes
+    val sc = s32.sparkContext
+    val kernelSamples = Seq.newBuilder[Double]
+    kernelSamples += rayKernelWall(32, 10000000L)
+    val allQs = SparkEntry.queries.toSeq
+    val quartile = math.max(1, allQs.size / 4)
+    val sweepRuns = allQs.zipWithIndex.map { case ((name, fn), i) =>
+      var shuffles = 0
       val secs = (1 to 2).map { _ =>
         val (_, sec) = time {
           try fn(s32, sfDir).count()
           catch { case _: Throwable => -1L }
         }
         org.apache.spark.sql.GraftCheckpoints.releaseAll()
+        shuffles = math.max(shuffles, probes.registeredShuffleCount(sc))
+        probes.purgeShuffles(sc)
         sec
       }
-      (name, secs.min, secs.head)
+      val leakedRdds = probes.persistedRddCount(sc)
+      if ((i + 1) % quartile == 0) kernelSamples += rayKernelWall(32, 10000000L)
+      (name, secs.min, secs.head, leakedRdds, shuffles)
     }
-    val sweep = sweepRuns.map { case (n, m, _) => n -> m }
-    val sweepCold = sweepRuns.map { case (n, _, c) => n -> c }
+    val sweep = sweepRuns.map { case (n, m, _, _, _) => n -> m }
+    val sweepCold = sweepRuns.map { case (n, _, c, _, _) => n -> c }
+    val leaked = sweepRuns.collect { case (n, _, _, r, _) if r > 0 => n -> r }
+    val shufflesPerQ = sweepRuns.map { case (n, _, _, _, s) => n -> s }
+    val kernelWalls = kernelSamples.result()
     s32.stop()
 
     val rps2 = rows2 / wall2
@@ -296,7 +324,18 @@ object Bench {
     val kernS = f"$kernelSpeedup%.3f"
     val effMedS = f"$eff2to8Median%.3f"
     val effsJson = effsList.map(e => f"$e%.3f").mkString("[", ",", "]")
+    // in-sweep host-weather record + leak canaries (VERDICT r3 #3):
+    // sweep_kernel_walls = the fixed-size 32-thread kernel at sweep
+    // start/quartiles/end (flat ≈ quiet window; rising tail = co-tenant
+    // steal DURING the late sweep); queries_leaked_rdds must be empty;
+    // queries_shuffles is each query's registered-shuffle volume (all
+    // purged in its epilogue).
+    val kernJson = kernelWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    val leakJson = leaked.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val shufJson = shufflesPerQ.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_first_run":$totalCold,"queries_first_run":$qsCold,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_first_run":$totalCold,"queries_first_run":$qsCold,"sweep_kernel_walls":$kernJson,"queries_leaked_rdds":$leakJson,"queries_shuffles":$shufJson,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
   }
 }

@@ -1,0 +1,44 @@
+package org.apache.spark.graft
+
+import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
+
+/** Block-manager / shuffle-state probes for the bench harness (VERDICT r3
+  * #3: a hostile driver window must be self-diagnosing from the artifact —
+  * per-query counters prove in-JSON whether late-sweep inflation is leaked
+  * session state or host noise). Lives under org.apache.spark because the
+  * map-output tracker and the context cleaner are `private[spark]`. */
+object BenchProbes {
+
+  /** RDDs still holding persisted blocks — after a query's releaseAll this
+    * must be 0; anything else is a checkpoint-hygiene leak. */
+  def persistedRddCount(sc: SparkContext): Int = sc.getPersistentRDDs.size
+
+  /** Storage memory in use across block managers (bytes). */
+  def storageBytes(sc: SparkContext): Long =
+    sc.env.blockManager.master.getMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum
+
+  /** Shuffles still registered with the map-output tracker. Registered
+    * shuffles pin map-output state and shuffle files until the weak-ref
+    * ContextCleaner notices their RDDs died — in a long-lived sweep
+    * session that is "whenever a GC happens", i.e. state accumulates. */
+  def registeredShuffleCount(sc: SparkContext): Int =
+    sc.env.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m.shuffleStatuses.size
+      case _ => -1
+    }
+
+  /** Between-queries epilogue: explicitly clean every registered shuffle
+    * (map-output state + shuffle files) instead of waiting for the
+    * GC-driven cleaner. Safe between sequential queries — the next query
+    * rebuilds its plan from scratch; NOT safe mid-query. Returns how many
+    * shuffles were cleaned. */
+  def purgeShuffles(sc: SparkContext): Int =
+    sc.env.mapOutputTracker match {
+      case m: MapOutputTrackerMaster =>
+        val ids = m.shuffleStatuses.keys.toSeq
+        ids.foreach(id => sc.cleaner.foreach(_.doCleanupShuffle(id, blocking = false)))
+        ids.size
+      case _ => 0
+    }
+}

@@ -87,7 +87,55 @@ class GeoTiffSpec extends AnyFunSuite {
     (0 until src.numBands).foreach(b =>
       assert(back.image(b).sameElements(src.image(b))))
     intercept[IllegalArgumentException] {
-      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "jpeg")
+      GeoTiffWriter.write(src, s"$dir/x.tif", compression = "zstd")
+    }
+  }
+
+  test("jpeg-compressed write (tag 259 = 7) round-trips within lossy tolerance") {
+    val dir = java.nio.file.Files.createTempDirectory("gtj").toString
+    val src0 = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    val src = src0.copy(nodata = None)
+    GeoTiffWriter.write(src, s"$dir/j.tif", compression = "jpeg")
+    // on-disk contract: compression tag is 7 (new-style JPEG) and the
+    // photographic fixture actually compresses vs raw
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/j.tif"))
+    def u16(off: Int) = ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8))
+    def u32(off: Int) = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+      ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    val ifd = u32(4).toInt
+    val comp = (0 until u16(ifd)).map(i => ifd + 2 + 12 * i)
+      .find(at => u16(at) == 259).map(at => u16(at + 8))
+    assert(comp === Some(7), "compression tag must be new-style JPEG")
+    assert(bytes.length < 100 * 100 * 3, "photographic RGB must compress")
+    // read-back through the ImageIO fallback: geometry/georef exact,
+    // pixels tolerance-parity (JPEG is lossy — chroma subsampling bounds
+    // the 3-band error; the same posture as GDAL's jpeg profile)
+    val back = GeoTiffIO.read(s"$dir/j.tif")
+    assert(back.width === src.width && back.height === src.height &&
+      back.numBands === 3 && back.dtype === "uint8" && back.crs === src.crs)
+    assert(back.bandNames === src.bandNames)
+    assert(math.abs(back.affine.a - src.affine.a) < 1e-9)
+    assert(math.abs(back.affine.c - src.affine.c) < 1e-6)
+    (0 until 3).foreach { b =>
+      val errs = back.image(b).zip(src.image(b)).map { case (x, y) => math.abs(x - y) }
+      assert(errs.max <= 48.0, s"band $b max err ${errs.max}")
+      assert(errs.sum / errs.length <= 6.0, s"band $b mean err")
+    }
+    // single-band luma path is near-lossless at max quality
+    val g = src.copy(image = Array(src.image(0)), bandNames = List("g"))
+    GeoTiffWriter.write(g, s"$dir/g.tif", compression = "jpeg")
+    val gb = GeoTiffIO.read(s"$dir/g.tif")
+    assert(gb.numBands === 1)
+    val gerrs = gb.image(0).zip(g.image(0)).map { case (x, y) => math.abs(x - y) }
+    assert(gerrs.max <= 2.0 && gerrs.sum / gerrs.length <= 0.3)
+    // error contracts: lossy jpeg refuses nodata sentinels and non-uint8
+    intercept[IllegalArgumentException] {
+      GeoTiffWriter.write(src0, s"$dir/nd.tif", compression = "jpeg") // nodata
+    }
+    val f32 = src.copy(dtype = "float32", nodata = None)
+    intercept[IllegalArgumentException] {
+      GeoTiffWriter.write(f32, s"$dir/f.tif", compression = "jpeg")
     }
   }
 
@@ -188,7 +236,10 @@ class GeoTiffSpec extends AnyFunSuite {
     // dispatch to the tif codec under the same entry point
     val t = RasterOpen.open(s"$refRaster/rgb.tif")
     assert(t.width === 100 && t.crs === 3857)
-    intercept[IllegalArgumentException](RasterOpen.open(s"$refRaster/rgb.jp2"))
+    // .jp2 now dispatches to the parsing error contract (Jp2Spec owns the
+    // message assertions): an UnsupportedOperationException, not a generic
+    // unknown-format IllegalArgumentException
+    intercept[UnsupportedOperationException](RasterOpen.open(s"$refRaster/rgb.jp2"))
   }
 
   test("opened fixture feeds the engine: footprint + get_tile path") {
