@@ -146,11 +146,68 @@ object EmbQueries {
     * query touches nprobe/cells of the data — here the same plan runs as
     * one assignment pass + a cell equi-join, never a full cross join. */
   def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.GraftCheckpoints
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val (assignIds, centroids) = ivfTrained(spark, sfDir)
 
-    // --- train: seed assignment (max dot with the fixed directions) ...
+    // --- search: rank TRAINED cells per vector / probe
+    val assigned = emb.join(assignIds, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val probeCells = cellRank(emb.where(col("vec_id") < NumProbes), centroids, "crank")
+      .where(col("crank") <= IvfNProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm").as("qnorm"), col("cell"))
+    val cand = assigned.join(probeCells.hint("broadcast"), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** rank cells for `df` against a centroid table (max dot; ties → lowest
+    * cell id — the oracle's ROW_NUMBER ordering). */
+  private def cellRank(df: DataFrame, cents: DataFrame, rankCol: String): DataFrame = {
+    val dots = df.join(broadcast(cents))
+      .withColumn("dot", dotCols(col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
+    dots.withColumn(rankCol, row_number().over(w))
+  }
+
+  /** The Lloyd-TRAINED quantizer, staged once per input fingerprint — the
+    * freeze [[ivfStore]]'s doc describes ("a production lake freezes
+    * trained centroids the same way"): `(vec_id, cell)` assignment and
+    * `(cell, centroid)` tables. Training is deterministic (integer-sum
+    * means, ROW_NUMBER ties), parquet round-trips doubles bit-exactly, so
+    * a replay reads identical values and every gate hash is unchanged.
+    * Centroids publish BEFORE the assignment inside the assignment's
+    * build, so `ivf_assign` published ⇒ `ivf_centroids` published — a
+    * crash between the two rebuilds both. */
+  def ivfTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftCheckpoints
+    val key = s"c$IvfCells:l$IvfLloydSteps:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1"
+    val aDir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_assign", key)
+    val cDir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_centroids", key)
+    val assign = StageCache.getOrPublish(spark, aDir,
+      afterPublish = GraftCheckpoints.release) {
+      val (a, c) = ivfTrain(spark, sfDir)
+      StageCache.publish(c, cDir)
+      GraftCheckpoints.release(c)
+      a
+    }
+    (assign, spark.read.parquet(cDir.getAbsolutePath))
+  }
+
+  /** The capped-Lloyd training loop (cold path of [[ivfTrained]]); returns
+    * the final (vec_id, cell) assignment and (cell, centroid) table as
+    * tracked checkpoints. */
+  private def ivfTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftCheckpoints
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // --- seed assignment (max dot with the fixed directions) ...
     val seedDots = emb.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until IvfCells).map(j =>
         dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("j", "dot")))
@@ -159,15 +216,6 @@ object EmbQueries {
       .where(col("crank") === 1)
       .select(col("vec_id"), col("j").as("cell"))
       .trackedCheckpoint
-
-    // rank cells for `df` against a centroid table (max dot; ties → lowest
-    // cell id — the oracle's ROW_NUMBER ordering)
-    def cellRank(df: DataFrame, cents: DataFrame, rankCol: String): DataFrame = {
-      val dots = df.join(broadcast(cents))
-        .withColumn("dot", dotCols(col("embedding"), col("centroid")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
-      dots.withColumn(rankCol, row_number().over(w))
-    }
 
     // ... then Lloyd iterations to convergence, capped at [[IvfLloydSteps]]:
     // per-cell component means via EXACT integer sums (round(x·1e6) as
@@ -210,22 +258,7 @@ object EmbQueries {
       converged = nChanged == 0
       step += 1
     }
-
-    // --- search: rank TRAINED cells per vector / probe
-    val assigned = emb.join(assignIds, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-    val probeCells = cellRank(emb.where(col("vec_id") < NumProbes), centroids, "crank")
-      .where(col("crank") <= IvfNProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("norm").as("qnorm"), col("cell"))
-    val cand = assigned.join(probeCells.hint("broadcast"), Seq("cell"))
-      .select(col("qid"), col("vec_id"),
-        (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id"))
-      .orderBy(col("qid"), col("rank"))
+    (assignIds, centroids)
   }
 
   /** Write-time IVF partitioning — the 100-TB serving layout [[ivfAnn]]'s
