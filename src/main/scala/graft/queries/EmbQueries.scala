@@ -187,9 +187,7 @@ object EmbQueries {
     * crash between the two rebuilds both. */
   def ivfTrained(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.GraftCheckpoints
-    val key = s"c$IvfCells:l$IvfLloydSteps:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1"
-    val aDir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_assign", key)
-    val cDir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_centroids", key)
+    val (aDir, cDir) = ivfStageDirs(sfDir)
     val assign = StageCache.getOrPublish(spark, aDir,
       afterPublish = GraftCheckpoints.release) {
       val (a, c) = ivfTrain(spark, sfDir)
@@ -198,6 +196,14 @@ object EmbQueries {
       a
     }
     (assign, spark.read.parquet(cDir.getAbsolutePath))
+  }
+
+  /** Stage directories of the trained quantizer (spec hook — the key folds
+    * every training constant, per the StageCache invalidation contract). */
+  private[graft] def ivfStageDirs(sfDir: String): (java.io.File, java.io.File) = {
+    val key = s"c$IvfCells:l$IvfLloydSteps:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1"
+    (StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_assign", key),
+      StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_centroids", key))
   }
 
   /** The capped-Lloyd training loop (cold path of [[ivfTrained]]); returns

@@ -45,4 +45,32 @@ class IvfStoreSpec extends SparkTestBase {
     assert(fromStore.nonEmpty)
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  test("trained quantizer stages once; warm replay and crash-resume are bit-exact") {
+    val (aDir, cDir) = EmbQueries.ivfStageDirs(sf)
+    rmTree(aDir); rmTree(cDir)
+    // cold: trains, publishes BOTH tables (centroids before assignment)
+    val cold = EmbQueries.ivfAnn(spark, sf).collect().toSeq
+    assert(cold.nonEmpty)
+    assert(StageCache.isPublished(aDir), "assignment not staged after cold run")
+    assert(StageCache.isPublished(cDir), "centroids not staged after cold run")
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    // warm: must come from the staged bytes, value-identical (parquet
+    // round-trips the integer-mean doubles exactly — the oracle contract)
+    val warm = EmbQueries.ivfAnn(spark, sf).collect().toSeq
+    assert(warm === cold)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    // crash between the two publishes: centroids landed, assignment didn't
+    // (the only state the publish ordering permits) — a rerun retrains and
+    // republishes the assignment, same values
+    rmTree(aDir)
+    val resumed = EmbQueries.ivfAnn(spark, sf).collect().toSeq
+    assert(StageCache.isPublished(aDir), "assignment not re-staged on resume")
+    assert(resumed === cold)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
 }
