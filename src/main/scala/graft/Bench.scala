@@ -268,7 +268,15 @@ object Bench {
     // blocks are released when its action completes — the long-lived
     // session stays clean instead of accumulating every query's blocks.
     val s32 = session(32)
-    val (tiles, tileWall) = time(pyramidJob(s32, sfDir))
+    // tiles/sec is a BASELINE headline metric — give it the same estimator
+    // as everything else: min wall of two independent builds. The first
+    // build is also this JVM's first job (file index + codegen warmup);
+    // that cost stays visible as tiles_per_sec_first_run instead of
+    // contaminating the headline (run-C artifact: 33.2k single cold sample
+    // vs 69.0k in the same-binary run B).
+    val (tiles, tileWallFirst) = time(pyramidJob(s32, sfDir))
+    val (_, tileWallSecond) = time(pyramidJob(s32, sfDir))
+    val tileWall = math.min(tileWallFirst, tileWallSecond)
     // per query: TWO independent builds; the headline is the min (the
     // reproducible-evidence estimator), and the FIRST-run wall is emitted
     // beside it so the cost the shared stage cache absorbs (signature /
@@ -290,6 +298,9 @@ object Bench {
     //    driver run carries its own weather record.
     val probes = org.apache.spark.graft.BenchProbes
     val sc = s32.sparkContext
+    // the pyramid job's shuffles must not be billed to the sweep's first
+    // query — queries_shuffles is a per-query ledger
+    probes.purgeShuffles(sc)
     val kernelSamples = Seq.newBuilder[Double]
     kernelSamples += rayKernelWall(32, 10000000L)
     val allQs = SparkEntry.queries.toSeq
@@ -361,6 +372,6 @@ object Bench {
     val shufJson = shufflesPerQ.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_first_run":$totalCold,"queries_first_run":$qsCold,"sweep_kernel_walls":$kernJson,"queries_leaked_rdds":$leakJson,"queries_shuffles":$shufJson,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"pair_kernel_speedups_2_to_8":$kSpeedsJson,"pair_efficiencies_vs_host_ceiling":$effsNormJson,"scaling_efficiency_2_to_8_vs_host_ceiling_median":$effNormMedS,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tile_rows":$tiles}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_first_run":$totalCold,"queries_first_run":$qsCold,"sweep_kernel_walls":$kernJson,"queries_leaked_rdds":$leakJson,"queries_shuffles":$shufJson,"sf":"$sfDir","join_rows_per_sec_2":${rps2.toLong},"join_rows_per_sec_8_lowrep":${rps8lo.toLong},"scaling_efficiency":$eff2S,"scaling_efficiency_median_pair":$effMedS,"pair_efficiencies":$effsJson,"pair_kernel_speedups_2_to_8":$kSpeedsJson,"pair_efficiencies_vs_host_ceiling":$effsNormJson,"scaling_efficiency_2_to_8_vs_host_ceiling_median":$effNormMedS,"join_rows_per_sec_8":${rps8.toLong},"join_rows_per_sec_32":${rps32.toLong},"scaling_efficiency_8_to_32":$effS,"scaling_efficiency_vs_host_ceiling":$effNormS,"host_kernel_speedup_8_to_32":$kernS,"join_rows":$rows32,"join_rows_2_to_8":$rows8lo,"tiles_per_sec":${(tiles / tileWall).toLong},"tiles_per_sec_first_run":${(tiles / tileWallFirst).toLong},"tile_rows":$tiles}""")
   }
 }
