@@ -108,6 +108,14 @@ object Bench {
     levels.map(_.count()).sum
   }
 
+  /** true median: mean of the two middle elements for even n — the
+    * upper-middle element alone would bias the ≥0.8 gate upward. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -247,13 +255,7 @@ object Bench {
       results32 += forkChild(32, sfDir)
     }
     val effsList = pairEffs.result()
-    // true median: mean of the two middle elements for even n — the
-    // upper-middle element alone would bias the ≥0.8 gate upward
-    val eff2to8Median = {
-      val s = effsList.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
+    val eff2to8Median = median(effsList)
     val sumWall2 = results2.result().map(_._4).sum
     val sumWall8lo = results8lo.result().map(_._4).sum
     val eff2to8Total = sumWall2 / sumWall8lo / 4.0
@@ -321,6 +323,10 @@ object Bench {
       if ((i + 1) % quartile == 0) kernelSamples += rayKernelWall(32, 10000000L)
       (name, secs.min, secs.head, leakedRdds, shuffles)
     }
+    // closing weather sample: the quartile stride only lands on the last
+    // query when 4 | #queries, and the late sweep is exactly the window
+    // the r3 driver artifact showed inflating — it must not be blind
+    kernelSamples += rayKernelWall(32, 10000000L)
     val sweep = sweepRuns.map { case (n, m, _, _, _) => n -> m }
     val sweepCold = sweepRuns.map { case (n, _, c, _, _) => n -> c }
     val leaked = sweepRuns.collect { case (n, _, _, r, _) if r > 0 => n -> r }
@@ -354,11 +360,7 @@ object Bench {
     val effsNorm = pairEffsNorm.result()
     val kSpeedsJson = kSpeeds.map(e => f"$e%.3f").mkString("[", ",", "]")
     val effsNormJson = effsNorm.map(e => f"$e%.3f").mkString("[", ",", "]")
-    val effNormMed = {
-      val s = effsNorm.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
+    val effNormMed = median(effsNorm)
     val effNormMedS = f"$effNormMed%.3f"
     // in-sweep host-weather record + leak canaries (VERDICT r3 #3):
     // sweep_kernel_walls = the fixed-size 32-thread kernel at sweep

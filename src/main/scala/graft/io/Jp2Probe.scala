@@ -29,50 +29,90 @@ object Jp2Probe {
   private def boxType(b: Array[Byte], off: Int): String =
     new String(b.slice(off, off + 4), "ISO-8859-1")
 
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
+
   /** Parse the container header; IllegalArgumentException if the bytes are
-    * not a JP2 container (bad signature / truncated / no ihdr). */
+    * not a JP2 container (bad signature / truncated / no ihdr). Every index
+    * is bounds-checked against the DATA, never a box's claimed length, so
+    * a truncated or lying container always gets the contract's
+    * IllegalArgumentException rather than an array crash; the XLBox
+    * extended-length form (length field 1 → u64 follows, ISO 15444-1 §I.4)
+    * and >2 GiB claimed lengths are handled without 32-bit truncation. */
   def header(bytes: Array[Byte]): Jp2Header = {
     if (bytes.length < 12 || !bytes.take(12).sameElements(Signature))
       throw new IllegalArgumentException(
         "not a JPEG2000 (.jp2) container: missing the 12-byte JP2 signature box")
-    // walk top-level boxes: [u32 length][4-char type][payload]
-    var off = 12
-    var jp2h = -1
-    var jp2hEnd = -1
-    while (off + 8 <= bytes.length && jp2h < 0) {
-      val len = u32(bytes, off)
-      val t = boxType(bytes, off + 4)
-      if (len < 8 && len != 0) throw new IllegalArgumentException(
-        s"corrupt JP2 container: box '$t' with impossible length $len")
-      if (t == "jp2h") { jp2h = off + 8; jp2hEnd = off + len.toInt }
-      off += (if (len == 0) bytes.length - off else len.toInt)
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"corrupt JP2 container: $msg")
+    // walk [length][4-char type][payload] boxes in bytes[start, end) until
+    // `want` is found; length 0 = box runs to the end of the data, length
+    // 1 = 64-bit extended length follows the type. Returns the payload
+    // bounds, both proven to lie inside the data.
+    def findBox(start: Int, end: Int, want: String, where: String): (Int, Int) = {
+      var off = start
+      while (off + 8 <= end) {
+        val t = boxType(bytes, off + 4)
+        val len0 = u32(bytes, off)
+        val (hdrLen, len) =
+          if (len0 == 1) {
+            if (off + 16 > end) fail(s"truncated XLBox header of '$t' box")
+            (16L, u64(bytes, off + 8))
+          } else (8L, len0)
+        if (len != 0 && len < hdrLen)
+          fail(s"box '$t' with impossible length $len")
+        val boxEnd = if (len == 0) end.toLong else off + len
+        if (boxEnd > end)
+          fail(s"truncated '$t' box: claims ${len} bytes, " +
+            s"only ${end - off} remain")
+        if (t == want) return ((off + hdrLen).toInt, boxEnd.toInt)
+        off = boxEnd.toInt
+      }
+      fail(s"no $want box in $where")
     }
-    if (jp2h < 0) throw new IllegalArgumentException(
-      "corrupt JP2 container: no jp2h (JP2 Header) superbox")
-    // ihdr is the first box inside jp2h per the spec; walk defensively
-    var ih = jp2h
-    while (ih + 8 <= jp2hEnd) {
-      val len = u32(bytes, ih)
-      if (boxType(bytes, ih + 4) == "ihdr" && ih + 18 <= bytes.length)
-        return Jp2Header(
-          height = u32(bytes, ih + 8).toInt,
-          width = u32(bytes, ih + 12).toInt,
-          nc = (((bytes(ih + 16) & 0xff) << 8) | (bytes(ih + 17) & 0xff)),
-          bpc = (bytes(ih + 18) & 0x7f) + 1)
-      ih += math.max(8L, len).toInt
-    }
-    throw new IllegalArgumentException(
-      "corrupt JP2 container: jp2h superbox has no ihdr (Image Header) box")
+    val (jp2h, jp2hEnd) = findBox(12, bytes.length, "jp2h",
+      "the container (jp2h = JP2 Header superbox)")
+    val (ih, ihEnd) = findBox(jp2h, jp2hEnd, "ihdr",
+      "the jp2h superbox (ihdr = Image Header box)")
+    if (ihEnd - ih < 14) fail(
+      s"ihdr payload is ${ihEnd - ih} bytes, spec requires 14")
+    Jp2Header(
+      height = u32(bytes, ih).toInt,
+      width = u32(bytes, ih + 4).toInt,
+      nc = ((bytes(ih + 8) & 0xff) << 8) | (bytes(ih + 9) & 0xff),
+      bpc = (bytes(ih + 10) & 0x7f) + 1)
   }
+
+  /** How much of the file [[unsupported]] reads: jp2h (signature, ftyp and
+    * header boxes) precedes the jp2c codestream that dominates a real JP2,
+    * so a bounded prefix is enough — never the whole (possibly multi-GB)
+    * scene on the driver heap. */
+  private[io] val ProbePrefixBytes = 1 << 16
 
   /** The open-time contract: parse the container, then refuse decode with
     * a message carrying everything the parse proved. */
   def unsupported(path: String): Nothing = {
-    val h = header(Files.readAllBytes(Paths.get(path)))
+    val prefix = readPrefix(path, ProbePrefixBytes)
+    val wholeFile = Files.size(Paths.get(path)) <= prefix.length
+    val h =
+      try header(prefix)
+      catch {
+        // on a prefix of a larger file, "truncated"/"missing" really means
+        // "not within the probe prefix" — don't call a valid file corrupt
+        case e: IllegalArgumentException if !wholeFile =>
+          throw new IllegalArgumentException(
+            s"could not parse a JP2 header from the first " +
+              s"${ProbePrefixBytes / 1024} KiB of '$path': ${e.getMessage}", e)
+      }
     throw new UnsupportedOperationException(
       s"'$path' is a valid ${h.width}×${h.height} ${h.nc}-component " +
         s"${h.bpc}-bit JPEG2000 (.jp2) image, but JPEG2000 codestream " +
         "decode is unsupported on this JVM (no codec available); convert " +
         "to GeoTIFF first (e.g. `gdal_translate in.jp2 out.tif`)")
+  }
+
+  private def readPrefix(path: String, max: Int): Array[Byte] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try in.readNBytes(max) finally in.close()
   }
 }

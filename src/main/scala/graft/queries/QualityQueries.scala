@@ -463,11 +463,13 @@ object QualityQueries {
     *
     * Plan shape (VERDICT r3 #2 — the previous shape globally
     * `.distinct()`ed the N×L gram stream and then consumed it TWICE, a
-    * doubled full-stream exchange): the raw gram stream is exploded ONCE,
-    * per-doc distinctness is folded into the rollup's distinct aggregates
-    * (computed inside the doc_id shuffle, never as a global exchange), and
-    * totals + hits come out of ONE groupBy. Per query the raw stream faces
-    * exactly one explode and one aggregation exchange. */
+    * doubled full-stream exchange): the raw gram stream is exploded ONCE
+    * and faces exactly ONE exchange — the (doc_id, gram) pair-dedup
+    * aggregation (partial map-side, so the shuffle carries deduped pairs);
+    * totals + hits then come from a per-doc rollup whose exchange carries
+    * only per-doc partials. (A single groupBy with three distinct
+    * aggregates would instead plan via Expand: 3× the stream map-side and
+    * a wider exchange — see the note in [[decontaminate]].) */
   /** Raw (doc_id, gram-hash) stream — NOT deduplicated; distinctness is
     * the rollups' job. PLANTED contamination (mirrored in the oracle)
     * keeps the gates non-vacuous at every SF: a canary phrase shared by
@@ -511,14 +513,22 @@ object QualityQueries {
     // (A caller with an unbounded eval set drops the hint — or uses the
     // Bloom path, [[decontaminateBloom]].)
     val joined = train.join(broadcast(evalSet), Seq("h"), "left")
-    // ONE rollup: n_grams = distinct grams per doc (the oracle's
-    // distinct-pair totals), n_hit = distinct matched grams, n_eval_docs =
-    // distinct eval docs (countDistinct ignores nulls). The only exchange
-    // the gram stream faces is this aggregation's.
-    joined.groupBy(col("doc_id"))
-      .agg(countDistinct(col("h")).as("n_grams"),
-        countDistinct(when(col("eval_doc").isNotNull, col("h"))).as("n_hit"),
-        countDistinct(col("eval_doc")).as("n_eval_docs"))
+    // TWO-stage rollup, ONE gram-stream exchange. A single groupBy with
+    // three differently-shaped countDistincts plans via Expand — 3× the
+    // raw stream map-side and a wider distinct exchange — so instead:
+    // stage 1 dedups (doc_id, gram) pairs in the stream's only exchange,
+    // folding the match flag and the matched eval docs into per-pair
+    // fields (collect_set is exact: a gram matches at most the tiny eval
+    // set); stage 2 rolls the deduped pairs up per doc — its exchange
+    // carries per-doc partials, negligible next to the stream.
+    val pairs = joined.groupBy(col("doc_id"), col("h"))
+      .agg(max(col("eval_doc").isNotNull).as("hit"),
+        collect_set(col("eval_doc")).as("eds"))
+    pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+        size(array_distinct(flatten(collect_list(col("eds")))))
+          .cast("long").as("n_eval_docs"))
       .where(col("n_hit") > 0) // flagged docs only — the oracle's inner join
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("n_eval_docs"))
       .orderBy(col("doc_id"))
@@ -581,9 +591,12 @@ object QualityQueries {
     * inner join over flagged train docs): distinct train docs sharing any
     * gram, distinct leaked grams, and distinct (train doc, gram) hits.
     * Same single-pass skeleton as q60 with the rollup keyed on eval_doc:
-    * the raw train stream meets the broadcast eval set map-side and is
-    * aggregated once — per-pair distinctness (the oracle joins DISTINCT
-    * pair streams) is the rollup's countDistinct, not a global exchange. */
+    * the raw train stream meets the broadcast eval set map-side, and the
+    * INNER join means only matched grams reach the aggregation — so the
+    * multi-countDistinct rollup (which Spark plans via Expand) multiplies
+    * and shuffles just the contamination sliver, never the N×L stream;
+    * per-pair distinctness (the oracle joins DISTINCT pair streams) is the
+    * rollup's countDistinct, not a global exchange of the stream. */
   def contaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
     val evalSet = evalGramSet(spark, sfDir)
     val train = decontGramStream(spark, sfDir)

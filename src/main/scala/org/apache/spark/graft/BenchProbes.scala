@@ -13,11 +13,6 @@ object BenchProbes {
     * must be 0; anything else is a checkpoint-hygiene leak. */
   def persistedRddCount(sc: SparkContext): Int = sc.getPersistentRDDs.size
 
-  /** Storage memory in use across block managers (bytes). */
-  def storageBytes(sc: SparkContext): Long =
-    sc.env.blockManager.master.getMemoryStatus.values
-      .map { case (max, remaining) => max - remaining }.sum
-
   /** Shuffles still registered with the map-output tracker. Registered
     * shuffles pin map-output state and shuffle files until the weak-ref
     * ContextCleaner notices their RDDs died — in a long-lived sweep

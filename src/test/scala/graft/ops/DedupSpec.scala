@@ -114,6 +114,8 @@ class DedupSpec extends SparkTestBase {
     val n = a.join(b, Seq("t", "bucket")).where(col("a") < col("b")).count()
     // without the cap the hot bucket alone yields 3000*2999/2 ≈ 4.5M pairs
     assert(n < 20000, s"candidate pairs $n — bucket cap not effective")
+    // bucketed() checkpoints internally — release per the harness contract
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
 
   test("q77 histogram is exactly the size distribution of the group table") {

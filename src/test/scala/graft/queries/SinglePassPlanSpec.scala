@@ -30,6 +30,17 @@ class SinglePassPlanSpec extends SparkTestBase {
     // single rollup (the r3 shape had two of each plus a global distinct)
     assert(docScans(df) === 1, "train side must scan documents once")
     assert(generates(df) === 1, "train gram stream must explode once")
+    // no Expand: a multi-countDistinct rollup would triple the gram stream
+    // map-side (the round-4 review finding); the two-stage shape dedups
+    // pairs in the stream's only wide exchange instead
+    val expands = allPlanNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+    assert(expands === 0, "gram stream must not pass through Expand")
+    // and the stream itself faces ≤ 1 exchange before the doc-level
+    // rollup: pair-dedup + per-doc + output sort = 3 exchanges total
+    val exchanges = allPlanNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 3, s"expected ≤3 exchanges (pair dedup, doc rollup, sort), got $exchanges")
     assert(df.count() > 0)
     GraftCheckpoints.releaseAll()
   }
