@@ -106,4 +106,14 @@ class Jp2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Jp2Probe.header(doc))
     assert(e.getMessage.contains("ihdr payload is 8 bytes"))
   }
+
+  test("fuzz: random bytes after a valid signature never escape the contract") {
+    val rng = new scala.util.Random(0x6a5032) // deterministic ("jP2")
+    for (_ <- 1 to 2000) {
+      val body = Array.fill[Byte](rng.nextInt(200))(rng.nextInt(256).toByte)
+      try Jp2Probe.header(signature ++ body)
+      catch { case _: IllegalArgumentException => () } // the contract
+      // any other exception (index/negative-size/…) fails the test
+    }
+  }
 }
