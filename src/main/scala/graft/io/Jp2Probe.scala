@@ -61,12 +61,16 @@ object Jp2Probe {
           } else (8L, len0)
         if (len != 0 && len < hdrLen)
           fail(s"box '$t' with impossible length $len")
-        val boxEnd = if (len == 0) end.toLong else off + len
-        if (boxEnd > end)
+        // compare len against the REMAINING bytes, never `off + len`: a
+        // crafted near-Long.MaxValue XLBox length would wrap `off + len`
+        // negative, dodge a boxEnd>end check, and walk the loop backwards
+        // forever (round-4 review finding)
+        if (len > end - off)
           fail(s"truncated '$t' box: claims ${len} bytes, " +
             s"only ${end - off} remain")
-        if (t == want) return ((off + hdrLen).toInt, boxEnd.toInt)
-        off = boxEnd.toInt
+        val boxEnd = if (len == 0) end else (off + len).toInt
+        if (t == want) return ((off + hdrLen).toInt, boxEnd)
+        off = boxEnd // len ≥ hdrLen ≥ 8 ⇒ strictly forward
       }
       fail(s"no $want box in $where")
     }
@@ -83,27 +87,43 @@ object Jp2Probe {
       bpc = (bytes(ih + 10) & 0x7f) + 1)
   }
 
-  /** How much of the file [[unsupported]] reads: jp2h (signature, ftyp and
-    * header boxes) precedes the jp2c codestream that dominates a real JP2,
-    * so a bounded prefix is enough — never the whole (possibly multi-GB)
-    * scene on the driver heap. */
+  /** How much of the file [[unsupported]] first reads: jp2h (signature,
+    * ftyp and header boxes) precedes the jp2c codestream that dominates a
+    * real JP2, so a bounded prefix is enough — never the whole (possibly
+    * multi-GB) scene on the driver heap. If the prefix parse fails
+    * NON-definitively on a larger file, the window escalates once to
+    * [[ProbeMaxBytes]] (ISO 15444-1 allows arbitrarily large metadata
+    * boxes between ftyp and jp2h, so a fixed small window would call such
+    * a valid file corrupt — round-4 review finding). */
   private[io] val ProbePrefixBytes = 1 << 16
+  private[io] val ProbeMaxBytes = 64 << 20
+
+  private def probeHeader(path: String): Jp2Header = {
+    var limit = ProbePrefixBytes
+    while (true) {
+      val bytes = readPrefix(path, limit)
+      val sawWholeFile = bytes.length < limit
+      try return header(bytes)
+      catch {
+        case e: IllegalArgumentException =>
+          // the signature verdict needs only 12 bytes — always definitive,
+          // as is any failure after reading the entire file
+          if (sawWholeFile || e.getMessage.startsWith("not a JPEG2000"))
+            throw e
+          if (limit >= ProbeMaxBytes) throw new IllegalArgumentException(
+            s"could not parse a JP2 header from the first " +
+              s"${ProbeMaxBytes >> 20} MiB of '$path' (${e.getMessage}); " +
+              "a valid JP2 header this deep is implausible", e)
+          limit = ProbeMaxBytes
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** The open-time contract: parse the container, then refuse decode with
     * a message carrying everything the parse proved. */
   def unsupported(path: String): Nothing = {
-    val prefix = readPrefix(path, ProbePrefixBytes)
-    val wholeFile = Files.size(Paths.get(path)) <= prefix.length
-    val h =
-      try header(prefix)
-      catch {
-        // on a prefix of a larger file, "truncated"/"missing" really means
-        // "not within the probe prefix" — don't call a valid file corrupt
-        case e: IllegalArgumentException if !wholeFile =>
-          throw new IllegalArgumentException(
-            s"could not parse a JP2 header from the first " +
-              s"${ProbePrefixBytes / 1024} KiB of '$path': ${e.getMessage}", e)
-      }
+    val h = probeHeader(path)
     throw new UnsupportedOperationException(
       s"'$path' is a valid ${h.width}×${h.height} ${h.nc}-component " +
         s"${h.bpc}-bit JPEG2000 (.jp2) image, but JPEG2000 codestream " +
