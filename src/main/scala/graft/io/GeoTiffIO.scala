@@ -1,6 +1,6 @@
 package graft.io
 
-import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.{BufferUnderflowException, ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
 import graft.raster.{Affine, MRaster}
@@ -30,7 +30,21 @@ object GeoTiffIO {
 
   final case class Tag(ttype: Int, count: Int, valueOffset: Long, data: Array[Byte])
 
-  def read(path: String, bandNames: Seq[String] = Nil): MRaster = {
+  /** Open a GeoTIFF. A truncated or structurally-corrupt file fails with
+    * IllegalArgumentException naming the file — the reader's internals
+    * index the mapped bytes directly (hot decode loops), so the error
+    * contract is enforced at this boundary rather than per access. */
+  def read(path: String, bandNames: Seq[String] = Nil): MRaster =
+    try readImpl(path, bandNames)
+    catch {
+      case e @ (_: IndexOutOfBoundsException | _: BufferUnderflowException |
+                _: NegativeArraySizeException) =>
+        throw new IllegalArgumentException(
+          s"truncated or corrupt TIFF '$path' (${e.getClass.getSimpleName}" +
+            s" while decoding)", e)
+    }
+
+  private def readImpl(path: String, bandNames: Seq[String]): MRaster = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val order =
       if (bytes(0) == 'I' && bytes(1) == 'I') ByteOrder.LITTLE_ENDIAN
@@ -125,7 +139,11 @@ object GeoTiffIO {
   private def internalMask(buf: ByteBuffer, bytes: Array[Byte],
                            firstIfd: Int, w: Int, h: Int): Option[Array[Boolean]] = {
     var off = nextIfdOffset(buf, firstIfd)
+    val seen = scala.collection.mutable.Set[Int]()
     while (off != 0) {
+      // a crafted next-IFD pointer can cycle (self- or mutual-pointing
+      // IFDs) — revisiting an offset means no mask exists down this chain
+      if (!seen.add(off)) return None
       val tags = readIfd(buf, off)
       def one(t: Int, dflt: Long = 0L): Long =
         tags.get(t).map(v => typedValues(buf, v).head).getOrElse(dflt)
@@ -243,8 +261,22 @@ object GeoTiffIO {
     inf.setInput(data)
     val out = new Array[Byte](expected)
     var got = 0
-    while (got < expected && !inf.finished()) got += inf.inflate(out, got, expected - got)
-    inf.end()
+    try {
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(out, got, expected - got)
+        // a truncated Deflate stream yields 0 with the inflater starving
+        // for input — without this check the loop spins forever (round-4
+        // review drive caught a hang on a truncated Deflate COG)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new IllegalArgumentException(
+            s"Deflate stream ended prematurely: got $got of $expected bytes")
+        got += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt Deflate stream after $got of $expected bytes", e)
+    } finally inf.end()
     out
   }
 

@@ -251,4 +251,35 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(win.width === 10 && win.height === 10)
     assert(win.image(0)(0) === 81.0)
   }
+
+  test("every prefix of rgb.tif parses or throws the boundary IllegalArgumentException") {
+    // pre-round-4, 3500+ sampled prefixes crashed with raw index errors;
+    // the read() boundary now owns the truncated/corrupt contract
+    val full = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refRaster/rgb.tif"))
+    val tmp = java.nio.file.Files.createTempFile("trunc", ".tif")
+    var parsed = 0
+    for (n <- 0 until full.length by 13) {
+      java.nio.file.Files.write(tmp, full.take(n))
+      try { GeoTiffIO.read(tmp.toString); parsed += 1 }
+      catch { case _: IllegalArgumentException => () } // the contract
+      // any other exception type fails the test
+    }
+  }
+
+  test("truncated DEFLATE tif fails the contract instead of hanging the inflater") {
+    // rgb.tif is uncompressed, so the prefix sweep above never reaches the
+    // inflate loop; a starved Inflater used to return 0 forever (hang
+    // caught by the round-4 review drive on a truncated Deflate COG)
+    val src = GeoTiffIO.read(s"$refRaster/rgb.tif")
+    val tmp = java.nio.file.Files.createTempFile("defl", ".tif")
+    GeoTiffWriter.write(src, tmp.toString, compression = "deflate")
+    val full = java.nio.file.Files.readAllBytes(tmp)
+    val cut = java.nio.file.Files.createTempFile("deflcut", ".tif")
+    for (n <- Seq(full.length / 4, full.length / 2, full.length - 64)) {
+      java.nio.file.Files.write(cut, full.take(n))
+      try GeoTiffIO.read(cut.toString)
+      catch { case _: IllegalArgumentException => () } // contract; no hang
+    }
+  }
 }

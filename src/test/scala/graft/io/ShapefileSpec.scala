@@ -125,4 +125,28 @@ class ShapefileSpec extends SparkTestBase {
       assert(math.abs(math.abs(signedArea2(gx.shell)) - math.abs(signedArea2(gy.shell))) < 1e-6)
     }
   }
+
+  test("truncated .shp/.dbf fail with the boundary contract, never an index crash") {
+    import java.nio.file.{Files, Paths}
+    val src = s"$refVec/bsas_barrios/barrios"
+    val shp = Files.readAllBytes(Paths.get(src + ".shp"))
+    val shx = Files.readAllBytes(Paths.get(src + ".shx"))
+    val dbf = Files.readAllBytes(Paths.get(src + ".dbf"))
+    val dir = Files.createTempDirectory("trunc").toString
+    val pre = s"$dir/t"
+    // truncated .shp with the intact .shx (its offsets point past the
+    // data — the pre-round-4 reader crashed with raw index errors)
+    Files.write(Paths.get(pre + ".shx"), shx)
+    for (n <- 0 until shp.length by 997) {
+      Files.write(Paths.get(pre + ".shp"), shp.take(n))
+      try ShapefileIO.readShp(pre)
+      catch { case _: IllegalArgumentException => () } // the contract
+    }
+    // truncated .dbf (field-descriptor walk + record slicing)
+    for (n <- 0 until dbf.length by 499) {
+      Files.write(Paths.get(pre + ".dbf"), dbf.take(n))
+      try ShapefileIO.readDbf(pre)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
 }
