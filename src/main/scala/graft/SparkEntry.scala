@@ -94,6 +94,7 @@ object SparkEntry {
     "q75_robots_filter" -> (graft.queries.QualityQueries.robotsFilter _),
     "q76_posting_lookup" -> (graft.queries.TextQueries.postingLookup _),
     "q77_dupgroup_histogram" -> (graft.queries.TextQueries.dupGroupHistogram _),
+    "q78_semdedup" -> (graft.queries.EmbQueries.semDedup _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -176,6 +177,7 @@ object SparkEntry {
     "q75_robots_filter" -> graft.queries.QualityOracles.robotsFilter,
     "q76_posting_lookup" -> graft.queries.TextOracles.postingLookup,
     "q77_dupgroup_histogram" -> graft.queries.TextOracles.dupGroupHistogram,
+    "q78_semdedup" -> graft.queries.EmbOracles.semDedup,
   )
 }
 

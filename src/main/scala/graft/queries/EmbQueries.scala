@@ -377,6 +377,68 @@ object EmbQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a coarse quantizer, then prune near-duplicates
+    * by exact cosine ONLY within each cluster — the cluster assignment
+    * replaces LSH bucketing ([[embDedup]]) as the candidate generator. The
+    * quantizer here is a 2-level PRODUCT of argmax-direction sub-quantizers
+    * ([[SemLevels]] × [[SemSubCells]] fixed directions, plane offsets
+    * [[SemOffsets]]): 32 dot products per row buy 256 cells, where a flat
+    * 256-cell quantizer would cost 256 dots — at 10^9 vectors you'd grow
+    * levels ~log_16(N) to keep cells O(1)-sized while assignment stays
+    * O(levels·16) per row. Cells above [[SemMaxCell]] are skipped (the
+    * deterministic candidate cap, same posture as [[MaxBucket]]); the
+    * intra-cell self-join is bounded by SemMaxCell² per cell, never N².
+    * Single-assignment recall is SemDeDup's documented trade: a pair split
+    * across cells (the planted sign-flip twins sometimes are) is missed,
+    * which is why [[embDedup]]'s multi-table LSH coexists as the
+    * high-recall path. Output: each pruned vector with its kept
+    * representative (lowest same-cell dup id — the deterministic stand-in for
+    * the paper's keep-closest-to-centroid) and its dup-partner count. */
+  val SemLevels = 2
+  val SemSubCells = 16
+  val SemOffsets: Seq[Int] = Seq(7100, 7200)
+  val SemMaxCell = 256
+  val SemTau = 0.95
+
+  /** product-quantizer cell: per level, the 1-based index of the max dot
+    * over that level's 16 fixed directions (first occurrence on ties —
+    * `array_position` here, `list_position` in the oracle — over the SAME
+    * double array, so tie-breaks agree bit-for-bit). */
+  def semCell(emb: Column): Column =
+    SemOffsets.map { off =>
+      val dots = array((0 until SemSubCells).map(j => dotLit(emb, planeWeights(off + j))): _*)
+      array_position(dots, array_max(dots)) - 1L
+    }.reduce((hi, lo) => hi * SemSubCells + lo)
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val input = dedupInput(spark, sfDir)
+    val e = input.withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    // one quantizer pass, materialized as (vec_id, cell) longs — the size
+    // aggregate and both sides of the intra-cell self-join read the
+    // materialized frame (the q22/bucketedOf single-pass invariant); the
+    // 64-float arrays rejoin by vec_id only for surviving candidate pairs.
+    val cells = e.select(col("vec_id"), semCell(col("embedding")).as("cell"))
+      .trackedCheckpoint
+    val small = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).where(col("n") <= SemMaxCell)
+      .select(col("cell"))
+    val member = cells.join(small, Seq("cell"))
+    val pairs = member.select(col("cell"), col("vec_id").as("a"))
+      .join(member.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
+      .where(col("a") < col("b"))
+    pairs
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("norm").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("norm").as("nb")), Seq("b"))
+      .where(dotCols(col("ea"), col("eb")) / (col("na") * col("nb")) >= SemTau)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select(col("b").as("pruned"), col("keeper"), col("n_dups"))
+      .orderBy(col("pruned"))
+  }
+
   /** int8 scalar quantization — the 4× storage-compression path for ANN at
     * scale: per-dimension global [min,max] (a Dim-row aggregate, broadcast
     * back), code = floor((x−lo)·255/(hi−lo) + 0.5). floor-plus-half instead
@@ -530,6 +592,41 @@ object EmbOracles {
        |FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
        |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.95
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** SemDeDup mirror: same planted input as [[embDedup]], product-cell
+    * via list_position(list_max) over the identical dot arrays (first-
+    * occurrence tie-break on both sides), same cap / τ / rollup. */
+  val semDedup: String = {
+    val subs = SemOffsets.zipWithIndex.map { case (off, l) =>
+      val arr = (0 until SemSubCells)
+        .map(j => dotPlaneSql("embedding", off + j)).mkString("[", ",\n", "]")
+      s"list_position($arr, list_max($arr)) AS c$l"
+    }.mkString(",\n")
+    val cellExpr = (0 until SemLevels).map(l => s"(c$l - 1)")
+      .reduce((hi, lo) => s"($hi * $SemSubCells + $lo)")
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |plant AS (
+       |  SELECT vec_id + 10000000 AS vec_id, embedding FROM base WHERE vec_id % 97 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 20000000 AS vec_id,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      CASE WHEN i - 1 = vec_id % $Dim THEN -embedding[i] ELSE embedding[i] END) AS embedding
+       |  FROM base WHERE vec_id % 97 = 0),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+       |e AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |$subs
+       |  FROM allv),
+       |a AS (SELECT vec_id, embedding, norm, $cellExpr AS cell FROM e),
+       |small AS (SELECT cell FROM a GROUP BY cell HAVING count(*) <= $SemMaxCell),
+       |m AS (SELECT a.* FROM a JOIN small USING (cell)),
+       |dup AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${dotSql("x.embedding", "y.embedding")} / (x.norm * y.norm) >= $SemTau)
+       |SELECT b AS pruned, min(a) AS keeper, count(*) AS n_dups
+       |FROM dup GROUP BY b ORDER BY pruned""".stripMargin
   }
 
   /** int8 scalar quantization mirror: identical double-op order
