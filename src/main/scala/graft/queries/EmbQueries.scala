@@ -51,7 +51,7 @@ object EmbQueries {
 
   /** exact left-fold dot product: zip_with + aggregate mirrors the
     * sequential i-order accumulation of the SQL oracle bit-for-bit. */
-  private def dotCols(a: Column, b: Column): Column =
+  private[graft] def dotCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -411,8 +411,18 @@ object EmbQueries {
       array_position(dots, array_max(dots)) - 1L
     }.reduce((hi, lo) => hi * SemSubCells + lo)
 
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val input = dedupInput(spark, sfDir)
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semPairsOf(dedupInput(spark, sfDir))
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select(col("b").as("pruned"), col("keeper"), col("n_dups"))
+      .orderBy(col("pruned"))
+
+  /** the pair core of [[semDedup]]: (a < b) same-cell pairs with exact
+    * cosine ≥ [[SemTau]] — shared with the incremental append job
+    * (`jobs.IncrementalEmbDedup`); `cap` is overridable ONLY so specs can
+    * exercise cap-crossing parity at toy sizes. */
+  def semPairsOf(input: DataFrame, cap: Int = SemMaxCell): DataFrame = {
     val e = input.withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
     // one quantizer pass, materialized as (vec_id, cell) longs — the size
     // aggregate and both sides of the intra-cell self-join read the
@@ -421,7 +431,7 @@ object EmbQueries {
     val cells = e.select(col("vec_id"), semCell(col("embedding")).as("cell"))
       .trackedCheckpoint
     val small = cells.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n")).where(col("n") <= SemMaxCell)
+      .agg(count(lit(1)).as("n")).where(col("n") <= cap)
       .select(col("cell"))
     val member = cells.join(small, Seq("cell"))
     val pairs = member.select(col("cell"), col("vec_id").as("a"))
@@ -433,10 +443,7 @@ object EmbQueries {
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb"),
         col("norm").as("nb")), Seq("b"))
       .where(dotCols(col("ea"), col("eb")) / (col("na") * col("nb")) >= SemTau)
-      .groupBy(col("b"))
-      .agg(min(col("a")).as("keeper"), count(lit(1)).as("n_dups"))
-      .select(col("b").as("pruned"), col("keeper"), col("n_dups"))
-      .orderBy(col("pruned"))
+      .select(col("a"), col("b"))
   }
 
   /** int8 scalar quantization — the 4× storage-compression path for ANN at
