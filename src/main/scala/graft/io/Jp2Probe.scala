@@ -74,7 +74,22 @@ object Jp2Probe {
       }
       fail(s"no $want box in $where")
     }
-    val (jp2h, jp2hEnd) = findBox(12, bytes.length, "jp2h",
+    // ISO 15444-1 §I.5.2: the File Type box shall IMMEDIATELY follow the
+    // signature box, and 'jp2 ' must be the major brand or listed in the
+    // compatibility list — without it the file is not a conforming JP2
+    // container and the "valid JPEG2000 image" verdict would be a lie.
+    val (ftyp, ftypEnd) = findBox(12, bytes.length, "ftyp",
+      "the container (ftyp = File Type box, required directly after the signature)")
+    if (ftyp != 20) fail(
+      "the File Type (ftyp) box does not immediately follow the signature box")
+    if (ftypEnd - ftyp < 8) fail(
+      s"ftyp payload is ${ftypEnd - ftyp} bytes, spec requires at least 8")
+    val brands = boxType(bytes, ftyp) +:
+      (ftyp + 8).until(ftypEnd - 3, 4).map(boxType(bytes, _))
+    if (!brands.contains("jp2 ")) fail(
+      s"ftyp brand(s) ${brands.map(b => s"'$b'").mkString(", ")} do not " +
+        "include 'jp2 ' — not a conforming JP2 file")
+    val (jp2h, jp2hEnd) = findBox(ftypEnd, bytes.length, "jp2h",
       "the container (jp2h = JP2 Header superbox)")
     val (ih, ihEnd) = findBox(jp2h, jp2hEnd, "ihdr",
       "the jp2h superbox (ihdr = Image Header box)")

@@ -54,26 +54,16 @@ object IncrementalDedup {
     * caller can free exactly the blocks this append pinned once its sink
     * write completes — a global releaseAll would also kill any OTHER
     * query's live checkpoints on a shared session. */
+  /** Replay idempotence + the two-layer disjointness guard (first-write-
+    * wins, matching exact-dedup's keep-min semantics; an UPDATE workflow
+    * would instead rollback + recommit) live in [[IncrementalAppend]],
+    * shared with the embedding job. */
   private[jobs] def appendWithHandle(
       spark: SparkSession, newDocs: DataFrame, lakeRoot: String,
-      batchId: Option[Long]): (DataFrame, DataFrame) = {
-    val lake = new LakeTable(lakeRoot)
-    require(lake.isCommitted(SigStage), s"no committed $SigStage — run init first")
-    val alreadyCommitted = batchId.exists(id =>
-      lake.manifest(SigStage).exists(_.contains("\"batch_id\":\"" + id + "\"")))
-    val old = lake.read(spark, SigStage)
-    // DISJOINTNESS GUARD: a re-delivered doc_id (crawler re-fetch, overlap
-    // between feeds) must not append a second signature row — duplicate
-    // store rows would multiply every future refine join. Re-deliveries
-    // are dropped (first-write-wins, matching exact-dedup's keep-min
-    // semantics); an UPDATE workflow would instead rollback + recommit.
-    // On a KNOWN replay (this batch id already committed) the whole batch
-    // is in the store, so the incoming signatures serve as the probe side
-    // unfiltered and the pair set reproduces exactly.
-    val incoming = TextQueries.sigsOf(spark, newDocs)
-    val newSigs = GraftCheckpoints.local(
-      if (alreadyCommitted) incoming
-      else incoming.join(old.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      batchId: Option[Long]): (DataFrame, DataFrame) =
+    IncrementalAppend.appendWithHandle(spark, newDocs, lakeRoot, SigStage,
+      batchId, "doc_id", docs => TextQueries.sigsOf(spark, docs)) {
+      (newSigs, old, allSigs) =>
 
     val oldBands = bandsOf(old)
     val newBands = bandsOf(newSigs)
@@ -92,25 +82,14 @@ object IncrementalDedup {
       .where(col("a") =!= col("b"))
       .dropDuplicates("a", "b")
 
-    // on a replay the store already holds the batch's signatures — using
-    // old ∪ new would duplicate those rows and multiply the refine join
-    val allSigs = if (alreadyCommitted) old else old.unionByName(newSigs)
-    val pairs = cand
+    cand
       .join(allSigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
       .join(allSigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
       .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
       .where(col("n_match") >= TextOps.MatchThreshold)
       .select(col("a"), col("b"), col("n_match"))
       .orderBy(col("a"), col("b"))
-
-    // enlarge the store: a NEW snapshot version (readers of the old version
-    // keep time-travel access; LakeTable.commit is atomic). A batch whose
-    // docs were ALL re-deliveries contributes nothing — no version spam.
-    if (!alreadyCommitted && newSigs.limit(1).count() > 0)
-      lake.commit(SigStage, allSigs,
-        Map("appended" -> "true") ++ batchId.map("batch_id" -> _.toString))
-    (pairs, newSigs)
-  }
+    }
 
   /** Streaming face: every micro-batch of `docsStream` runs [[append]]
     * (batch-id-idempotent) and appends its pair rows to `pairsOut` —
@@ -120,19 +99,6 @@ object IncrementalDedup {
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val (pairs, sigHandle) =
-            appendWithHandle(batch.sparkSession, batch, lakeRoot, Some(id))
-          pairs.write.mode("append").parquet(pairsOut)
-          // release exactly what this append pinned — other queries on a
-          // shared session keep their live checkpoints
-          GraftCheckpoints.release(sigHandle)
-        }
-        ()
-      }
-      .start()
+    IncrementalAppend.stream(docsStream, pairsOut, checkpointDir, trigger)(
+      (s, batch, id) => appendWithHandle(s, batch, lakeRoot, Some(id)))
 }

@@ -30,8 +30,12 @@ import graft.queries.EmbQueries
   * layout that is static partition pruning; here it prunes via the
   * broadcast hash join). The size check counts union members of those
   * cells only, and embeddings rejoin by vec_id just for surviving
-  * candidate pairs (late materialization, same as q78). Nothing scans the
-  * full corpus per append except parquet-pruned (vec_id, cell) longs. */
+  * candidate pairs (late materialization, same as q78). Store-side READS
+  * are column-pruned (vec_id, cell) longs except the candidate refine's
+  * id-keyed embedding rejoin, and the store WRITE is O(|batch|): the
+  * commit is a [[graft.lake.LakeTable.commitAppend]] fast-append snapshot
+  * referencing the parent's data files instead of rewriting them
+  * (round-4 review: the old ∪ new rewrite contradicted this paragraph). */
 object IncrementalEmbDedup {
 
   val CellStage = "semdedup_cell_store"
@@ -67,24 +71,14 @@ object IncrementalEmbDedup {
   /** [[append]] plus the checkpointed new-cell handle, so a streaming
     * caller can free exactly the blocks this append pinned (a global
     * releaseAll would kill other queries' live checkpoints). */
+  /** Replay idempotence + the two-layer disjointness guard (first-write-
+    * wins) live in [[IncrementalAppend]], shared with the text job. */
   private[jobs] def appendWithHandle(
       spark: SparkSession, newVecs: DataFrame, lakeRoot: String,
-      batchId: Option[Long]): (DataFrame, DataFrame) = {
-    val lake = new LakeTable(lakeRoot)
-    require(lake.isCommitted(CellStage), s"no committed $CellStage — run init first")
-    val alreadyCommitted = batchId.exists(id =>
-      lake.manifest(CellStage).exists(_.contains("\"batch_id\":\"" + id + "\"")))
-    val old = lake.read(spark, CellStage)
-    // DISJOINTNESS GUARD (same contract as the text job): a re-delivered
-    // vec_id must not append a second store row — first-write-wins. On a
-    // KNOWN replay the whole batch is already in the store, so the incoming
-    // rows probe unfiltered and the pair set reproduces exactly.
-    val incoming = cellsOf(newVecs)
-    val newCells = GraftCheckpoints.local(
-      if (alreadyCommitted) incoming
-      else incoming.join(old.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+      batchId: Option[Long]): (DataFrame, DataFrame) =
+    IncrementalAppend.appendWithHandle(spark, newVecs, lakeRoot, CellStage,
+      batchId, "vec_id", cellsOf) { (newCells, _, all) =>
 
-    val all = if (alreadyCommitted) old else old.unionByName(newCells)
     // candidate generation touches ONLY the batch's cells: members of other
     // cells cannot pair with a new vector. batchCells is ≤ |batch| rows —
     // broadcast it; with a cell-partitioned store this is partition pruning.
@@ -109,7 +103,7 @@ object IncrementalEmbDedup {
       .dropDuplicates("a", "b")
 
     // exact-cosine refine: embeddings rejoin by id only for candidates
-    val pairs = cand
+    cand
       .join(all.select(col("vec_id").as("a"), col("embedding").as("ea"),
         col("norm").as("na")), Seq("a"))
       .join(all.select(col("vec_id").as("b"), col("embedding").as("eb"),
@@ -118,12 +112,7 @@ object IncrementalEmbDedup {
         >= EmbQueries.SemTau)
       .select(col("a"), col("b"))
       .orderBy(col("a"), col("b"))
-
-    if (!alreadyCommitted && newCells.limit(1).count() > 0)
-      lake.commit(CellStage, all,
-        Map("appended" -> "true") ++ batchId.map("batch_id" -> _.toString))
-    (pairs, newCells)
-  }
+    }
 
   /** Streaming face: every micro-batch of `vecsStream` runs [[append]]
     * (batch-id-idempotent) and appends its pair rows to `pairsOut`. */
@@ -132,17 +121,6 @@ object IncrementalEmbDedup {
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vecsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val (pairs, cellHandle) =
-            appendWithHandle(batch.sparkSession, batch, lakeRoot, Some(id))
-          pairs.write.mode("append").parquet(pairsOut)
-          GraftCheckpoints.release(cellHandle)
-        }
-        ()
-      }
-      .start()
+    IncrementalAppend.stream(vecsStream, pairsOut, checkpointDir, trigger)(
+      (s, batch, id) => appendWithHandle(s, batch, lakeRoot, Some(id)))
 }

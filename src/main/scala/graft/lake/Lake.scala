@@ -27,8 +27,19 @@ class LakeTable(val root: String) {
     s"${stageDir(stage)}/$rel"
   }
 
-  def read(spark: SparkSession, stage: String): DataFrame =
-    spark.read.parquet(resolvePath(stage, "data_path", "data"))
+  /** The data directories (relative to the stage dir) a snapshot manifest
+    * references: `data_paths` (comma-separated, written by appends) wins
+    * over the single `data_path` of a rewrite commit. */
+  private def dataRelPaths(m: String): Seq[String] =
+    manifestField(m, "data_paths").map(_.split(",").toSeq)
+      .orElse(manifestField(m, "data_path").map(Seq(_)))
+      .getOrElse(Seq.empty)
+
+  def read(spark: SparkSession, stage: String): DataFrame = {
+    val rels = manifest(stage).map(dataRelPaths).filter(_.nonEmpty)
+      .getOrElse(Seq("data"))
+    spark.read.parquet(rels.map(r => s"${stageDir(stage)}/$r"): _*)
+  }
 
   def readLineage(spark: SparkSession, stage: String): DataFrame =
     spark.read.parquet(resolvePath(stage, "lineage_path", "lineage"))
@@ -60,9 +71,10 @@ class LakeTable(val root: String) {
   def readAt(spark: SparkSession, stage: String, version: Int): DataFrame = {
     val m = manifestAt(stage, version).getOrElse(
       throw new IllegalArgumentException(s"no snapshot v$version for stage $stage"))
-    val rel = manifestField(m, "data_path").getOrElse(
-      throw new IllegalArgumentException(s"snapshot v$version has no data_path"))
-    spark.read.parquet(s"${stageDir(stage)}/$rel")
+    val rels = dataRelPaths(m)
+    if (rels.isEmpty)
+      throw new IllegalArgumentException(s"snapshot v$version has no data_path")
+    spark.read.parquet(rels.map(r => s"${stageDir(stage)}/$r"): _*)
   }
 
   /** Re-point the current manifest at an older snapshot (atomic move, same
@@ -94,7 +106,32 @@ class LakeTable(val root: String) {
     * non-atomic: the table assumes a SINGLE WRITER per stage — the lake's
     * committers (StageRunner, CorpusDedupJob, compact) all run one job
     * per stage; concurrent writers to one stage are out of contract. */
-  def commit(stage: String, data: DataFrame, meta: Map[String, String]): Int = {
+  def commit(stage: String, data: DataFrame, meta: Map[String, String]): Int =
+    commitData(stage, data, meta, parentRels = Nil, parentRows = 0L)
+
+  /** Fast append (Iceberg `append` snapshot): commit ONLY the delta's
+    * parquet files; the new snapshot's manifest references the parent
+    * snapshot's data directories PLUS the delta's — readers of the new
+    * version see old ∪ delta without a single parent byte being rewritten.
+    * This is what makes a daily batch-append to a 100-TB store O(|batch|)
+    * instead of O(|store|). Lineage rows describe the delta (the only
+    * files this commit wrote); `row_count` is the snapshot TOTAL
+    * (parent + delta). Accumulated small delta files are the job of
+    * [[compact]], which folds a multi-directory snapshot back into one
+    * clustered directory; [[vacuum]] never deletes a data directory a
+    * retained snapshot still references. */
+  def commitAppend(stage: String, delta: DataFrame, meta: Map[String, String]): Int = {
+    val m = manifest(stage).getOrElse(throw new IllegalStateException(
+      s"stage $stage has no committed snapshot to append to — use commit"))
+    val parentRows = manifestField(m, "row_count").map(_.toLong).getOrElse(0L)
+    commitData(stage, delta,
+      meta + ("append_of" -> currentVersion(stage).fold("?")(_.toString)),
+      parentRels = dataRelPaths(m), parentRows = parentRows)
+  }
+
+  private def commitData(stage: String, data: DataFrame,
+                         meta: Map[String, String],
+                         parentRels: Seq[String], parentRows: Long): Int = {
     val t0 = System.nanoTime()
     val dir = stageDir(stage)
     val version = versions(stage).lastOption.getOrElse(0) + 1
@@ -112,12 +149,14 @@ class LakeTable(val root: String) {
       .write.mode("overwrite").parquet(s"$dir/lineage_v$version")
 
     val json = {
+      val rels = parentRels :+ s"data_v$version"
       val fields = meta ++ Map(
         "stage" -> stage,
         "version" -> version.toString,
         "data_path" -> s"data_v$version",
+        "data_paths" -> rels.mkString(","),
         "lineage_path" -> s"lineage_v$version",
-        "row_count" -> rows.toString,
+        "row_count" -> (parentRows + rows).toString,
         "committed_at" -> java.time.Instant.now().toString)
       fields.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
@@ -147,14 +186,20 @@ class LakeTable(val root: String) {
   /** Bytes of parquet data files in snapshot `version` (the stats a real
     * table format keeps in its manifest; here read from the filesystem). */
   def dataBytes(stage: String, version: Int): Long = {
-    val dir = Paths.get(s"${stageDir(stage)}/data_v$version")
-    if (!Files.isDirectory(dir)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(Files.size).sum
-    }
+    // an append snapshot spans its parent's directories too — size ALL of
+    // them (compact uses this to pick the rewrite's file count)
+    val rels = manifestAt(stage, version).map(dataRelPaths).filter(_.nonEmpty)
+      .getOrElse(Seq(s"data_v$version"))
+    rels.map { rel =>
+      val dir = Paths.get(s"${stageDir(stage)}/$rel")
+      if (!Files.isDirectory(dir)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+      }
+    }.sum
   }
 
   /** Small-file compaction (Iceberg `rewrite_data_files` / Delta
@@ -202,13 +247,19 @@ class LakeTable(val root: String) {
     val all = versions(stage)
     val keep = all.takeRight(retainLast).toSet ++ currentVersion(stage)
     val drop = all.filterNot(keep)
+    // append snapshots reference their PARENTS' data directories: a data
+    // dir is deletable only when no retained snapshot's manifest lists it
+    // (Iceberg expire_snapshots keeps reachable files the same way)
+    val referenced: Set[String] =
+      keep.flatMap(v => manifestAt(stage, v).map(dataRelPaths).getOrElse(Nil))
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
     }
     drop.foreach { v =>
-      rmTree(Paths.get(s"${stageDir(stage)}/data_v$v"))
+      if (!referenced.contains(s"data_v$v"))
+        rmTree(Paths.get(s"${stageDir(stage)}/data_v$v"))
       rmTree(Paths.get(s"${stageDir(stage)}/lineage_v$v"))
       Files.deleteIfExists(Paths.get(s"${stageDir(stage)}/_manifest_v$v.json"))
     }

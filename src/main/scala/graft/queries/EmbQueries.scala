@@ -36,6 +36,10 @@ object EmbQueries {
     * deployment would freeze trained centroids the same way). */
   val IvfCells = 16
   val IvfNProbe = 2
+  /** Centroid-direction offset in the planeWeights index space. Folded into
+    * every IVF stage-cache key (CLAUDE.md: keys fold their derivation
+    * constants) — changing it invalidates the staged quantizer/store. */
+  val IvfSeedOffset = 7000
 
   /** Lloyd-iteration cap for IVF training (VERDICT r2 "What's missing" #4:
     * one step was a refinement, not a trained quantizer). The Spark side
@@ -201,7 +205,7 @@ object EmbQueries {
   /** Stage directories of the trained quantizer (spec hook — the key folds
     * every training constant, per the StageCache invalidation contract). */
   private[graft] def ivfStageDirs(sfDir: String): (java.io.File, java.io.File) = {
-    val key = s"c$IvfCells:l$IvfLloydSteps:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1"
+    val key = s"c$IvfCells:l$IvfLloydSteps:s$IvfSeedOffset:d$Dim:${Pages.M1}:${Pages.P}:v1"
     (StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_assign", key),
       StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_centroids", key))
   }
@@ -216,7 +220,7 @@ object EmbQueries {
     // --- seed assignment (max dot with the fixed directions) ...
     val seedDots = emb.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until IvfCells).map(j =>
-        dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("j", "dot")))
+        dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("j", "dot")))
     val w0 = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("j"))
     val assign0 = seedDots.withColumn("crank", row_number().over(w0))
       .where(col("crank") === 1)
@@ -288,7 +292,7 @@ object EmbQueries {
     // offset 7000 and the planeWeights integer chain (M1, P, Dim) — a
     // constant change invalidates the stage without a manual bump
     val dir = StageCache.dir(s"$sfDir/embeddings.parquet", "ivf_store",
-      s"c$IvfCells:s7000:d$Dim:${Pages.M1}:${Pages.P}:v1")
+      s"c$IvfCells:s$IvfSeedOffset:d$Dim:${Pages.M1}:${Pages.P}:v1")
     StageCache.getOrPublish(spark, dir, partitionCols = Seq("cell")) {
       seedAssigned(spark, sfDir).repartition(col("cell"))
     }
@@ -301,7 +305,7 @@ object EmbQueries {
       .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
     val seedDots = emb.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(array((0 until IvfCells).map(j =>
-        dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("cell", "dot")))
+        dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("cell", "dot")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
     seedDots.withColumn("crank", row_number().over(w))
       .where(col("crank") === 1)
@@ -316,7 +320,7 @@ object EmbQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("norm").as("qnorm"),
         posexplode(array((0 until IvfCells).map(j =>
-          dotLit(col("embedding"), planeWeights(7000 + j))): _*)).as(Seq("cell", "dot")))
+          dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("cell", "dot")))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cell"))
     dots.withColumn("crank", row_number().over(w))
       .where(col("crank") <= IvfNProbe)
@@ -505,7 +509,7 @@ object EmbOracles {
     * as planeWeights(7000 + k), 1-based i). */
   private val ivfDotSql: String =
     s"""list_sum(list_transform(generate_series(1, $Dim), i ->
-       |  CAST(embedding[i] AS DOUBLE) * CAST((((7000 + k) * $Dim + i - 1) * ${Pages.M1}) % ${Pages.P} % 2001 - 1000 AS DOUBLE)))""".stripMargin
+       |  CAST(embedding[i] AS DOUBLE) * CAST(((($IvfSeedOffset + k) * $Dim + i - 1) * ${Pages.M1}) % ${Pages.P} % 2001 - 1000 AS DOUBLE)))""".stripMargin
 
   /** mirror of the CAPPED Lloyd iteration: the chain of
     * means→centroids→reassign CTEs unrolled [[IvfLloydSteps]] times (the

@@ -26,13 +26,17 @@ object BenchProbes {
   /** Between-queries epilogue: explicitly clean every registered shuffle
     * (map-output state + shuffle files) instead of waiting for the
     * GC-driven cleaner. Safe between sequential queries — the next query
-    * rebuilds its plan from scratch; NOT safe mid-query. Returns how many
-    * shuffles were cleaned. */
+    * rebuilds its plan from scratch; NOT safe mid-query. Blocking, so the
+    * shuffle-file deletion I/O lands HERE rather than inside the next
+    * query's timed window (the walls this probe exists to de-noise).
+    * Returns how many shuffles were cleaned — 0 when no ContextCleaner is
+    * installed (spark.cleaner.referenceTracking=false), in which case the
+    * registered-count canary still reports the accumulation. */
   def purgeShuffles(sc: SparkContext): Int =
     sc.env.mapOutputTracker match {
-      case m: MapOutputTrackerMaster =>
+      case m: MapOutputTrackerMaster if sc.cleaner.isDefined =>
         val ids = m.shuffleStatuses.keys.toSeq
-        ids.foreach(id => sc.cleaner.foreach(_.doCleanupShuffle(id, blocking = false)))
+        ids.foreach(id => sc.cleaner.foreach(_.doCleanupShuffle(id, blocking = true)))
         ids.size
       case _ => 0
     }

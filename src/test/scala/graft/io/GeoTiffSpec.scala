@@ -265,6 +265,7 @@ class GeoTiffSpec extends AnyFunSuite {
       catch { case _: IllegalArgumentException => () } // the contract
       // any other exception type fails the test
     }
+    assert(parsed > 0, "no prefix parsed — sweep is vacuous") // full file at least
   }
 
   test("truncated DEFLATE tif fails the contract instead of hanging the inflater") {

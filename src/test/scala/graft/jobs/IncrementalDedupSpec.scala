@@ -75,6 +75,30 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(lake.readAt(spark, IncrementalDedup.SigStage, 1).count() === 4)
   }
 
+  test("intra-batch duplicate delivery appends ONE store row and reports no duplicate pairs") {
+    // an at-least-once source can compact two deliveries of the same doc
+    // into one micro-batch — the disjointness guard must hold WITHIN the
+    // batch, not just against the store (round-4 review)
+    val root = Files.createTempDirectory("incdedup_dup").toString
+    val lake = new graft.lake.LakeTable(root)
+    IncrementalDedup.init(spark, baseDocs, root)
+    val doubled = batchDocs.unionByName(
+      batchDocs.where(col("doc_id") === 5L)) // doc 5 delivered twice
+    val rows = IncrementalDedup.append(spark, doubled, root).collect()
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq,
+      "duplicate pair rows from an intra-batch duplicate")
+    val store = lake.read(spark, IncrementalDedup.SigStage)
+    assert(store.where(col("doc_id") === 5L).count() === 1,
+      "intra-batch duplicate appended a second signature row")
+    // fast-append: the v2 delta dir holds ONLY the batch's 4 docs (the
+    // commit is O(|batch|), the parent's 4 rows are referenced not rewritten)
+    assert(spark.read.parquet(
+      s"$root/${IncrementalDedup.SigStage}/data_v2").count() === 4)
+    assert(store.count() === 8)
+  }
+
   test("metamorphic: ANY 3-way corpus split appended sequentially ≡ one full recompute (3 random splits)") {
     // synthetic corpus with planted near-dup clusters spanning arbitrary
     // split boundaries: cluster c = docs {3c, 3c+1, 3c+2} share a base

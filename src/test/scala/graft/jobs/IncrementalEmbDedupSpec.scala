@@ -83,6 +83,29 @@ class IncrementalEmbDedupSpec extends SparkTestBase {
     assert(lake.readAt(spark, IncrementalEmbDedup.CellStage, 1).count() === 4)
   }
 
+  test("intra-batch duplicate delivery appends ONE store row and reports no duplicate pairs") {
+    // the disjointness guard must hold WITHIN a batch too: an at-least-once
+    // source can compact two deliveries of one vec_id into one micro-batch
+    // (round-4 review) — a doubled store row would double every future
+    // refine join match for that id
+    val root = Files.createTempDirectory("incemb_dup").toString
+    val lake = new graft.lake.LakeTable(root)
+    IncrementalEmbDedup.init(spark, baseVecs, root)
+    val doubled = batchVecs.unionByName(batchVecs.where(col("vec_id") === 5L))
+    val rows = IncrementalEmbDedup.append(spark, doubled, root).collect()
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq,
+      "duplicate pair rows from an intra-batch duplicate")
+    val store = lake.read(spark, IncrementalEmbDedup.CellStage)
+    assert(store.where(col("vec_id") === 5L).count() === 1,
+      "intra-batch duplicate appended a second store row")
+    // fast-append: the v2 delta holds ONLY the 4 batch vectors
+    assert(spark.read.parquet(
+      s"$root/${IncrementalEmbDedup.CellStage}/data_v2").count() === 4)
+    assert(store.count() === 8)
+  }
+
   test("cap parity: a batch that pushes a cell past SemMaxCell kills it on BOTH faces") {
     // one direction, many positive scalings → one cell, pairwise cosine 1
     val base = vec(777)

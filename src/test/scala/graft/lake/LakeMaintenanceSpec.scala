@@ -106,4 +106,57 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(lake.readAt(spark, "t", 3).count() === 30)
     intercept[IllegalArgumentException](lake.readAt(spark, "t", 2))
   }
+
+  test("commitAppend writes ONLY the delta; readers of the new snapshot see old ∪ delta") {
+    val root = freshRoot("append")
+    val lake = new LakeTable(root)
+    lake.commit("t", spark.range(100).toDF("id"), Map.empty)            // v1
+    val v1Files = parquetFiles(root, "t", 1).map(f => (f.getName, f.lastModified))
+    val v2 = lake.commitAppend("t", spark.range(100, 130).toDF("id"), Map.empty)
+    assert(v2 === 2)
+    // O(|batch|): the parent's files are untouched — same names, same mtimes
+    assert(parquetFiles(root, "t", 1).map(f => (f.getName, f.lastModified)) === v1Files)
+    // and the delta dir holds 30 rows, not 130
+    assert(spark.read.parquet(s"$root/t/data_v2").count() === 30)
+    assert(lake.read(spark, "t").count() === 130)
+    assert(lake.readAt(spark, "t", 2).count() === 130)
+    assert(lake.readAt(spark, "t", 1).count() === 100)                  // time travel
+    assert(lake.manifest("t").get.contains("\"row_count\":\"130\""))    // snapshot TOTAL
+    assert(lake.manifest("t").get.contains("\"append_of\":\"1\""))
+    // a second append chains through the first's multi-dir snapshot
+    lake.commitAppend("t", spark.range(130, 135).toDF("id"), Map.empty) // v3
+    assert(lake.read(spark, "t").count() === 135)
+    // dataBytes of an append snapshot spans parent dirs (compact sizing)
+    assert(lake.dataBytes("t", 3) > lake.dataBytes("t", 1))
+  }
+
+  test("compact folds a multi-directory append snapshot into one dir; vacuum then frees parents") {
+    val root = freshRoot("appendcompact")
+    val lake = new LakeTable(root)
+    lake.commit("t", spark.range(50).toDF("id"), Map.empty)             // v1
+    lake.commitAppend("t", spark.range(50, 80).toDF("id"), Map.empty)   // v2 → [v1, v2]
+    val before = globalChecksum(lake.read(spark, "t"))
+    val v3 = lake.compact(spark, "t", targetFileBytes = Long.MaxValue)  // v3: one dir again
+    assert(globalChecksum(lake.read(spark, "t")) === before)
+    assert(lake.read(spark, "t").count() === 80)
+    // vacuum to the compacted snapshot only: v1/v2 data now unreferenced
+    val dropped = lake.vacuum("t", retainLast = 1, orphanMinAgeMs = 0L)
+    assert(dropped === Seq(1, 2))
+    assert(!Files.exists(Paths.get(s"$root/t/data_v1")))
+    assert(lake.read(spark, "t").count() === 80)
+    assert(v3 === 3)
+  }
+
+  test("vacuum never deletes a data dir a retained append snapshot still references") {
+    val root = freshRoot("appendvacuum")
+    val lake = new LakeTable(root)
+    lake.commit("t", spark.range(40).toDF("id"), Map.empty)             // v1
+    lake.commitAppend("t", spark.range(40, 60).toDF("id"), Map.empty)   // v2 refs data_v1
+    lake.commitAppend("t", spark.range(60, 70).toDF("id"), Map.empty)   // v3 refs v1+v2
+    val dropped = lake.vacuum("t", retainLast = 1, orphanMinAgeMs = 0L)
+    assert(dropped === Seq(1, 2))                                       // snapshots expire…
+    assert(Files.exists(Paths.get(s"$root/t/data_v1")))                 // …their data survives
+    assert(Files.exists(Paths.get(s"$root/t/data_v2")))
+    assert(lake.read(spark, "t").count() === 70)                        // v3 fully readable
+  }
 }
