@@ -95,6 +95,7 @@ object SparkEntry {
     "q76_posting_lookup" -> (graft.queries.TextQueries.postingLookup _),
     "q77_dupgroup_histogram" -> (graft.queries.TextQueries.dupGroupHistogram _),
     "q78_semdedup" -> (graft.queries.EmbQueries.semDedup _),
+    "q79_shuffle_shards" -> (graft.queries.QualityQueries.shuffleShards _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -178,6 +179,7 @@ object SparkEntry {
     "q76_posting_lookup" -> graft.queries.TextOracles.postingLookup,
     "q77_dupgroup_histogram" -> graft.queries.TextOracles.dupGroupHistogram,
     "q78_semdedup" -> graft.queries.EmbOracles.semDedup,
+    "q79_shuffle_shards" -> graft.queries.QualityOracles.shuffleShards,
   )
 }
 

@@ -384,6 +384,51 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** q79 shuffle-shard constants: train/val/test cut points on the first
+    * md5 hex byte (4/256 test, 8/256 val, rest train) and the shard count.
+    * Mirrored verbatim in [[QualityOracles.shuffleShards]]. */
+  val NumShards = 16
+  val TestCut = "04"
+  val ValCut = "0c"
+
+  /** q79: deterministic corpus shuffle + contamination-safe split + shard
+    * assignment — the step between the dedup/quality gates and the
+    * training-data writer. Split and shard are PURE FUNCTIONS of doc_id
+    * (split from the seeded md5's first byte, shard from an independent
+    * multiplicative hash), so a recrawl or rerun can never migrate a
+    * document across the train/val/test wall — the contamination-safety
+    * property an LLM eval pipeline depends on. Intra-shard order is the
+    * seeded hash shuffle (ORDER BY md5 — decorrelates crawl order from
+    * training order), and the position comes from
+    * [[graft.ops.Ordinals.withGroupedOrdinal]]: a `row_number() OVER
+    * (PARTITION BY split, shard)` window would funnel 10^12 rows through
+    * 3×[[NumShards]] reducers; the grouped ordinal range-partitions on
+    * (group, hash) so every shard spans many partitions and the rank is a
+    * map-side projection over (P+G)-row driver offsets. The output rolls
+    * up per (split, shard): doc/char mass, each shard's head doc, and the
+    * order-sensitive checksum sum(pos·doc_id) that pins the EXACT shuffle
+    * order against the oracle's window ranking. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("split",
+        when(substring(col("h"), 1, 2) < TestCut, "test")
+          .when(substring(col("h"), 1, 2) < ValCut, "val")
+          .otherwise("train"))
+      .withColumn("shard",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % NumShards)
+    val ranked = graft.ops.Ordinals.withGroupedOrdinal(
+      d, "pos", concat_ws(":", col("split"), col("shard")),
+      col("h"), col("doc_id"))
+    ranked.groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pos") * col("doc_id")).as("order_sum"),
+        min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+      .orderBy(col("split"), col("shard"))
+  }
+
   val ShardBudget = 20000L
 
   /** Sequence packing: documents in doc_id order packed into fixed
@@ -883,6 +928,27 @@ object QualityOracles {
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM c WHERE copies > 0 GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** q79: the oracle ranks with a plain (split, shard) window — DuckDB is
+    * single-node, skew is the distributed plan's problem — over the SAME
+    * md5 shuffle key and integer shard hash. */
+  val shuffleShards: String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |s AS (SELECT doc_id, n_chars, h,
+       |        CASE WHEN substr(h, 1, 2) < '${QualityQueries.TestCut}' THEN 'test'
+       |             WHEN substr(h, 1, 2) < '${QualityQueries.ValCut}' THEN 'val'
+       |             ELSE 'train' END AS split,
+       |        ((doc_id * 2654435761) % 1000000007) % ${QualityQueries.NumShards} AS shard
+       |      FROM d),
+       |r AS (SELECT doc_id, n_chars, split, shard,
+       |        ROW_NUMBER() OVER (PARTITION BY split, shard
+       |          ORDER BY h, doc_id) AS pos FROM s)
+       |SELECT split, shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(pos * doc_id) AS BIGINT) AS order_sum,
+       |       min(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+       |FROM r GROUP BY split, shard ORDER BY split, shard""".stripMargin
 
   val sequencePack: String =
     s"""WITH c AS (
