@@ -147,6 +147,36 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(v3 === 3)
   }
 
+  test("metamorphic: random commit/append/compact/vacuum interleavings keep read() exact (3 seeds)") {
+    // the lake's whole contract in one property: after ANY maintenance
+    // history, read(current) returns exactly the rows the logical table
+    // should hold, and the pointer's snapshot is never damaged
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val root = freshRoot(s"meta$seed")
+      val lake = new LakeTable(root)
+      var next = 0L
+      def batch(n: Int) = { val d = spark.range(next, next + n).toDF("id"); next += n; d }
+      lake.commit("t", batch(20 + rng.nextInt(30)), Map.empty)
+      var expectRows = next
+      for (_ <- 1 to 8) rng.nextInt(4) match {
+        case 0 => lake.commitAppend("t", batch(1 + rng.nextInt(25)), Map.empty)
+          expectRows = next
+        case 1 => next += 10 + rng.nextInt(20)                          // full rewrite
+          lake.commit("t", spark.range(0, next).toDF("id"), Map.empty)
+          expectRows = next
+        case 2 => lake.compact(spark, "t",
+            targetFileBytes = 1 + rng.nextInt(2) * (1 << 20))
+        case 3 => lake.vacuum("t", retainLast = 1 + rng.nextInt(3),
+            orphanMinAgeMs = 0L)
+      }
+      val got = lake.read(spark, "t")
+      assert(got.count() === expectRows, s"seed=$seed row count")
+      assert(got.agg(sum(col("id"))).collect()(0).getLong(0)
+        === expectRows * (expectRows - 1) / 2, s"seed=$seed content")
+    }
+  }
+
   test("vacuum never deletes a data dir a retained append snapshot still references") {
     val root = freshRoot("appendvacuum")
     val lake = new LakeTable(root)
