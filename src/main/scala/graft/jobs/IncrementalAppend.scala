@@ -44,8 +44,21 @@ private[jobs] object IncrementalAppend {
       : (DataFrame, DataFrame) = {
     val lake = new LakeTable(lakeRoot)
     require(lake.isCommitted(stage), s"no committed $stage — run init first")
-    val alreadyCommitted = batchId.exists(id =>
-      lake.manifest(stage).exists(_.contains("\"batch_id\":\"" + id + "\"")))
+    // probe EVERY retained snapshot manifest, not just the current one: a
+    // LATE replay (batch 7 redelivered after batch 8 committed — possible
+    // only for a manual re-invocation; Structured Streaming replays are
+    // always the newest batch) must still be recognized — probing only the
+    // head manifest would misread it as new, anti-join away all its rows,
+    // and return an EMPTY pair set. Recognized, it returns the batch's
+    // pairs against the CURRENT store (the original set, plus any pairs
+    // with batches that committed since — the truthful answer to a re-ask)
+    // and, critically, commits nothing. The version list is tiny (bounded
+    // by vacuum retention) and lives on the driver.
+    val alreadyCommitted = batchId.exists { id =>
+      val tag = "\"batch_id\":\"" + id + "\""
+      lake.versions(stage).exists(v =>
+        lake.manifestAt(stage, v).exists(_.contains(tag)))
+    }
     val old = lake.read(spark, stage)
     val incoming = stateOf(batch.dropDuplicates(idCol))
     val newState = GraftCheckpoints.local(

@@ -173,4 +173,25 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(lake.versions(IncrementalDedup.SigStage) === versionsBefore,
       "replayed batch must not commit a new store version")
   }
+
+  test("LATE replay (older batch id redelivered after newer commits) is recognized, not emptied") {
+    val root = Files.createTempDirectory("incdedup_late").toString
+    val lake = new graft.lake.LakeTable(root)
+    IncrementalDedup.init(spark, baseDocs, root)
+    val p1 = pairsOf(IncrementalDedup.append(spark, batchDocs, root, Some(1L)))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    val batch2 = Seq((9L, alt60 + " y9")).toDF("doc_id", "text")
+    IncrementalDedup.append(spark, batch2, root, Some(2L))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    val versionsBefore = lake.versions(IncrementalDedup.SigStage)
+    // redeliver batch 1 AFTER batch 2 committed: a head-manifest-only probe
+    // would misread it as new, anti-join everything away, and return {}
+    val late = pairsOf(IncrementalDedup.append(spark, batchDocs, root, Some(1L)))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(p1.subsetOf(late), s"late replay lost pairs: $p1 -> $late")
+    // plus the truthful additions vs the CURRENT store (6/7 now pair with 9)
+    assert(late === p1 ++ Set((6L, 9L), (7L, 9L)), s"late=$late")
+    assert(lake.versions(IncrementalDedup.SigStage) === versionsBefore,
+      "late replay must not commit")
+  }
 }
