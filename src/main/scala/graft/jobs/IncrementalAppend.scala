@@ -11,11 +11,13 @@ import graft.lake.LakeTable
   * round-4 review: the two jobs had copied it nearly line-for-line, so a
   * protocol fix had to land twice. The protocol, held once:
   *
-  *  1. `batchId` replay probe: if the store's CURRENT snapshot manifest
-  *     already carries this batch id (foreachBatch redelivered the batch
-  *     after a crash between the store commit and the sink write), the
+  *  1. `batchId` replay probe: if ANY snapshot manifest reachable from the
+  *     store's current pointer carries this batch id (foreachBatch
+  *     redelivered the batch after a crash between the store commit and
+  *     the sink write, or an older batch was manually re-invoked), the
   *     commit is skipped and the incoming state probes the store alone —
-  *     same pair set, no duplicate store rows.
+  *     same pair set, no duplicate store rows. Orphan manifests of
+  *     never-pointed or rolled-back-away snapshots are NOT evidence.
   *  2. DISJOINTNESS GUARD, two layers: `dropDuplicates(idCol)` inside the
   *     batch (an at-least-once source can compact two deliveries of one id
   *     into a single micro-batch) and a `left_anti` join against the store
@@ -44,19 +46,27 @@ private[jobs] object IncrementalAppend {
       : (DataFrame, DataFrame) = {
     val lake = new LakeTable(lakeRoot)
     require(lake.isCommitted(stage), s"no committed $stage — run init first")
-    // probe EVERY retained snapshot manifest, not just the current one: a
-    // LATE replay (batch 7 redelivered after batch 8 committed — possible
-    // only for a manual re-invocation; Structured Streaming replays are
-    // always the newest batch) must still be recognized — probing only the
-    // head manifest would misread it as new, anti-join away all its rows,
-    // and return an EMPTY pair set. Recognized, it returns the batch's
-    // pairs against the CURRENT store (the original set, plus any pairs
-    // with batches that committed since — the truthful answer to a re-ask)
-    // and, critically, commits nothing. The version list is tiny (bounded
-    // by vacuum retention) and lives on the driver.
+    // probe every snapshot manifest REACHABLE FROM THE CURRENT POINTER,
+    // not just the head: a LATE replay (batch 7 redelivered after batch 8
+    // committed — possible only for a manual re-invocation; Structured
+    // Streaming replays are always the newest batch) must still be
+    // recognized — probing only the head manifest would misread it as new,
+    // anti-join away all its rows, and return an EMPTY pair set.
+    // Recognized, it returns the batch's pairs against the CURRENT store
+    // (the original set, plus any pairs with batches that committed since
+    // — the truthful answer to a re-ask) and, critically, commits nothing.
+    // The `v <= currentVersion` bound matters (round-4 review): commitData
+    // writes `_manifest_v$N.json` BEFORE the pointer's ATOMIC_MOVE, so a
+    // crash between the two leaves an orphan versioned manifest whose
+    // batch rows are NOT in the store — counting it as commit evidence
+    // would skip the recommit forever and silently lose the batch; a
+    // rolled-back-away snapshot's manifest is pointer-unreachable for the
+    // same reason. The version list is tiny (bounded by vacuum retention)
+    // and lives on the driver.
     val alreadyCommitted = batchId.exists { id =>
       val tag = "\"batch_id\":\"" + id + "\""
-      lake.versions(stage).exists(v =>
+      val cur = lake.currentVersion(stage).getOrElse(0)
+      lake.versions(stage).filter(_ <= cur).exists(v =>
         lake.manifestAt(stage, v).exists(_.contains(tag)))
     }
     val old = lake.read(spark, stage)

@@ -14,6 +14,15 @@ import java.nio.charset.StandardCharsets
   * real Iceberg catalog by reimplementing the four methods. */
 class LakeTable(val root: String) {
 
+  /** Files.list/Files.walk hold an OS directory handle until closed — a
+    * per-micro-batch caller (the replay probe) would otherwise leak one fd
+    * per batch between GC cycles (round-4 review). */
+  private def withStream[A](s: java.util.stream.Stream[java.nio.file.Path])(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    import scala.jdk.CollectionConverters._
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def stageDir(stage: String) = s"$root/$stage"
   private def manifestPath(stage: String) = Paths.get(s"${stageDir(stage)}/_manifest.json")
 
@@ -53,10 +62,9 @@ class LakeTable(val root: String) {
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val re = "_manifest_v(\\d+)\\.json".r
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      withStream(Files.list(dir))(_
         .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
-        .toSeq.sorted
+        .toSeq.sorted)
     }
   }
 
@@ -193,12 +201,9 @@ class LakeTable(val root: String) {
     rels.map { rel =>
       val dir = Paths.get(s"${stageDir(stage)}/$rel")
       if (!Files.isDirectory(dir)) 0L
-      else {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dir).iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(Files.size).sum
-      }
+      else withStream(Files.walk(dir))(_
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(Files.size).sum)
     }.sum
   }
 
@@ -252,11 +257,9 @@ class LakeTable(val root: String) {
     // (Iceberg expire_snapshots keeps reachable files the same way)
     val referenced: Set[String] =
       keep.flatMap(v => manifestAt(stage, v).map(dataRelPaths).getOrElse(Nil))
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p))
+      withStream(Files.walk(p).sorted(java.util.Comparator.reverseOrder()))(
+        _.foreach(Files.delete))
     drop.foreach { v =>
       if (!referenced.contains(s"data_v$v"))
         rmTree(Paths.get(s"${stageDir(stage)}/data_v$v"))
@@ -271,12 +274,12 @@ class LakeTable(val root: String) {
     // definition, in-flight tmps are milliseconds old).
     val dir = Paths.get(stageDir(stage))
     if (Files.isDirectory(dir)) {
-      import scala.jdk.CollectionConverters._
       val cutoff = System.currentTimeMillis() - orphanMinAgeMs
-      Files.list(dir).iterator().asScala
+      val stale = withStream(Files.list(dir))(_
         .filter(_.getFileName.toString.endsWith(".tmp"))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .foreach(p => rmTree(p))
+        .toSeq)
+      stale.foreach(rmTree) // delete AFTER the listing stream closes
     }
     drop
   }

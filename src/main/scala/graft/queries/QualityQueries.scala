@@ -394,11 +394,13 @@ object QualityQueries {
   /** q79: deterministic corpus shuffle + contamination-safe split + shard
     * assignment — the step between the dedup/quality gates and the
     * training-data writer. Split and shard are PURE FUNCTIONS of doc_id
-    * (split from the seeded md5's first byte, shard from an independent
+    * (split from the fixed md5's first byte, shard from an independent
     * multiplicative hash), so a recrawl or rerun can never migrate a
     * document across the train/val/test wall — the contamination-safety
-    * property an LLM eval pipeline depends on. Intra-shard order is the
-    * seeded hash shuffle (ORDER BY md5 — decorrelates crawl order from
+    * property an LLM eval pipeline depends on — and it holds precisely
+    * BECAUSE the hash is unseeded: a run-varying seed would re-draw the
+    * wall every run. Intra-shard order is the same fixed hash shuffle
+    * (ORDER BY md5 — decorrelates crawl order from
     * training order), and the position comes from
     * [[graft.ops.Ordinals.withGroupedOrdinal]]: a `row_number() OVER
     * (PARTITION BY split, shard)` window would funnel 10^12 rows through

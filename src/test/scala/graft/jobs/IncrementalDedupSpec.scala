@@ -194,4 +194,26 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(lake.versions(IncrementalDedup.SigStage) === versionsBefore,
       "late replay must not commit")
   }
+
+  test("a crash-orphan manifest (written before the pointer moved) is NOT replay evidence") {
+    // commitData writes _manifest_vN.json BEFORE the pointer's ATOMIC_MOVE;
+    // a crash between the two leaves an orphan whose batch rows are NOT in
+    // the store. Counting it as commit evidence would skip the recommit
+    // forever and silently lose the batch (round-4 review).
+    val root = Files.createTempDirectory("incdedup_orphan").toString
+    val lake = new graft.lake.LakeTable(root)
+    IncrementalDedup.init(spark, baseDocs, root)
+    // simulate the crash: an orphan v2 manifest carrying batch_id 1, with
+    // the pointer still on v1 and no v2 data committed
+    Files.write(java.nio.file.Paths.get(
+      s"$root/${IncrementalDedup.SigStage}/_manifest_v2.json"),
+      """{"stage":"x","version":"2","batch_id":"1"}""".getBytes)
+    assert(lake.currentVersion(IncrementalDedup.SigStage) === Some(1))
+    // the redelivered batch must be treated as NEW: rows committed, pairs found
+    val pairs = pairsOf(IncrementalDedup.append(spark, batchDocs, root, Some(1L)))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(pairs.contains((3L, 5L)) && pairs.contains((6L, 7L)), s"got $pairs")
+    assert(lake.read(spark, IncrementalDedup.SigStage).count() === 8,
+      "batch rows were never committed — orphan manifest misread as evidence")
+  }
 }

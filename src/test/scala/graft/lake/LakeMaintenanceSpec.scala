@@ -166,7 +166,7 @@ class LakeMaintenanceSpec extends SparkTestBase {
           lake.commit("t", spark.range(0, next).toDF("id"), Map.empty)
           expectRows = next
         case 2 => lake.compact(spark, "t",
-            targetFileBytes = 1 + rng.nextInt(2) * (1 << 20))
+            targetFileBytes = (1 + rng.nextInt(2)).toLong * (1 << 20))
         case 3 => lake.vacuum("t", retainLast = 1 + rng.nextInt(3),
             orphanMinAgeMs = 0L)
       }
