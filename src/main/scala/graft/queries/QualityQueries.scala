@@ -410,16 +410,24 @@ object QualityQueries {
     * up per (split, shard): doc/char mass, each shard's head doc, and the
     * order-sensitive checksum sum(pos·doc_id) that pins the EXACT shuffle
     * order against the oracle's window ranking. */
-  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"),
-        md5(col("doc_id").cast("string")).as("h"))
+  /** The split/shard/shuffle-key derivation, factored so the BATCH query
+    * (q79) and the STREAMING training-store writer
+    * ([[graft.streaming.ShardStreams]]) evaluate the exact same
+    * expressions — the same single-source-of-truth pattern as
+    * `TextOps.canonicalUrl` across q69 and its streaming face. Adds
+    * columns (h, split, shard) to any frame with a `doc_id`. */
+  def withShardAssignment(df: DataFrame): DataFrame =
+    df.withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("split",
         when(substring(col("h"), 1, 2) < TestCut, "test")
           .when(substring(col("h"), 1, 2) < ValCut, "val")
           .otherwise("train"))
       .withColumn("shard",
         pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % NumShards)
+
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withShardAssignment(
+      docs(spark, sfDir).select(col("doc_id"), col("n_chars")))
     val ranked = graft.ops.Ordinals.withGroupedOrdinal(
       d, "pos", concat_ws(":", col("split"), col("shard")),
       col("h"), col("doc_id"))
