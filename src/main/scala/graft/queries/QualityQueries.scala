@@ -207,10 +207,16 @@ object QualityQueries {
     * no shuffle; scoring is a pure codegen'd projection, so the classifier
     * pass is map-side over the corpus with the output order as the only
     * exchange. */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    scoreDocs(docs(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** The q73 scorer over ANY (doc_id, text) frame — factored so the
+    * oracle-gated query and [[graft.jobs.TrainingDataJob]]'s quality gate
+    * evaluate the exact same expressions. Map-side only. */
+  def scoreDocs(d0: DataFrame): DataFrame = {
     val a = split(col("text"), " ")
     val stop = filter(a, x => x.isin(StopWords: _*))
-    val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+    val d = d0.select(col("doc_id"), col("text"),
       size(a).cast("long").as("n_words"),
       size(stop).cast("long").as("n_stop"),
       size(array_distinct(a)).cast("long").as("n_distinct"),
@@ -222,7 +228,6 @@ object QualityQueries {
           expr("n_distinct * 10000 div n_words") * 3L -
           expr("n_digit * 10000 div greatest(length(text), 1)") * 5L).as("score"))
       .withColumn("keep", col("score") >= KeepThresholdBp)
-      .orderBy(col("doc_id"))
   }
 
   val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.sql.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The end-to-end pipeline over a corpus with one PLANTED artifact per
+  * stage: a quality reject, an exact duplicate, a near-duplicate, and a
+  * benchmark-contaminated doc — each must fall at exactly its stage, and
+  * a rerun must resume from the committed stages without recomputing. */
+class TrainingDataJobSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def words(stem: String): String =
+    (1 to 60).map(i => s"$stem$i").mkString(" ")
+
+  // 1  clean survivor          4  near-dup of 3 (keep 3)
+  // 2  clean survivor          5  exact dup of 1's text? no — of doc 6
+  // 6/7 exact dup pair (keep 6)
+  // 8  digit spam — quality reject
+  // 9  contaminated: shares the eval 5-gram
+  private lazy val corpus = Seq(
+    (1L, words("alpha")),
+    (2L, words("beta")),
+    (3L, words("gamma") + " tailthree"),
+    (4L, words("gamma") + " tailfour"),
+    (6L, words("delta")),
+    (7L, words("delta")),
+    (8L, (1 to 60).map(i => s"${i % 7}").mkString(" ")),
+    (9L, words("omicron") + " canaryq one two three four"))
+    .toDF("doc_id", "text")
+
+  private lazy val evalSet = Seq(
+    (9001L, "held out benchmark canaryq one two three four prompt"))
+    .toDF("doc_id", "text")
+
+  test("each planted artifact falls at its stage; store layout + parity; rerun resumes") {
+    val lakeRoot = Files.createTempDirectory("tdj_lake").toString
+    val store = Files.createTempDirectory("tdj_store").toString + "/store"
+    val out = TrainingDataJob.run(spark, corpus, evalSet, lakeRoot, store)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+
+    val survivors = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 3L, 6L),
+      s"survivors=$survivors (8=quality, 7=exact, 4=neardup, 9=contaminated must fall)")
+
+    // the per-stage report pins WHERE each artifact fell
+    val counts = TrainingDataJob.report(spark, lakeRoot).map(c => c.stage -> c.docs).toMap
+    val Seq(sQ, sE, sN, sD, sS) = TrainingDataJob.stageNames
+    assert(counts(sQ) === 7, "quality gate drops exactly doc 8")
+    assert(counts(sE) === 6, "exact dedup drops exactly doc 7")
+    assert(counts(sN) === 5, "near-dup canonicalization drops exactly doc 4")
+    assert(counts(sD) === 4, "decontamination drops exactly doc 9")
+    assert(counts(sS) === 4)
+
+    // store: hive layout + assignment parity with the batch expression
+    val stored = spark.read.parquet(store)
+      .select(col("doc_id"), col("split"), col("shard").cast("long").as("shard"))
+    val expected = graft.queries.QualityQueries.withShardAssignment(
+      corpus.where(col("doc_id").isin(1L, 2L, 3L, 6L)))
+      .select(col("doc_id"), col("split"), col("shard"))
+    assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty)
+
+    // rerun = RESUME: no stage recomputes (no new snapshot versions), the
+    // returned frame is identical
+    val lake = new graft.lake.LakeTable(lakeRoot)
+    val versionsBefore = TrainingDataJob.stageNames.map(s => lake.versions(s))
+    val again = TrainingDataJob.run(spark, corpus, evalSet, lakeRoot, store)
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(TrainingDataJob.stageNames.map(s => lake.versions(s)) === versionsBefore,
+      "rerun must resume committed stages, not recompute them")
+    assert(again.select(col("doc_id")).collect().map(_.getLong(0)).toSet === survivors)
+  }
+}
