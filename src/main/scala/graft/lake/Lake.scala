@@ -190,6 +190,11 @@ class LakeTable(val root: String) {
   def currentVersion(stage: String): Option[Int] =
     manifest(stage).flatMap(manifestField(_, "version")).map(_.toInt)
 
+  /** The current snapshot's total row count from its manifest — the stats
+    * read that replaces a full data scan for monitoring/reporting. */
+  def rowCount(stage: String): Option[Long] =
+    manifest(stage).flatMap(manifestField(_, "row_count")).map(_.toLong)
+
   // ------------------------------------------------- table maintenance
   /** Bytes of parquet data files in snapshot `version` (the stats a real
     * table format keeps in its manifest; here read from the filesystem). */

@@ -108,6 +108,12 @@ object TextOps {
   val BandRows = 4
   val MatchThreshold = 90
 
+  /** Every algorithm constant of the signature pipeline in ONE token —
+    * folded into stage-cache keys and lake stage names (the stage-key
+    * invariant: changing a mirrored constant must invalidate the stage). */
+  def minhashKey: String =
+    s"p$NumPerms-s$ShingleWidth-q$MinhashP-b${Bands}x$BandRows-m$MatchThreshold"
+
   def permA(j: Int): Long = (j * graft.model.Pages.M1 + 7) % (MinhashP - 1) + 1
   def permB(j: Int): Long = (j * graft.model.Pages.M2 + graft.model.Pages.A2) % MinhashP
 

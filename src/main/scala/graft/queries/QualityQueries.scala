@@ -208,7 +208,7 @@ object QualityQueries {
     * pass is map-side over the corpus with the output order as the only
     * exchange. */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
-    scoreDocs(docs(spark, sfDir)).orderBy(col("doc_id"))
+    scoreDocs(docs(spark, sfDir)).drop("text").orderBy(col("doc_id"))
 
   /** The q73 scorer over ANY (doc_id, text) frame — factored so the
     * oracle-gated query and [[graft.jobs.TrainingDataJob]]'s quality gate
@@ -222,13 +222,21 @@ object QualityQueries {
       size(array_distinct(a)).cast("long").as("n_distinct"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"))
-    d.select(col("doc_id"), col("n_words"), col("n_stop"), col("n_distinct"),
-        col("n_digit"),
+    // `text` rides along so a pipeline caller can FILTER in the same
+    // map-side projection — no survivor re-join (round-4 review #2);
+    // the gate query drops it.
+    d.select(col("doc_id"), col("text"), col("n_words"), col("n_stop"),
+        col("n_distinct"), col("n_digit"),
         (expr("n_stop * 10000 div n_words") * 2L +
           expr("n_distinct * 10000 div n_words") * 3L -
           expr("n_digit * 10000 div greatest(length(text), 1)") * 5L).as("score"))
       .withColumn("keep", col("score") >= KeepThresholdBp)
   }
+
+  /** Quality-gate derivation token (threshold, weights, stopword list) —
+    * folded into lake stage names (the stage-key invariant). */
+  def qualityKey: String =
+    s"t$KeepThresholdBp-w2.3.5-sw${StopWords.mkString(".")}"
 
   val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
   val KeepThresholdBp = 15000L
@@ -395,6 +403,13 @@ object QualityQueries {
   val NumShards = 16
   val TestCut = "04"
   val ValCut = "0c"
+  /** q79 shard hash: an integer multiplicative chain independent of the
+    * md5 split/order hash (mirrored verbatim in the oracle SQL). */
+  val ShardMul = 2654435761L
+  val ShardMod = 1000000007L
+
+  /** Shard-assignment derivation token for lake stage names. */
+  def shardKey: String = s"n$NumShards-t$TestCut-v$ValCut-m$ShardMul-p$ShardMod"
 
   /** q79: deterministic corpus shuffle + contamination-safe split + shard
     * assignment — the step between the dedup/quality gates and the
@@ -428,7 +443,7 @@ object QualityQueries {
           .when(substring(col("h"), 1, 2) < ValCut, "val")
           .otherwise("train"))
       .withColumn("shard",
-        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) % NumShards)
+        pmod(col("doc_id") * lit(ShardMul), lit(ShardMod)) % NumShards)
 
   def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
     val d = withShardAssignment(
@@ -537,18 +552,23 @@ object QualityQueries {
     * corpus has no guaranteed natural 5-gram leak into the tiny eval
     * set. */
   private def decontGramStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = DecontK
     val canary = " qz1 qz2 qz3 qz4 qz5"
-    docs(spark, sfDir)
+    kgramHashes(docs(spark, sfDir)
       .withColumn("text",
         when(col("doc_id") % EvalMod === 0 || col("doc_id") % 53 === 7,
-          concat(col("text"), lit(canary))).otherwise(col("text")))
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
+          concat(col("text"), lit(canary))).otherwise(col("text"))), DecontK)
+  }
+
+  /** (doc_id, md5(k-word gram)) stream of a (doc_id, text) frame — the ONE
+    * gram-derivation expression (q60/q64/q65 and the pipeline's
+    * decontamination stage share it; a tokenization change cannot diverge
+    * them). Explodes once; distinctness is the consumer's job. */
+  def kgramHashes(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("a"))
       .where(size(col("a")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("h"))
-  }
 
   /** Distinct (eval_doc, h) eval gram set — a fixed-size benchmark
     * artifact (~10^6-10^7 grams — megabytes at any corpus scale), so the
@@ -954,7 +974,7 @@ object QualityOracles {
        |        CASE WHEN substr(h, 1, 2) < '${QualityQueries.TestCut}' THEN 'test'
        |             WHEN substr(h, 1, 2) < '${QualityQueries.ValCut}' THEN 'val'
        |             ELSE 'train' END AS split,
-       |        ((doc_id * 2654435761) % 1000000007) % ${QualityQueries.NumShards} AS shard
+       |        ((doc_id * ${QualityQueries.ShardMul}) % ${QualityQueries.ShardMod}) % ${QualityQueries.NumShards} AS shard
        |      FROM d),
        |r AS (SELECT doc_id, n_chars, split, shard,
        |        ROW_NUMBER() OVER (PARTITION BY split, shard

@@ -242,9 +242,7 @@ object TextQueries {
     * the signature pipeline + [[StageCacheVersion]]. */
   private def stageCacheDir(sfDir: String, what: String): java.io.File =
     StageCache.dir(s"$sfDir/documents.parquet", what,
-      s"${TextOps.NumPerms}:${TextOps.ShingleWidth}:${TextOps.MinhashP}:" +
-        s"${TextOps.Bands}:${TextOps.BandRows}:${TextOps.MatchThreshold}:" +
-        StageCacheVersion)
+      s"${TextOps.minhashKey}:$StageCacheVersion")
 
   def sigsOf(spark: SparkSession, d: DataFrame): DataFrame = {
     GraftRegistrar.ensure(spark)

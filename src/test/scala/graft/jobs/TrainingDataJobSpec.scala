@@ -63,13 +63,21 @@ class TrainingDataJobSpec extends SparkTestBase {
     assert(stored.exceptAll(expected).isEmpty && expected.exceptAll(stored).isEmpty)
 
     // rerun = RESUME: no stage recomputes (no new snapshot versions), the
-    // returned frame is identical
+    // store is NOT rewritten (_SUCCESS mtime unchanged), result identical
     val lake = new graft.lake.LakeTable(lakeRoot)
     val versionsBefore = TrainingDataJob.stageNames.map(s => lake.versions(s))
+    val marker = new java.io.File(s"$store/_SUCCESS")
+    assert(marker.exists(), "store write must leave the _SUCCESS marker")
+    val markerMtime = marker.lastModified()
     val again = TrainingDataJob.run(spark, corpus, evalSet, lakeRoot, store)
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
     assert(TrainingDataJob.stageNames.map(s => lake.versions(s)) === versionsBefore,
       "rerun must resume committed stages, not recompute them")
+    assert(marker.lastModified() === markerMtime,
+      "resumed rerun rewrote the training store")
     assert(again.select(col("doc_id")).collect().map(_.getLong(0)).toSet === survivors)
+
+    // the report reads manifest stats only — counts match the scans above
+    assert(TrainingDataJob.report(spark, lakeRoot).map(_.docs) === Seq(7L, 6L, 5L, 4L, 4L))
   }
 }
