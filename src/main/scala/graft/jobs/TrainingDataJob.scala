@@ -139,4 +139,94 @@ object TrainingDataJob {
     val lake = new LakeTable(lakeRoot)
     stageNames.flatMap(s => lake.rowCount(s).map(StageCount(s, _)))
   }
+
+  // ---------------------------------------------- incremental (daily) face
+
+  /** Dedup contract of the incremental face — PAIRWISE-MINIMAL: a doc is
+    * dropped iff some smaller-id doc within LSH reach directly near-dups
+    * it, so no survivor directly near-dups a smaller survivor and every
+    * duplicate family's minimum survives. Transitively-linked docs that
+    * never directly pair may BOTH survive — the batch job ([[run]]) is the
+    * retroactive connected-components variant; this is what an online
+    * crawler dedup can decide from pairs alone, without re-clustering the
+    * corpus per batch. */
+  private def dropPairwiseDups(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Establish incremental state from a base corpus: quality-gate, commit
+    * ALL gated docs' signatures as the [[IncrementalDedup]] store (dropped
+    * dups stay probe-able — a future recrawl of a dropped doc must still
+    * match), dedup pairwise-minimally, decontaminate, and write the
+    * initial `split=/shard=` store. */
+  def initIncremental(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
+                      lakeRoot: String, storeDir: String): DataFrame = {
+    val gated = QualityQueries.scoreDocs(docs).where(col("keep"))
+      .select(col("doc_id"), col("text"))
+    IncrementalDedup.init(spark, gated, lakeRoot)
+    val (pairs, sigs) = TextQueries.minhashPairsWithSigs(spark, gated)
+    val kept = dropPairwiseDups(gated, pairs)
+    // survivors are MATERIALIZED before the upstream signature checkpoint
+    // is released (a released local checkpoint is unrecomputable); the
+    // returned frame rides this checkpoint — callers release via the
+    // standard harness releaseAll after their terminal action
+    val clean = org.apache.spark.sql.GraftCheckpoints.local(
+      decontaminated(kept, evalDocs, broadcastEval = true))
+    org.apache.spark.sql.GraftCheckpoints.release(sigs)
+    writeStoreBatch(clean, storeDir, marker = "_batch_init")
+  }
+
+  /** Append a daily batch: quality-gate map-side, near-dup against the
+    * signature store AND within the batch in one [[IncrementalDedup]]
+    * append (exact duplicates are subsumed — identical text matches
+    * 128/128 signatures), decontaminate survivors, and APPEND them to the
+    * sharded store. `batchId` makes the whole append idempotent: the
+    * signature store commit via [[IncrementalDedup]]'s replay probe, the
+    * store parquet append via a `_batch_<id>` marker file. */
+  def appendBatch(spark: SparkSession, newDocs: DataFrame, evalDocs: DataFrame,
+                  lakeRoot: String, storeDir: String,
+                  batchId: Option[Long] = None,
+                  broadcastEval: Boolean = true): DataFrame = {
+    val gated = QualityQueries.scoreDocs(newDocs).where(col("keep"))
+      .select(col("doc_id"), col("text"))
+    val (pairs, sigHandle) =
+      IncrementalDedup.appendWithHandle(spark, gated, lakeRoot, batchId)
+    val kept = dropPairwiseDups(gated, pairs)
+    // materialize survivors BEFORE freeing the append's signature blocks
+    // (the pair plan reads them); the returned frame rides this checkpoint
+    val clean = org.apache.spark.sql.GraftCheckpoints.local(
+      decontaminated(kept, evalDocs, broadcastEval))
+    org.apache.spark.sql.GraftCheckpoints.release(sigHandle)
+    writeStoreBatch(clean, storeDir,
+      marker = batchId.fold("_batch_unmarked")(id => s"_batch_$id"))
+  }
+
+  private def decontaminated(docs: DataFrame, evalDocs: DataFrame,
+                             broadcastEval: Boolean): DataFrame = {
+    val k = QualityQueries.DecontK
+    val evalGrams = QualityQueries.kgramHashes(evalDocs, k)
+      .select(col("h")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val hit = QualityQueries.kgramHashes(docs, k)
+      .join(evalSide, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(hit, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shard-assign and append to the store unless this batch's marker
+    * already exists (replay idempotence for the non-transactional parquet
+    * append; the marker lands AFTER the write, so a crash mid-write
+    * re-appends on retry — callers needing exactly-once under mid-write
+    * crashes route through a streaming sink, [[ShardStreams]]). */
+  private def writeStoreBatch(clean: DataFrame, storeDir: String,
+                              marker: String): DataFrame = {
+    val sharded = QualityQueries.withShardAssignment(clean)
+    val m = new java.io.File(s"$storeDir/$marker")
+    if (!m.exists()) {
+      sharded.write.mode("append").partitionBy("split", "shard")
+        .parquet(storeDir)
+      m.getParentFile.mkdirs(); m.createNewFile()
+    }
+    sharded
+  }
 }

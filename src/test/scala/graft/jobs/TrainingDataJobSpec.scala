@@ -80,4 +80,45 @@ class TrainingDataJobSpec extends SparkTestBase {
     // the report reads manifest stats only — counts match the scans above
     assert(TrainingDataJob.report(spark, lakeRoot).map(_.docs) === Seq(7L, 6L, 5L, 4L, 4L))
   }
+
+  test("incremental face: init then a daily batch with one artifact per gate; replayed batch appends nothing") {
+    val lakeRoot = Files.createTempDirectory("tdj_inc_lake").toString
+    val store = Files.createTempDirectory("tdj_inc_store").toString + "/store"
+
+    val init = TrainingDataJob.initIncremental(spark, corpus, evalSet, lakeRoot, store)
+    val initIds = init.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(initIds === Set(1L, 2L, 3L, 6L), s"init=$initIds")
+
+    // batch: 11 quality-fail; 12 near-dup of STORED 1 (dropped via the
+    // signature store); 13/14 a batch-internal dup pair (keep 13);
+    // 15 contaminated; 16 clean survivor
+    val batch = Seq(
+      (11L, (1 to 60).map(i => s"${i % 5}").mkString(" ")),
+      (12L, words("alpha") + " recrawl"),
+      (13L, words("sigmaword") + " tailone"),
+      (14L, words("sigmaword") + " tailtwo"),
+      (15L, words("rhoword") + " canaryq one two three four"),
+      (16L, words("tauword")))
+      .toDF("doc_id", "text")
+    val appended = TrainingDataJob.appendBatch(
+      spark, batch, evalSet, lakeRoot, store, Some(1L))
+    val batchIds = appended.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(batchIds === Set(13L, 16L),
+      s"batch survivors=$batchIds (11=quality, 12=store-dup, 14=batch-dup, 15=contaminated)")
+
+    val stored = spark.read.parquet(store).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(stored === initIds ++ batchIds)
+
+    // replay of the SAME batch id: no duplicate store rows, same survivors
+    val replay = TrainingDataJob.appendBatch(
+      spark, batch, evalSet, lakeRoot, store, Some(1L))
+    val replayIds = replay.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(replayIds === batchIds)
+    assert(spark.read.parquet(store).count() === (initIds ++ batchIds).size.toLong,
+      "replayed batch appended duplicate store rows")
+  }
 }
