@@ -173,7 +173,7 @@ object TrainingDataJob {
     val clean = org.apache.spark.sql.GraftCheckpoints.local(
       decontaminated(kept, evalDocs, broadcastEval = true))
     org.apache.spark.sql.GraftCheckpoints.release(sigs)
-    writeStoreBatch(clean, storeDir, marker = "_batch_init")
+    writeStoreBatch(clean, storeDir, marker = Some("_batch_init"))
   }
 
   /** Append a daily batch: quality-gate map-side, near-dup against the
@@ -197,8 +197,10 @@ object TrainingDataJob {
     val clean = org.apache.spark.sql.GraftCheckpoints.local(
       decontaminated(kept, evalDocs, broadcastEval))
     org.apache.spark.sql.GraftCheckpoints.release(sigHandle)
-    writeStoreBatch(clean, storeDir,
-      marker = batchId.fold("_batch_unmarked")(id => s"_batch_$id"))
+    // no marker without a batch id: two DISTINCT unmarked batches must
+    // both land (a shared sentinel would silently skip the second) — the
+    // idempotence guarantee simply requires supplying batchId
+    writeStoreBatch(clean, storeDir, marker = batchId.map(id => s"_batch_$id"))
   }
 
   private def decontaminated(docs: DataFrame, evalDocs: DataFrame,
@@ -219,13 +221,13 @@ object TrainingDataJob {
     * re-appends on retry — callers needing exactly-once under mid-write
     * crashes route through a streaming sink, [[ShardStreams]]). */
   private def writeStoreBatch(clean: DataFrame, storeDir: String,
-                              marker: String): DataFrame = {
+                              marker: Option[String]): DataFrame = {
     val sharded = QualityQueries.withShardAssignment(clean)
-    val m = new java.io.File(s"$storeDir/$marker")
-    if (!m.exists()) {
+    val m = marker.map(name => new java.io.File(s"$storeDir/$name"))
+    if (!m.exists(_.exists())) {
       sharded.write.mode("append").partitionBy("split", "shard")
         .parquet(storeDir)
-      m.getParentFile.mkdirs(); m.createNewFile()
+      m.foreach { f => f.getParentFile.mkdirs(); f.createNewFile() }
     }
     sharded
   }
