@@ -107,14 +107,7 @@ object TrainingDataJob {
     // (QualityQueries.kgramHashes) exploded ONCE into a semi-join — the
     // pipeline only needs WHICH docs leak, so no per-doc rollup.
     val decon = StageRunner.stage(spark, lake, sDecon) {
-      val k = QualityQueries.DecontK
-      val evalGrams = QualityQueries.kgramHashes(evalDocs, k)
-        .select(col("h")).distinct()
-      val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-      val hit = QualityQueries.kgramHashes(near, k)
-        .join(evalSide, Seq("h"), "left_semi")
-        .select(col("doc_id")).distinct()
-      near.join(hit, Seq("doc_id"), "left_anti")
+      decontaminated(near, evalDocs, broadcastEval) // shared with appendBatch
     }
 
     // 5. shuffle-shard store — q79 assignment, written hive-partitioned
@@ -142,17 +135,33 @@ object TrainingDataJob {
 
   // ---------------------------------------------- incremental (daily) face
 
-  /** Dedup contract of the incremental face — PAIRWISE-MINIMAL: a doc is
-    * dropped iff some smaller-id doc within LSH reach directly near-dups
-    * it, so no survivor directly near-dups a smaller survivor and every
-    * duplicate family's minimum survives. Transitively-linked docs that
-    * never directly pair may BOTH survive — the batch job ([[run]]) is the
+  /** Dedup contract of the incremental face: a batch doc is dropped iff it
+    * directly near-dups ANY doc already in the signature store (regardless
+    * of id order — the store is append-only, so the stored copy cannot be
+    * retracted in favor of a smaller-id newcomer), or a smaller-id doc of
+    * its own batch (PAIRWISE-MINIMAL within the batch: every batch dup
+    * family's minimum survives). Transitively-linked docs that never
+    * directly pair may both survive — the batch job ([[run]]) is the
     * retroactive connected-components variant; this is what an online
     * crawler dedup can decide from pairs alone, without re-clustering the
-    * corpus per batch. */
-  private def dropPairwiseDups(docs: DataFrame, pairs: DataFrame): DataFrame =
-    docs.join(pairs.select(col("b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    * corpus per batch. `batchIds` tells store pairs (drop either
+    * orientation) from batch-internal pairs (drop the larger side). */
+  private def dropPairedDups(docs: DataFrame, pairs: DataFrame,
+                             batchIds: DataFrame): DataFrame = {
+    val oriented = pairs.select(col("a").as("doc_id"), col("b").as("other"))
+      .union(pairs.select(col("b").as("doc_id"), col("a").as("other")))
+    // batch doc × STORE doc (other outside the batch): drop the batch doc
+    val vsStore = oriented
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .join(batchIds.select(col("doc_id").as("other")), Seq("other"), "left_anti")
+      .select(col("doc_id"))
+    // batch-internal pair (a < b canonical): drop b, the family min stays
+    val inBatch = pairs
+      .join(batchIds.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(batchIds.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select(col("b").as("doc_id"))
+    docs.join(vsStore.union(inBatch).distinct(), Seq("doc_id"), "left_anti")
+  }
 
   /** Establish incremental state from a base corpus: quality-gate, commit
     * ALL gated docs' signatures as the [[IncrementalDedup]] store (dropped
@@ -160,19 +169,17 @@ object TrainingDataJob {
     * match), dedup pairwise-minimally, decontaminate, and write the
     * initial `split=/shard=` store. */
   def initIncremental(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
-                      lakeRoot: String, storeDir: String): DataFrame = {
-    val gated = QualityQueries.scoreDocs(docs).where(col("keep"))
-      .select(col("doc_id"), col("text"))
-    IncrementalDedup.init(spark, gated, lakeRoot)
-    val (pairs, sigs) = TextQueries.minhashPairsWithSigs(spark, gated)
-    val kept = dropPairwiseDups(gated, pairs)
-    // survivors are MATERIALIZED before the upstream signature checkpoint
-    // is released (a released local checkpoint is unrecomputable); the
-    // returned frame rides this checkpoint — callers release via the
-    // standard harness releaseAll after their terminal action
-    val clean = org.apache.spark.sql.GraftCheckpoints.local(
-      decontaminated(kept, evalDocs, broadcastEval = true))
-    org.apache.spark.sql.GraftCheckpoints.release(sigs)
+                      lakeRoot: String, storeDir: String,
+                      broadcastEval: Boolean = true): DataFrame = {
+    val gated = QualityQueries.scoreDocs(docs.dropDuplicates("doc_id"))
+      .where(col("keep")).select(col("doc_id"), col("text"))
+    // init commits the signatures and hands back the PARQUET-BACKED store —
+    // pairsFromSigs reads it, so the 128-perm pass runs exactly once
+    val sigs = IncrementalDedup.init(spark, gated, lakeRoot)
+    val pairs = TextQueries.pairsFromSigs(sigs)
+    // all pairs are batch-internal here (the store IS the batch)
+    val kept = dropPairedDups(gated, pairs, gated.select(col("doc_id")))
+    val clean = decontaminated(kept, evalDocs, broadcastEval)
     writeStoreBatch(clean, storeDir, marker = Some("_batch_init"))
   }
 
@@ -180,20 +187,39 @@ object TrainingDataJob {
     * signature store AND within the batch in one [[IncrementalDedup]]
     * append (exact duplicates are subsumed — identical text matches
     * 128/128 signatures), decontaminate survivors, and APPEND them to the
-    * sharded store. `batchId` makes the whole append idempotent: the
-    * signature store commit via [[IncrementalDedup]]'s replay probe, the
-    * store parquet append via a `_batch_<id>` marker file. */
+    * sharded store. A doc_id already in the signature store (an earlier
+    * batch delivered it) never re-enters the training store — the same
+    * first-write-wins disjointness the sig store itself enforces.
+    * `batchId` makes the whole append idempotent: the signature store
+    * commit via [[IncrementalDedup]]'s replay probe, the store parquet
+    * append via a `_batch_<id>` marker file. */
   def appendBatch(spark: SparkSession, newDocs: DataFrame, evalDocs: DataFrame,
                   lakeRoot: String, storeDir: String,
                   batchId: Option[Long] = None,
                   broadcastEval: Boolean = true): DataFrame = {
-    val gated = QualityQueries.scoreDocs(newDocs).where(col("keep"))
-      .select(col("doc_id"), col("text"))
+    val gated = QualityQueries.scoreDocs(newDocs.dropDuplicates("doc_id"))
+      .where(col("keep")).select(col("doc_id"), col("text"))
+    // pin the PRE-append store ids (lake.read resolves the manifest now,
+    // so the frame keeps pointing at the parent snapshot after the commit)
+    val lake = new LakeTable(lakeRoot)
+    val storeIds = lake.read(spark, IncrementalDedup.SigStage)
+      .select(col("doc_id"))
     val (pairs, sigHandle) =
       IncrementalDedup.appendWithHandle(spark, gated, lakeRoot, batchId)
-    val kept = dropPairwiseDups(gated, pairs)
+    // cross-batch redelivery guard for the TRAINING store: a doc the sig
+    // store already holds was appended (or dropped) by its first delivery.
+    // On a KNOWN replay of THIS batch (its store marker exists) the whole
+    // batch is in the sig store — skip the guard so the original survivor
+    // set reproduces; the marker already prevents a second store write.
+    val isReplay = batchId.exists(id =>
+      new java.io.File(s"$storeDir/_batch_$id").exists())
+    val fresh =
+      if (isReplay) gated
+      else gated.join(storeIds, Seq("doc_id"), "left_anti")
+    val kept = dropPairedDups(fresh, pairs, fresh.select(col("doc_id")))
     // materialize survivors BEFORE freeing the append's signature blocks
     // (the pair plan reads them); the returned frame rides this checkpoint
+    // — callers release via the standard harness releaseAll
     val clean = org.apache.spark.sql.GraftCheckpoints.local(
       decontaminated(kept, evalDocs, broadcastEval))
     org.apache.spark.sql.GraftCheckpoints.release(sigHandle)

@@ -120,5 +120,23 @@ class TrainingDataJobSpec extends SparkTestBase {
     assert(replayIds === batchIds)
     assert(spark.read.parquet(store).count() === (initIds ++ batchIds).size.toLong,
       "replayed batch appended duplicate store rows")
+
+    // batch 2 (round-4 review): 16 REDELIVERED under a new batch id (an
+    // at-least-once source) must not re-enter the store; 0 near-dups
+    // STORED 13 with a SMALLER id — the store copy cannot be retracted,
+    // so the newcomer is dropped regardless of id order
+    val batch2 = Seq(
+      (16L, words("tauword")),
+      (0L, words("sigmaword") + " tailthree"))
+      .toDF("doc_id", "text")
+    val b2 = TrainingDataJob.appendBatch(
+      spark, batch2, evalSet, lakeRoot, store, Some(2L))
+    val b2Ids = b2.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(b2Ids === Set.empty[Long],
+      s"batch2 survivors=$b2Ids (16=cross-batch redelivery, 0=smaller-id dup of stored 13)")
+    assert(spark.read.parquet(store).where(col("doc_id") === 16L).count() === 1,
+      "redelivered doc re-entered the training store")
+    assert(spark.read.parquet(store).count() === (initIds ++ batchIds).size.toLong)
   }
 }
