@@ -39,11 +39,15 @@ import graft.lake.LakeTable
   * OTHER query's live checkpoints on a shared session. */
 private[jobs] object IncrementalAppend {
 
+  /** (pairs, newState handle, wasReplay): `wasReplay` is the manifest
+    * probe's verdict — the ONLY correct replay evidence for downstream
+    * idempotence decisions (a sink-side marker can be missing exactly when
+    * the state commit already happened: the crash-between window). */
   def appendWithHandle(
       spark: SparkSession, batch: DataFrame, lakeRoot: String, stage: String,
       batchId: Option[Long], idCol: String, stateOf: DataFrame => DataFrame)(
       pairsOf: (DataFrame, DataFrame, DataFrame) => DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Boolean) = {
     val lake = new LakeTable(lakeRoot)
     require(lake.isCommitted(stage), s"no committed $stage — run init first")
     // probe every snapshot manifest REACHABLE FROM THE CURRENT POINTER,
@@ -81,7 +85,7 @@ private[jobs] object IncrementalAppend {
     if (!alreadyCommitted && newState.limit(1).count() > 0)
       lake.commitAppend(stage, newState,
         Map("appended" -> "true") ++ batchId.map("batch_id" -> _.toString))
-    (pairs, newState)
+    (pairs, newState, alreadyCommitted)
   }
 
   /** Streaming face: every micro-batch runs the job's append (batch-id
@@ -89,14 +93,14 @@ private[jobs] object IncrementalAppend {
     * to `pairsOut`, then releases exactly the blocks the append pinned. */
   def stream(src: DataFrame, pairsOut: String, checkpointDir: String,
              trigger: Trigger)(
-             append: (SparkSession, DataFrame, Long) => (DataFrame, DataFrame))
+             append: (SparkSession, DataFrame, Long) => (DataFrame, DataFrame, Boolean))
       : StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
-          val (pairs, handle) = append(batch.sparkSession, batch, id)
+          val (pairs, handle, _) = append(batch.sparkSession, batch, id)
           pairs.write.mode("append").parquet(pairsOut)
           GraftCheckpoints.release(handle)
         }

@@ -60,7 +60,7 @@ object IncrementalDedup {
     * shared with the embedding job. */
   private[jobs] def appendWithHandle(
       spark: SparkSession, newDocs: DataFrame, lakeRoot: String,
-      batchId: Option[Long]): (DataFrame, DataFrame) =
+      batchId: Option[Long]): (DataFrame, DataFrame, Boolean) =
     IncrementalAppend.appendWithHandle(spark, newDocs, lakeRoot, SigStage,
       batchId, "doc_id", docs => TextQueries.sigsOf(spark, docs)) {
       (newSigs, old, allSigs) =>

@@ -75,7 +75,7 @@ object IncrementalEmbDedup {
     * wins) live in [[IncrementalAppend]], shared with the text job. */
   private[jobs] def appendWithHandle(
       spark: SparkSession, newVecs: DataFrame, lakeRoot: String,
-      batchId: Option[Long]): (DataFrame, DataFrame) =
+      batchId: Option[Long]): (DataFrame, DataFrame, Boolean) =
     IncrementalAppend.appendWithHandle(spark, newVecs, lakeRoot, CellStage,
       batchId, "vec_id", cellsOf) { (newCells, _, all) =>
 

@@ -176,10 +176,16 @@ object TrainingDataJob {
     // init commits the signatures and hands back the PARQUET-BACKED store —
     // pairsFromSigs reads it, so the 128-perm pass runs exactly once
     val sigs = IncrementalDedup.init(spark, gated, lakeRoot)
-    val pairs = TextQueries.pairsFromSigs(sigs)
-    // all pairs are batch-internal here (the store IS the batch)
-    val kept = dropPairedDups(gated, pairs, gated.select(col("doc_id")))
-    val clean = decontaminated(kept, evalDocs, broadcastEval)
+    // every pair is batch-internal here (the store IS the batch): drop the
+    // b side — the family minimum stays. ONE consumer of the pair stream.
+    val kept = gated.join(
+      TextQueries.pairsFromSigs(sigs).select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    // survivors materialize once; the returned frame (and the store write)
+    // ride this checkpoint instead of re-running gate+pairs+decontamination
+    // per caller action — callers release via the standard releaseAll
+    val clean = org.apache.spark.sql.GraftCheckpoints.local(
+      decontaminated(kept, evalDocs, broadcastEval))
     writeStoreBatch(clean, storeDir, marker = Some("_batch_init"))
   }
 
@@ -204,15 +210,24 @@ object TrainingDataJob {
     val lake = new LakeTable(lakeRoot)
     val storeIds = lake.read(spark, IncrementalDedup.SigStage)
       .select(col("doc_id"))
-    val (pairs, sigHandle) =
+    val (rawPairs, sigHandle, isReplay) =
       IncrementalDedup.appendWithHandle(spark, gated, lakeRoot, batchId)
+    // the LSH pair stream is consumed three times below (both orientations
+    // + the in-batch branch) — materialize it once (CLAUDE.md: never give
+    // an unmaterialized expensive stream a second consumer)
+    val pairs = org.apache.spark.sql.GraftCheckpoints.local(rawPairs)
     // cross-batch redelivery guard for the TRAINING store: a doc the sig
     // store already holds was appended (or dropped) by its first delivery.
-    // On a KNOWN replay of THIS batch (its store marker exists) the whole
-    // batch is in the sig store — skip the guard so the original survivor
-    // set reproduces; the marker already prevents a second store write.
-    val isReplay = batchId.exists(id =>
-      new java.io.File(s"$storeDir/_batch_$id").exists())
+    // The replay verdict is the sig store's MANIFEST probe (from
+    // appendWithHandle), NOT the training-store marker: a crash between
+    // the sig commit and the store write leaves the marker missing while
+    // the sig store already holds the batch — marker-based evidence would
+    // anti-join the whole batch away on retry and permanently lose its
+    // survivors (round-4 review). On a known replay the guard is skipped
+    // so the batch's survivor set is recomputed (against the CURRENT
+    // store — a LATE manual replay may return fewer survivors than the
+    // original run if later batches duplicated some; the training store
+    // itself is marker-protected either way).
     val fresh =
       if (isReplay) gated
       else gated.join(storeIds, Seq("doc_id"), "left_anti")
@@ -222,6 +237,7 @@ object TrainingDataJob {
     // — callers release via the standard harness releaseAll
     val clean = org.apache.spark.sql.GraftCheckpoints.local(
       decontaminated(kept, evalDocs, broadcastEval))
+    org.apache.spark.sql.GraftCheckpoints.release(pairs)
     org.apache.spark.sql.GraftCheckpoints.release(sigHandle)
     // no marker without a batch id: two DISTINCT unmarked batches must
     // both land (a shared sentinel would silently skip the second) — the

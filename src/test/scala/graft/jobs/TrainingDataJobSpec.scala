@@ -138,5 +138,21 @@ class TrainingDataJobSpec extends SparkTestBase {
     assert(spark.read.parquet(store).where(col("doc_id") === 16L).count() === 1,
       "redelivered doc re-entered the training store")
     assert(spark.read.parquet(store).count() === (initIds ++ batchIds).size.toLong)
+
+    // CRASH WINDOW (round-4 review): batch 3's signatures committed but
+    // the job died before the store write (no marker). The retry must
+    // recognize the replay from the SIG-STORE manifest — marker-based
+    // evidence would anti-join the whole batch away and permanently lose
+    // its survivors.
+    val batch3 = Seq((20L, words("upsilonword"))).toDF("doc_id", "text")
+    IncrementalDedup.append(spark, batch3, lakeRoot, Some(3L)).count() // "crashed" run
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    val retry = TrainingDataJob.appendBatch(
+      spark, batch3, evalSet, lakeRoot, store, Some(3L))
+    val retryIds = retry.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    assert(retryIds === Set(20L), s"crash-window retry lost survivors: $retryIds")
+    assert(spark.read.parquet(store).where(col("doc_id") === 20L).count() === 1,
+      "crash-window retry must land the batch's survivors exactly once")
   }
 }
