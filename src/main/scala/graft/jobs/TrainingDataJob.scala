@@ -173,6 +173,11 @@ object TrainingDataJob {
                       broadcastEval: Boolean = true): DataFrame = {
     val gated = QualityQueries.scoreDocs(docs.dropDuplicates("doc_id"))
       .where(col("keep")).select(col("doc_id"), col("text"))
+    // an all-rejected corpus would commit an EMPTY sig store whose later
+    // reads die with a bare schema-inference error — fail informatively at
+    // the boundary instead (surfaced by the property spec's digit stems)
+    require(gated.limit(1).count() > 0,
+      "quality gate rejected every document — nothing to initialize")
     // init commits the signatures and hands back the PARQUET-BACKED store —
     // pairsFromSigs reads it, so the 128-perm pass runs exactly once
     val sigs = IncrementalDedup.init(spark, gated, lakeRoot)

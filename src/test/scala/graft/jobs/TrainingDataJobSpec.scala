@@ -155,4 +155,51 @@ class TrainingDataJobSpec extends SparkTestBase {
     assert(spark.read.parquet(store).where(col("doc_id") === 20L).count() === 1,
       "crash-window retry must land the batch's survivors exactly once")
   }
+
+  test("property: under ANY batch split the store is an independent set of the near-dup relation (3 seeds)") {
+    // The universal invariant of the online face — whatever the split, no
+    // two training-store docs directly near-dup each other (which docs
+    // survive IS split-dependent: greedy online dedup, documented). Also:
+    // replaying every batch id leaves the store byte-identical.
+    for (seed <- Seq(11, 12, 13)) {
+      val rng = new scala.util.Random(seed)
+      // 18 docs in 6 content families of 3 (family = near-dups). Stems are
+      // LETTER-only: digit-heavy stems fail the quality gate and an empty
+      // gated set would leave an unreadable empty sig store.
+      val fams = Seq.tabulate(6)(f =>
+        words(s"fam${('a' + seed - 11).toChar}${('a' + f).toChar}word"))
+      val docIds = rng.shuffle((1 to 18).toList)
+      val corpusRows = docIds.zipWithIndex.map { case (id, i) =>
+        (id.toLong, fams(i % 6) + s" tail$id") }
+      val parts = corpusRows.groupBy(_ => rng.nextInt(3)) // up to 3 batches
+      val batches = (0 to 2).flatMap(parts.get).filter(_.nonEmpty)
+
+      val lakeRoot = Files.createTempDirectory(s"tdj_prop$seed").toString
+      val store = Files.createTempDirectory(s"tdj_props$seed").toString + "/s"
+      TrainingDataJob.initIncremental(
+        spark, batches.head.toDF("doc_id", "text"), evalSet, lakeRoot, store)
+      org.apache.spark.sql.GraftCheckpoints.releaseAll()
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        TrainingDataJob.appendBatch(spark, b.toDF("doc_id", "text"),
+          evalSet, lakeRoot, store, Some(i.toLong)).count()
+        org.apache.spark.sql.GraftCheckpoints.releaseAll()
+      }
+      val storedDocs = spark.read.parquet(store)
+        .select(col("doc_id"), col("text"))
+      val internalPairs = graft.queries.TextQueries
+        .minhashPairsOf(spark, storedDocs).count()
+      org.apache.spark.sql.GraftCheckpoints.releaseAll()
+      assert(internalPairs === 0,
+        s"seed=$seed: store contains direct near-dups")
+      // replay every append batch id — store must not change
+      val before = spark.read.parquet(store).count()
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        TrainingDataJob.appendBatch(spark, b.toDF("doc_id", "text"),
+          evalSet, lakeRoot, store, Some(i.toLong)).count()
+        org.apache.spark.sql.GraftCheckpoints.releaseAll()
+      }
+      assert(spark.read.parquet(store).count() === before,
+        s"seed=$seed: replay changed the store")
+    }
+  }
 }
