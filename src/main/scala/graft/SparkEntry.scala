@@ -96,6 +96,7 @@ object SparkEntry {
     "q77_dupgroup_histogram" -> (graft.queries.TextQueries.dupGroupHistogram _),
     "q78_semdedup" -> (graft.queries.EmbQueries.semDedup _),
     "q79_shuffle_shards" -> (graft.queries.QualityQueries.shuffleShards _),
+    "q80_dsir_select" -> (graft.queries.QualityQueries.dsirSelect _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -180,6 +181,7 @@ object SparkEntry {
     "q77_dupgroup_histogram" -> graft.queries.TextOracles.dupGroupHistogram,
     "q78_semdedup" -> graft.queries.EmbOracles.semDedup,
     "q79_shuffle_shards" -> graft.queries.QualityOracles.shuffleShards,
+    "q80_dsir_select" -> graft.queries.QualityOracles.dsirSelect,
   )
 }
 

@@ -721,6 +721,81 @@ object QualityQueries {
         min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------- DSIR selection
+
+  /** q80 DSIR constants: hashed-feature bucket count, integer weight scale,
+    * selection size, and the curated target sources. Mirrored verbatim in
+    * [[QualityOracles.dsirSelect]]. */
+  val DsirBuckets = 256
+  val DsirScale = 1000000L
+  val DsirTopK = 50
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+
+  /** q80: DSIR-style data selection via hashed n-gram importance weights
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every RAW document by how target-like its hashed
+    * unigram profile is; the per-bucket importance weight is the curated
+    * target sources' vs the raw pool's bucket frequency ratio. This
+    * integer-exact variant replaces the paper's log-likelihood ratio with
+    * the add-one-smoothed frequency ratio at a fixed scale —
+    * floor((cnt_t+1)·SCALE / (cnt_r+1)) — monotone in the ratio, so every
+    * value facing the oracle is a BIGINT (no transcendental float crosses
+    * engines). The per-doc score is length-normalized
+    * (score·1000 DIV n_tokens) so selection is not a length contest.
+    *
+    * Scale shape: the token stream explodes ONCE and faces exactly one
+    * exchange — the (doc_id, bucket) partial-agg groupBy (Zipf makes the
+    * map-side combine effective). That per-doc-bucket frame G is
+    * materialized once and read twice: the weight table is a tiny rollup
+    * of G (≤[[DsirBuckets]] rows — the point of hashed features: it stays
+    * ≤B rows at 10^12 docs too) broadcast back onto G, and the per-doc
+    * rollup feeds a TakeOrderedAndProject top-K — no global sort, no
+    * second explode. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    // ONE token pass; weights and scores both read the materialized G
+    val g = dsirBucketCountsOf(docs(spark, sfDir)).trackedCheckpoint
+    val weights = g.groupBy(col("b"))
+      .agg(sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
+        sum(when(isTarget, lit(0L)).otherwise(col("n"))).as("cr"))
+      .where(col("cr") > 0) // a bucket absent from raw can never be probed
+      .select(col("b"), expr(s"((ct + 1) * $DsirScale) DIV (cr + 1)").as("w"))
+    docs2Scored(g.where(!isTarget), weights)
+  }
+
+  /** The expensive pass of [[dsirSelect]] PRE-checkpoint — the (doc_id,
+    * source, bucket) occurrence counts G. Exposed so the spec can
+    * plan-assert it (the eager checkpoint hides it from the final plan):
+    * exactly one Generate, exactly one Exchange (the partial-agg groupBy). */
+  private[graft] def dsirBucketCountsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** score+select half of [[dsirSelect]], split so the spec can
+    * plan-assert the expensive pre-checkpoint pass separately. */
+  private def docs2Scored(gRaw: DataFrame, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = gRaw
+      .join(broadcast(weights), Seq("b")) // ≤DsirBuckets rows — always tiny
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("w")).as("score"), sum(col("n")).as("n_tokens"))
+      .withColumn("score_per_kt", expr("(score * 1000) DIV n_tokens"))
+      .orderBy(col("score_per_kt").desc, col("doc_id"))
+      .limit(DsirTopK)
+    // rank over the K selected rows only (the q67/q72 pattern: the window
+    // runs AFTER TakeOrderedAndProject, never over the corpus)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_per_kt").desc,
+          col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_tokens"),
+        col("score_per_kt"))
+  }
 }
 
 object QualityOracles {
@@ -1088,4 +1163,41 @@ object QualityOracles {
       |       min(bucket) AS min_bucket, max(bucket) AS max_bucket
       |FROM w JOIN b USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q80 mirror: same 60-bit md5 base hash (the [[graft.ops.TextOps]]
+    * 15-nibble idiom) → bucket, same integer-division weights and
+    * length-normalized score — every column BIGINT-exact. */
+  val dsirSelect: String = {
+    import QualityQueries.{DsirBuckets, DsirScale, DsirTopK, DsirTargetSources}
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hx AS (SELECT doc_id, source, md5(tok) AS hx FROM toks),
+       |bkt AS (
+       |  SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(generate_series(1, 15), q ->
+       |      CAST(strpos('0123456789abcdef', substr(hx, CAST(q AS INTEGER), 1)) - 1 AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(4 * (15 - q) AS INTEGER)))) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM hx),
+       |g AS (SELECT doc_id, source, b, count(*) AS n FROM bkt GROUP BY 1, 2, 3),
+       |w AS (
+       |  SELECT b,
+       |    ((CAST(sum(CASE WHEN source IN ($tgt) THEN n ELSE 0 END) AS BIGINT) + 1)
+       |       * $DsirScale)
+       |      // (CAST(sum(CASE WHEN source NOT IN ($tgt) THEN n ELSE 0 END) AS BIGINT) + 1)
+       |      AS w,
+       |    CAST(sum(CASE WHEN source NOT IN ($tgt) THEN n ELSE 0 END) AS BIGINT) AS cr
+       |  FROM g GROUP BY b),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(n * w.w) AS BIGINT) AS score,
+       |         CAST(sum(n) AS BIGINT) AS n_tokens
+       |  FROM g JOIN w USING (b)
+       |  WHERE source NOT IN ($tgt) AND cr > 0
+       |  GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY (score * 1000) // n_tokens DESC, doc_id) AS INT) AS rank,
+       |       doc_id, score, n_tokens, (score * 1000) // n_tokens AS score_per_kt
+       |FROM sc ORDER BY score_per_kt DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
 }

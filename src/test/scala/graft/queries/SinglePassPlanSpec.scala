@@ -81,4 +81,39 @@ class SinglePassPlanSpec extends SparkTestBase {
     assert(b.count() > 0)
     GraftCheckpoints.releaseAll()
   }
+
+  test("q80 DSIR token pass explodes once; weights and scores ride the checkpoint") {
+    // the expensive pre-checkpoint pass: one corpus scan, one token
+    // explode, one exchange (the (doc_id, source, bucket) partial-agg
+    // groupBy — map-side combine carries deduped bucket counts)
+    val g = QualityQueries.dsirBucketCountsOf(
+      graft.model.Pages.documentsPages(spark, sf))
+    assert(docScans(g) === 1, "token pass must scan documents once")
+    assert(generates(g) === 1, "token stream must explode once")
+    val gEx = allPlanNodes(g.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(gEx === 1, s"expected exactly the groupBy exchange, got $gEx")
+
+    // the full query: both consumers (the ≤256-row weight rollup and the
+    // per-doc scorer) read the materialized G — no second corpus scan, no
+    // second explode; the weight join is a broadcast and the selection is
+    // a TakeOrderedAndProject top-K, never a global sort
+    val df = QualityQueries.dsirSelect(spark, sf)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    assert(docScans(df) === 0, "both consumers must read the checkpointed G")
+    assert(generates(df) === 0, "token explode must not be replayed")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "weight table must broadcast")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-K must be TakeOrderedAndProject")
+
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= QualityQueries.DsirTopK)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length),
+      "ranks must be contiguous from 1")
+    assert(rows.forall(_.getLong(2) > 0L), "scores must be positive")
+    GraftCheckpoints.releaseAll()
+  }
 }
