@@ -97,6 +97,8 @@ object SparkEntry {
     "q78_semdedup" -> (graft.queries.EmbQueries.semDedup _),
     "q79_shuffle_shards" -> (graft.queries.QualityQueries.shuffleShards _),
     "q80_dsir_select" -> (graft.queries.QualityQueries.dsirSelect _),
+    "q81_collocations" -> (graft.queries.TextQueries.collocations _),
+    "q82_line_dedup" -> (graft.queries.QualityQueries.lineDedup _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -182,6 +184,8 @@ object SparkEntry {
     "q78_semdedup" -> graft.queries.EmbOracles.semDedup,
     "q79_shuffle_shards" -> graft.queries.QualityOracles.shuffleShards,
     "q80_dsir_select" -> graft.queries.QualityOracles.dsirSelect,
+    "q81_collocations" -> graft.queries.TextOracles.collocations,
+    "q82_line_dedup" -> graft.queries.QualityOracles.lineDedup,
   )
 }
 

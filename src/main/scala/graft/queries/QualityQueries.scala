@@ -527,6 +527,62 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q82 block width (words). C4 removes three-SENTENCE spans; the
+    * synthetic docs are single-line word streams, so the dedup unit is a
+    * fixed [[BlockW]]-word block (the same surrogate choice as q47's
+    * line→word mapping). Mirrored in [[QualityOracles.lineDedup]]. */
+  val BlockW = 16
+
+  /** q82: C4-style duplicate-span removal WITH text reconstruction
+    * (Raffel et al. 2020 §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set").
+    * Every doc splits into [[BlockW]]-word blocks; of all corpus-wide
+    * occurrences of an identical block, only the FIRST (min (doc_id,
+    * position)) survives; each doc's cleaned text is reassembled from its
+    * surviving blocks in order. Unlike q14/q59 (which only REPORT dups),
+    * the output IS the cleaned corpus — the deliverable of the pipeline.
+    *
+    * Scale shape: the block stream explodes twice (argmin rollup + probe)
+    * — deliberately NOT materialized, the q59 trade: the stream is
+    * corpus-sized, while the argmin side partial-aggregates to one
+    * 16-byte-key exchange. The probe join keys on the block hash; the
+    * reassembly is ONE doc_id exchange with doc-bounded state
+    * (collect_list of a doc's own blocks). The final docs⋈cleaned join is
+    * doc_id-keyed on both sides — co-partitioned at any scale; it exists
+    * only to keep docs whose every block was a later-duplicate. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = BlockW
+    val blocks = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, (size(a) + ${w - 1}) div $w)")).as("p"),
+        col("a"))
+      .select(col("doc_id"), col("p"),
+        expr(s"array_join(slice(a, (p - 1) * $w + 1, $w), ' ')").as("blk"))
+      .withColumn("h", md5(col("blk")))
+      // (doc_id, p) packed order-preserving into one BIGINT so the argmin
+      // rollup below stays a primitive-min HashAggregate (a struct-min
+      // falls to SortAggregate — map+reduce sorts of the block stream).
+      // Bounds: doc_id < 2^31, p < 2^32 (a 2^32-block doc is >64G words).
+      .withColumn("pk", col("doc_id") * lit(4294967296L) + col("p"))
+    // first corpus-wide occurrence of each distinct block wins
+    val keeper = blocks.groupBy(col("h")).agg(min(col("pk")).as("kmin"))
+    val kept = blocks.join(keeper, Seq("h")).where(col("pk") === col("kmin"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, blk))), x -> x.blk), ' ')")
+          .as("clean_text"))
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"(size(split(text, ' ')) + ${w - 1}) div $w").as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("clean_text"), lit(""))).cast("long").as("n_chars_clean"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val DecontK = 5
   val EvalMod = 101
 
@@ -756,13 +812,13 @@ object QualityQueries {
     val isTarget = col("source").isin(DsirTargetSources: _*)
     // ONE token pass; weights and scores both read the materialized G
     val g = dsirBucketCountsOf(docs(spark, sfDir)).trackedCheckpoint
-    val weights = g.groupBy(col("b"))
-      .agg(sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
-        sum(when(isTarget, lit(0L)).otherwise(col("n"))).as("cr"))
-      .where(col("cr") > 0) // a bucket absent from raw can never be probed
-      .select(col("b"), expr(s"((ct + 1) * $DsirScale) DIV (cr + 1)").as("w"))
-    docs2Scored(g.where(!isTarget), weights)
+    docs2Scored(g.where(!isTarget), dsirWeightsOf(g))
   }
+
+  /** token → feature bucket — the ONE bucket derivation (batch counts and
+    * the streaming scorer share it; a hash change cannot diverge them). */
+  private[graft] def dsirBucket(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % DsirBuckets
 
   /** The expensive pass of [[dsirSelect]] PRE-checkpoint — the (doc_id,
     * source, bucket) occurrence counts G. Exposed so the spec can
@@ -771,11 +827,22 @@ object QualityQueries {
   private[graft] def dsirBucketCountsOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-          % DsirBuckets).as("b"))
+      .select(col("doc_id"), col("source"), dsirBucket(col("tok")).as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("n"))
+
+  /** (b, w) importance-weight table from the bucket counts G — the
+    * TRAINED artifact of the selection: ≤[[DsirBuckets]] rows at any
+    * corpus size, so it freezes/broadcasts/ships to a streaming scorer
+    * ([[graft.streaming.DsirStreams]]) as a literal. */
+  private[graft] def dsirWeightsOf(g: DataFrame): DataFrame = {
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    g.groupBy(col("b"))
+      .agg(sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
+        sum(when(isTarget, lit(0L)).otherwise(col("n"))).as("cr"))
+      .where(col("cr") > 0) // a bucket absent from raw can never be probed
+      .select(col("b"), expr(s"((ct + 1) * $DsirScale) DIV (cr + 1)").as("w"))
+  }
 
   /** score+select half of [[dsirSelect]], split so the spec can
     * plan-assert the expensive pre-checkpoint pass separately. */
@@ -1099,6 +1166,29 @@ object QualityOracles {
        |       CAST(sum(span_len) AS BIGINT) AS dup_words,
        |       CAST(max(span_len) AS INTEGER) AS max_span
        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q82 mirror: DuckDB's row_number-over-hash picks the same (doc_id, p)
+    * argmin as Spark's min(struct); string_agg(ORDER BY p) rebuilds the
+    * same order array_sort(collect_list(struct)) does. Block width and
+    * the integer ceil-div are mirrored from [[QualityQueries.BlockW]]. */
+  val lineDedup: String = {
+    val w = QualityQueries.BlockW
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |b AS (SELECT doc_id, i AS p,
+       |        array_to_string(a[CAST((i - 1) * $w + 1 AS INTEGER):CAST(i * $w AS INTEGER)], ' ') AS blk
+       |      FROM t, unnest(generate_series(1, (len(a) + ${w - 1}) // $w)) AS u(i)),
+       |h AS (SELECT doc_id, p, blk, md5(blk) AS hh FROM b),
+       |k AS (SELECT doc_id, p, blk,
+       |        row_number() OVER (PARTITION BY hh ORDER BY doc_id, p) AS rn FROM h),
+       |s AS (SELECT doc_id, p, blk FROM k WHERE rn = 1),
+       |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |        string_agg(blk, ' ' ORDER BY p) AS clean_text FROM s GROUP BY doc_id)
+       |SELECT d.doc_id, (len(string_split(d.text, ' ')) + ${w - 1}) // $w AS n_blocks,
+       |  COALESCE(r.n_kept, 0) AS n_kept,
+       |  CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS n_chars_clean,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   val decontaminate: String = {

@@ -169,6 +169,74 @@ object TextQueries {
 
   val HeavyK = 50
 
+  /** q81 collocation constants: selection size, integer lift scale, and
+    * the minimum bigram support (kills noise AND bounds the lift — with
+    * c ≥ MinCount both unigram counts are ≥ MinCount, so the staged
+    * integer division below stays inside BIGINT at sf0.1-class N; a
+    * 10^12-token corpus would widen the scale type). Mirrored verbatim in
+    * [[TextOracles.collocations]]. */
+  val ColloTopK = 50
+  val ColloScale = 1000000L
+  val ColloMinCount = 5
+
+  /** q81: collocation mining — the phrase-vocabulary construction pass of
+    * a training-data pipeline (rank word bigrams by pointwise mutual
+    * information: how much more often the pair occurs than its parts
+    * predict). The PMI's log is dropped (log is monotone) and the lift
+    * p(a,b)/(p(a)·p(b)) = c_ab·N²/(M·c_a·c_b) is evaluated in STAGED
+    * BIGINT floor divisions — the stages are mirrored exactly in the
+    * oracle, so cross-engine equality is by construction rather than by
+    * float luck (CLAUDE.md invariant).
+    *
+    * Scale shape — both gram kinds ride ONE explode: the token stream and
+    * the bigram stream are concatenated as a (kind, g1, g2) struct array
+    * per document and exploded once, so the corpus faces one scan and one
+    * partial-agg exchange (the (kind, g1, g2) groupBy). The checkpointed
+    * counts then split into the Zipf-bounded unigram vocabulary (join
+    * left unhinted — AQE broadcasts when it fits, the freqQuality
+    * posture), the MinCount-filtered bigram table, and a ONE-ROW totals
+    * broadcast (the q67 pattern); selection is TakeOrderedAndProject. */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = colloGramCountsOf(docs(spark, sfDir)).trackedCheckpoint
+    val totals = counts.agg(
+      sum(when(col("kind") === 1, col("c")).otherwise(lit(0L))).as("n"),
+      sum(when(col("kind") === 2, col("c")).otherwise(lit(0L))).as("m"))
+    val uni = counts.where(col("kind") === 1)
+      .select(col("g1").as("w"), col("c").as("cw"))
+    val scored = counts.where(col("kind") === 2 && col("c") >= ColloMinCount)
+      .select(col("g1"), col("g2"), col("c"))
+      .join(uni.select(col("w").as("g1"), col("cw").as("c_left")), Seq("g1"))
+      .join(uni.select(col("w").as("g2"), col("cw").as("c_right")), Seq("g2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        expr(s"(((((c * n) DIV c_left) * n) DIV c_right) * $ColloScale) DIV m"))
+      .orderBy(col("score").desc, col("g1"), col("g2")).limit(ColloTopK)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("g1"), col("g2"))).cast("int"))
+      .select(col("rank"), col("g1"), col("g2"), col("c").as("c_bigram"),
+        col("c_left"), col("c_right"), col("score"))
+  }
+
+  /** The expensive pass of [[collocations]] PRE-checkpoint: unigrams and
+    * bigrams of every doc concatenated into one (kind, g1, g2) struct
+    * stream — exactly one Generate and one Exchange (spec-gated). The
+    * bigram arm uses the zip_with-of-slices shape (q47's) so a 1-token
+    * doc contributes an empty bigram array, never a reversed sequence. */
+  private[graft] def colloGramCountsOf(d: DataFrame): DataFrame = {
+    val a = col("a")
+    val uniArr = transform(a, t =>
+      struct(lit(1).as("kind"), t.as("g1"), lit("").as("g2")))
+    val bigArr = zip_with(
+      org.apache.spark.sql.functions.slice(a, lit(1), size(a) - 1),
+      org.apache.spark.sql.functions.slice(a, lit(2), size(a) - 1),
+      (x, y) => struct(lit(2).as("kind"), x.as("g1"), y.as("g2")))
+    d.select(split(col("text"), " ").as("a"))
+      .select(explode(concat(uniArr, bigArr)).as("s"))
+      .groupBy(col("s.kind").as("kind"), col("s.g1").as("g1"),
+        col("s.g2").as("g2"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   val PostingBuckets = 16
 
   /** Inverted-index posting store — the TEXT twin of the IVF serving
@@ -609,6 +677,27 @@ object TextOracles {
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM p GROUP BY term ORDER BY term""".stripMargin
   }
+
+  /** q81 mirror: same staged BIGINT floor divisions in the same order —
+    * lift equality is by construction, not float luck. */
+  val collocations: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+       |u AS (SELECT unnest(a) AS w FROM t),
+       |uc AS (SELECT w, count(*) AS cw FROM u GROUP BY w),
+       |ti AS (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM t),
+       |bg AS (SELECT a[CAST(i AS INTEGER)] AS g1, a[CAST(i + 1 AS INTEGER)] AS g2 FROM ti),
+       |bc AS (SELECT g1, g2, count(*) AS c FROM bg GROUP BY g1, g2),
+       |tot AS (SELECT (SELECT CAST(sum(cw) AS BIGINT) FROM uc) AS n,
+       |               (SELECT CAST(sum(c) AS BIGINT) FROM bc) AS m),
+       |sc AS (
+       |  SELECT g1, g2, c AS c_bigram, ca.cw AS c_left, cb.cw AS c_right,
+       |    (((((c * n) // ca.cw) * n) // cb.cw) * ${TextQueries.ColloScale}) // m AS score
+       |  FROM bc JOIN uc ca ON bc.g1 = ca.w JOIN uc cb ON bc.g2 = cb.w, tot
+       |  WHERE c >= ${TextQueries.ColloMinCount})
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, g1, g2) AS INT) AS rank,
+       |       g1, g2, c_bigram, c_left, c_right, score
+       |FROM sc ORDER BY score DESC, g1, g2 LIMIT ${TextQueries.ColloTopK}"""
+      .stripMargin
 
   val heavyHitters: String =
     s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),

@@ -305,6 +305,43 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(rows((4, false)).getLong(3) == 2 && rows((4, false)).getLong(2) == 1)
   }
 
+  test("q82 line dedup: first corpus-wide block occurrence wins, text reassembles") {
+    val w = QualityQueries.BlockW
+    val d = java.nio.file.Files.createTempDirectory("graft_c4").toString
+    import spark.implicits._
+    def blk(tag: String, n: Int = w): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val A = blk("a"); val B = blk("b"); val C = blk("c")
+    val D = blk("d", 5); val E = blk("e"); val F = blk("f", 10)
+    Seq(
+      (0L, s"$A $B", "en", "s0", 1L),  // the original: both blocks survive
+      (1L, s"$A $C", "en", "s0", 1L),  // block A is doc 0's → only C kept
+      (2L, s"$B $D", "en", "s0", 1L),  // block B is doc 0's → only D kept
+      (3L, s"$E $E", "en", "s0", 1L),  // within-doc repeat → first E kept
+      (4L, F, "en", "s0", 1L))         // unique partial block → unchanged
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rows = QualityQueries.lineDedup(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(rows(0L) === ((2L, 2L, s"$A $B")))
+    assert(rows(1L) === ((2L, 1L, C)))
+    assert(rows(2L) === ((2L, 1L, D)))
+    assert(rows(3L) === ((2L, 1L, E)))
+    assert(rows(4L) === ((1L, 1L, F)))
+    // defining property of the cleaned corpus: no surviving block repeats
+    val blocks = rows.values.toSeq.filter(_._3.nonEmpty).map(_._3)
+      .flatMap(t => Seq(A, B, C, D, E, F).filter(t.contains))
+    assert(blocks.distinct.size === blocks.size,
+      "a duplicated block survived dedup twice")
+    // n_chars_clean is the exact cleaned length
+    val chars = QualityQueries.lineDedup(spark, d).collect()
+      .map(r => r.getLong(3) -> r.getString(4).length.toLong)
+    assert(chars.forall(p => p._1 == p._2))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
+
   test("domain blocklist matches any dot-boundary suffix of the host") {
     // hosts h0.example.com … h4.example.org: only doc 2 (h2.example.net)
     // has a blocklisted suffix — via the registrable-domain 'example.net',

@@ -116,4 +116,35 @@ class SinglePassPlanSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(2) > 0L), "scores must be positive")
     GraftCheckpoints.releaseAll()
   }
+
+  test("q81 collocations: unigrams AND bigrams ride one explode") {
+    // pre-checkpoint: the concatenated (kind, g1, g2) struct stream —
+    // one corpus scan, ONE Generate for both gram kinds, one exchange
+    val g = TextQueries.colloGramCountsOf(
+      graft.model.Pages.documentsPages(spark, sf))
+    assert(docScans(g) === 1, "gram pass must scan documents once")
+    assert(generates(g) === 1, "both gram kinds must share one explode")
+    val gEx = allPlanNodes(g.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(gEx === 1, s"expected exactly the groupBy exchange, got $gEx")
+
+    // full query: vocabulary joins + totals broadcast all read the
+    // checkpointed counts; selection is TakeOrderedAndProject
+    val df = TextQueries.collocations(spark, sf)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    assert(docScans(df) === 0, "all consumers must read the checkpointed counts")
+    assert(generates(df) === 0, "gram explode must not be replayed")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "top-K must be TakeOrderedAndProject")
+
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= TextQueries.ColloTopK)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length),
+      "ranks must be contiguous from 1")
+    // a collocation's support never exceeds either side's support
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(4)
+      && r.getLong(3) <= r.getLong(5)), "c_bigram must bound below c_left/c_right")
+    GraftCheckpoints.releaseAll()
+  }
 }
