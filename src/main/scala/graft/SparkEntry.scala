@@ -99,6 +99,7 @@ object SparkEntry {
     "q80_dsir_select" -> (graft.queries.QualityQueries.dsirSelect _),
     "q81_collocations" -> (graft.queries.TextQueries.collocations _),
     "q82_line_dedup" -> (graft.queries.QualityQueries.lineDedup _),
+    "q83_lm_fluency" -> (graft.queries.QualityQueries.lmFluency _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -186,6 +187,7 @@ object SparkEntry {
     "q80_dsir_select" -> graft.queries.QualityOracles.dsirSelect,
     "q81_collocations" -> graft.queries.TextOracles.collocations,
     "q82_line_dedup" -> graft.queries.QualityOracles.lineDedup,
+    "q83_lm_fluency" -> graft.queries.QualityOracles.lmFluency,
   )
 }
 

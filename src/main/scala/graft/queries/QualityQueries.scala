@@ -815,6 +815,76 @@ object QualityQueries {
     docs2Scored(g.where(!isTarget), dsirWeightsOf(g))
   }
 
+  val LmScale = 1000000L
+
+  /** q83: CCNet-style LM fluency filter (Wenzek et al. 2020 §4.3: score
+    * pages with a language model trained on the curated target, bucket
+    * into head/middle/tail by perplexity percentile). Integer-exact
+    * surrogate: a bigram LM with add-one smoothing trained on the
+    * [[DsirTargetSources]] docs scores each raw bigram
+    * floor((c12+1)·10⁶/(c1+V)) — the scaled smoothed conditional
+    * probability (high avg ⇒ fluent ⇒ head; the log/perplexity is a
+    * monotone transform, dropped per the CLAUDE.md invariant) — and each
+    * doc carries the floor-average over its bigrams. Thresholds are the
+    * exact 25th/75th discrete percentiles of the per-doc scores.
+    *
+    * Scale shape — unlike DSIR's 256 hashed buckets, a bigram LM table is
+    * |observed target bigrams|-sized: it is checkpointed once (the target
+    * is the SMALL curated corpus) and the probe joins stay unhinted so AQE
+    * broadcasts them when they fit. The context counts c1 derive FROM the
+    * bigram table (one rollup), never a second target explode. The global
+    * percentile is NOT Spark's percentile_disc (a single buffer holding
+    * every per-doc score): lm_score has a bounded value domain (≤10⁶), so
+    * the thresholds come from a score histogram + distributed running sum
+    * ([[graft.ops.Ordinals.withRunningSum]]) — smallest score whose
+    * cumulative count ≥ ceil(p·N), evaluated in integers ((N+3) div 4 /
+    * (3N+3) div 4) — exact percentile_disc semantics with no unbounded
+    * single-node state at 10^12 docs. */
+  def lmFluency(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    def bigrams(d: DataFrame): DataFrame = d
+      .where(size(col("a")) >= 2)
+      .withColumn("b", explode(zip_with(
+        org.apache.spark.sql.functions.slice(col("a"), lit(1), size(col("a")) - 1),
+        org.apache.spark.sql.functions.slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))))
+      .select((d.columns.filter(c => c != "a" && c != "b").map(col) :+
+        col("b.w1") :+ col("b.w2")): _*)
+
+    val tgt = base.where(isTarget).select(split(col("text"), " ").as("a"))
+    val cb = bigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).trackedCheckpoint
+    val cu = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vTot = tgt.select(explode(col("a")).as("w"))
+      .agg(countDistinct(col("w")).cast("long").as("v"))
+
+    val rawB = bigrams(base.where(!isTarget)
+      .select(col("doc_id"), split(col("text"), " ").as("a")))
+    val d = rawB.join(cb, Seq("w1", "w2"), "left").join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vTot))
+      .select(col("doc_id"),
+        expr(s"((coalesce(c12, 0L) + 1L) * $LmScale) DIV (coalesce(c1, 0L) + v)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("ssum"))
+      .withColumn("lm_score", expr("ssum DIV n_bigrams"))
+      .drop("ssum").trackedCheckpoint
+
+    val hist = d.groupBy(col("lm_score")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.ops.Ordinals.withRunningSum(
+      hist, "cum", col("cnt"), col("lm_score"))
+    val nTot = d.agg(count(lit(1)).as("n"))
+    val th = cum.crossJoin(broadcast(nTot)).agg(
+      min(when(col("cum") >= expr("(n + 3) div 4"), col("lm_score"))).as("t1"),
+      min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("lm_score"))).as("t2"))
+    d.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+        when(col("lm_score") >= col("t2"), lit("head"))
+          .when(col("lm_score") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** token → feature bucket — the ONE bucket derivation (batch counts and
     * the streaming scorer share it; a hash change cannot diverge them). */
   private[graft] def dsirBucket(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1189,6 +1259,39 @@ object QualityOracles {
        |  CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS n_chars_clean,
        |  COALESCE(r.clean_text, '') AS clean_text
        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q83 mirror: same smoothed-conditional integer score, same floor
+    * average, and thresholds via quantile_disc — the ANSI discrete
+    * percentile Spark's histogram + running-sum construction reproduces
+    * exactly ("smallest value with cume_dist ≥ p"). */
+  val lmFluency: String = {
+    val ts = QualityQueries.DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH tgt AS (SELECT string_split(text, ' ') AS a FROM documents
+       |             WHERE source IN ($ts)),
+       |tb AS (SELECT a[CAST(i AS INTEGER)] AS w1, a[CAST(i + 1 AS INTEGER)] AS w2
+       |       FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+       |             FROM tgt WHERE len(a) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+       |cu AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM tgt)),
+       |raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+       |        WHERE source NOT IN ($ts)),
+       |rb AS (SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i + 1 AS INTEGER)] AS w2
+       |       FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+       |             FROM raw WHERE len(a) >= 2)),
+       |sc AS (SELECT doc_id,
+       |         ((COALESCE(cb.c12, 0) + 1) * ${QualityQueries.LmScale})
+       |           // (COALESCE(cu.c1, 0) + v.v) AS s
+       |       FROM rb LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1), v),
+       |d AS (SELECT doc_id, count(*) AS n_bigrams,
+       |        CAST(sum(s) AS BIGINT) // count(*) AS lm_score FROM sc GROUP BY doc_id),
+       |th AS (SELECT quantile_disc(lm_score, 0.25) AS t1,
+       |              quantile_disc(lm_score, 0.75) AS t2 FROM d)
+       |SELECT doc_id, n_bigrams, lm_score,
+       |  CASE WHEN lm_score >= t2 THEN 'head'
+       |       WHEN lm_score >= t1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM d, th ORDER BY doc_id""".stripMargin
   }
 
   val decontaminate: String = {

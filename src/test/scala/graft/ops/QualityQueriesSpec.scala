@@ -342,6 +342,51 @@ class QualityQueriesSpec extends SparkTestBase {
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
 
+  test("q83 LM fluency: smoothed bigram scores and percentile buckets, by hand") {
+    val d = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    import spark.implicits._
+    Seq(
+      // target (src0): bigrams (a,b)×4, (b,a)×3; V = 2 distinct tokens
+      (0L, "a b a b a b a b", "en", "src0", 1L),
+      // fluent: s(a,b)=(4+1)e6/(4+2)=833333, s(b,a)=(3+1)e6/(3+2)=800000
+      //         lm = (833333+833333+800000)/3 = 822222
+      (10L, "a b a b", "en", "src5", 1L),
+      // gibberish: every bigram unseen, contexts unseen → (0+1)e6/(0+2)
+      (11L, "x y z", "en", "src5", 1L),
+      // mixed: (833333 + (0+1)e6/(3+2)) / 2 = (833333+200000)/2 = 516666
+      (12L, "a b x", "en", "src5", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rows = QualityQueries.lmFluency(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // N=3: t1 = score at cum≥1 = 500000, t2 = score at cum≥3 = 822222
+    assert(rows(10L) === ((3L, 822222L, "head")))
+    assert(rows(11L) === ((2L, 500000L, "middle"))) // 500000 ≥ t1 exactly
+    assert(rows(12L) === ((2L, 516666L, "middle")))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
+
+  test("q83 histogram thresholds reproduce ANSI percentile_disc on real data") {
+    val out = QualityQueries.lmFluency(spark, "/root/testdata/sf0.001")
+    out.createOrReplaceTempView("lm_out")
+    val th = spark.sql(
+      """SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lm_score) AS BIGINT) AS t1,
+        |       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY lm_score) AS BIGINT) AS t2
+        |FROM lm_out""".stripMargin).collect()(0)
+    val (t1, t2) = (th.getLong(0), th.getLong(1))
+    val rows = out.collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val (s, b) = (r.getLong(2), r.getString(3))
+      val expect = if (s >= t2) "head" else if (s >= t1) "middle" else "tail"
+      assert(b === expect, s"doc ${r.getLong(0)} score $s bucketed $b, want $expect")
+    }
+    assert(rows.map(_.getString(3)).toSet === Set("head", "middle", "tail"))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
+
   test("domain blocklist matches any dot-boundary suffix of the host") {
     // hosts h0.example.com … h4.example.org: only doc 2 (h2.example.net)
     // has a blocklisted suffix — via the registrable-domain 'example.net',
