@@ -19,6 +19,16 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Adjacent-pairs (word-bigram) kernel shared by every bigram consumer
+    * (repetition quality, q81 collocations, q83 LM fluency): zip_with of
+    * the two shifted slices, so a 0/1-token array yields an EMPTY pair
+    * array — never `sequence(1, 0)`'s reversed range. The combiner shapes
+    * the per-pair output (string concat, struct, …). */
+  def adjacentPairs(a: Column)(f: (Column, Column) => Column): Column =
+    zip_with(
+      org.apache.spark.sql.functions.slice(a, lit(1), size(a) - 1),
+      org.apache.spark.sql.functions.slice(a, lit(2), size(a) - 1), f)
+
   /** Canonical form of a crawl URL (q69's normalization, shared with the
     * streaming dedup face): lowercase scheme + authority, strip the
     * scheme's OWN default port (:443 for https, :80 for http — ADVICE r3:

@@ -35,9 +35,7 @@ object QualityQueries {
         max(col("c")).as("max_word"))
     val arr = d.select(col("doc_id"), split(col("text"), " ").as("a"))
     val bigrams = arr.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("a"), lit(1), size(col("a")) - 1),
-        slice(col("a"), lit(2), size(col("a")) - 1),
+      explode(graft.ops.TextOps.adjacentPairs(col("a"))(
         (x, y) => concat(x, lit(" "), y))).as("bg"))
     val bc = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val bs = bc.groupBy(col("doc_id"))
@@ -560,11 +558,14 @@ object QualityQueries {
       .select(col("doc_id"), col("p"),
         expr(s"array_join(slice(a, (p - 1) * $w + 1, $w), ' ')").as("blk"))
       .withColumn("h", md5(col("blk")))
-      // (doc_id, p) packed order-preserving into one BIGINT so the argmin
-      // rollup below stays a primitive-min HashAggregate (a struct-min
-      // falls to SortAggregate — map+reduce sorts of the block stream).
-      // Bounds: doc_id < 2^31, p < 2^32 (a 2^32-block doc is >64G words).
-      .withColumn("pk", col("doc_id") * lit(4294967296L) + col("p"))
+      // (doc_id, p) packed order-preserving into one DECIMAL(38,0) so the
+      // argmin rollup below stays a fixed-width-min HashAggregate (a
+      // struct-min falls to SortAggregate — map+reduce sorts of the block
+      // stream). Decimal, not BIGINT: doc_id·2³²+p silently wraps negative
+      // at doc_id ≥ 2³¹ and the wrapped doc would WIN every argmin —
+      // decimal(38,0) holds any (long doc_id, p < 2³²) without a cliff.
+      .withColumn("pk",
+        expr("CAST(doc_id AS DECIMAL(38,0)) * 4294967296 + p"))
     // first corpus-wide occurrence of each distinct block wins
     val keeper = blocks.groupBy(col("h")).agg(min(col("pk")).as("kmin"))
     val kept = blocks.join(keeper, Seq("h")).where(col("pk") === col("kmin"))
@@ -845,9 +846,7 @@ object QualityQueries {
     val isTarget = col("source").isin(DsirTargetSources: _*)
     def bigrams(d: DataFrame): DataFrame = d
       .where(size(col("a")) >= 2)
-      .withColumn("b", explode(zip_with(
-        org.apache.spark.sql.functions.slice(col("a"), lit(1), size(col("a")) - 1),
-        org.apache.spark.sql.functions.slice(col("a"), lit(2), size(col("a")) - 1),
+      .withColumn("b", explode(graft.ops.TextOps.adjacentPairs(col("a"))(
         (x, y) => struct(x.as("w1"), y.as("w2")))))
       .select((d.columns.filter(c => c != "a" && c != "b").map(col) :+
         col("b.w1") :+ col("b.w2")): _*)
@@ -877,9 +876,16 @@ object QualityQueries {
     val th = cum.crossJoin(broadcast(nTot)).agg(
       min(when(col("cum") >= expr("(n + 3) div 4"), col("lm_score"))).as("t1"),
       min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("lm_score"))).as("t2"))
-    d.crossJoin(broadcast(th))
-      .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
-        when(col("lm_score") >= col("t2"), lit("head"))
+    // every raw doc gets a bucket (CCNet labels every page): docs too
+    // short to score (no bigrams — absent from d) land in 'tail'
+    // explicitly; thresholds are computed over SCORED docs only.
+    base.where(!isTarget).select(col("doc_id"))
+      .join(d, Seq("doc_id"), "left").crossJoin(broadcast(th))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        when(col("n_bigrams").isNull, lit("tail"))
+          .when(col("lm_score") >= col("t2"), lit("head"))
           .when(col("lm_score") >= col("t1"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
@@ -905,13 +911,20 @@ object QualityQueries {
     * TRAINED artifact of the selection: ≤[[DsirBuckets]] rows at any
     * corpus size, so it freezes/broadcasts/ships to a streaming scorer
     * ([[graft.streaming.DsirStreams]]) as a literal. */
-  private[graft] def dsirWeightsOf(g: DataFrame): DataFrame = {
+  private[graft] def dsirWeightsOf(g: DataFrame,
+                                   probedOnly: Boolean = true): DataFrame = {
     val isTarget = col("source").isin(DsirTargetSources: _*)
-    g.groupBy(col("b"))
+    val rolled = g.groupBy(col("b"))
       .agg(sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
         sum(when(isTarget, lit(0L)).otherwise(col("n"))).as("cr"))
-      .where(col("cr") > 0) // a bucket absent from raw can never be probed
-      .select(col("b"), expr(s"((ct + 1) * $DsirScale) DIV (cr + 1)").as("w"))
+    // probedOnly (the batch q80 selection): a bucket absent from raw can
+    // never be probed by THIS corpus, so it is dropped. A FROZEN apply
+    // table ([[graft.streaming.DsirStreams.trainWeights]]) will be probed
+    // by future documents, so target-only buckets (ct>0, cr=0) must keep
+    // their true smoothed weight (ct+1)·scale — the review found freeze()
+    // silently neutralizing exactly the most-target-characteristic buckets.
+    val kept = if (probedOnly) rolled.where(col("cr") > 0) else rolled
+    kept.select(col("b"), expr(s"((ct + 1) * $DsirScale) DIV (cr + 1)").as("w"))
   }
 
   /** score+select half of [[dsirSelect]], split so the spec can
@@ -1288,10 +1301,13 @@ object QualityOracles {
        |        CAST(sum(s) AS BIGINT) // count(*) AS lm_score FROM sc GROUP BY doc_id),
        |th AS (SELECT quantile_disc(lm_score, 0.25) AS t1,
        |              quantile_disc(lm_score, 0.75) AS t2 FROM d)
-       |SELECT doc_id, n_bigrams, lm_score,
-       |  CASE WHEN lm_score >= t2 THEN 'head'
-       |       WHEN lm_score >= t1 THEN 'middle' ELSE 'tail' END AS bucket
-       |FROM d, th ORDER BY doc_id""".stripMargin
+       |SELECT r.doc_id, COALESCE(d.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(d.lm_score, 0) AS lm_score,
+       |  CASE WHEN d.n_bigrams IS NULL THEN 'tail'
+       |       WHEN d.lm_score >= t2 THEN 'head'
+       |       WHEN d.lm_score >= t1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM (SELECT doc_id FROM raw) r LEFT JOIN d USING (doc_id), th
+       |ORDER BY r.doc_id""".stripMargin
   }
 
   val decontaminate: String = {

@@ -226,9 +226,7 @@ object TextQueries {
     val a = col("a")
     val uniArr = transform(a, t =>
       struct(lit(1).as("kind"), t.as("g1"), lit("").as("g2")))
-    val bigArr = zip_with(
-      org.apache.spark.sql.functions.slice(a, lit(1), size(a) - 1),
-      org.apache.spark.sql.functions.slice(a, lit(2), size(a) - 1),
+    val bigArr = graft.ops.TextOps.adjacentPairs(a)(
       (x, y) => struct(lit(2).as("kind"), x.as("g1"), y.as("g2")))
     d.select(split(col("text"), " ").as("a"))
       .select(explode(concat(uniArr, bigArr)).as("s"))

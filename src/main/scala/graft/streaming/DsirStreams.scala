@@ -39,10 +39,14 @@ object DsirStreams {
 
   /** Train the weight table from a batch corpus with (doc_id, text,
     * source) and freeze it: one token pass (explode → partial-agg groupBy
-    * → ≤B-row rollup), then the bounded collect. */
+    * → ≤B-row rollup), then the bounded collect. Unlike batch q80's
+    * probe-bounded table, the frozen table keeps target-only buckets
+    * (ct>0, cr=0) at their true smoothed weight (ct+1)·scale — a future
+    * stream WILL probe buckets this corpus's raw half never did, and the
+    * target-only ones are precisely the highest-signal features. */
   def trainWeights(corpus: DataFrame): Array[Long] =
     freeze(QualityQueries.dsirWeightsOf(
-      QualityQueries.dsirBucketCountsOf(corpus)))
+      QualityQueries.dsirBucketCountsOf(corpus), probedOnly = false))
 
   /** The per-doc scoring column: sum of frozen bucket weights over the
     * doc's tokens. element_at is 1-based; buckets are 0-based. */

@@ -354,7 +354,10 @@ class QualityQueriesSpec extends SparkTestBase {
       // gibberish: every bigram unseen, contexts unseen → (0+1)e6/(0+2)
       (11L, "x y z", "en", "src5", 1L),
       // mixed: (833333 + (0+1)e6/(3+2)) / 2 = (833333+200000)/2 = 516666
-      (12L, "a b x", "en", "src5", 1L))
+      (12L, "a b x", "en", "src5", 1L),
+      // single token: no bigrams — still labeled, explicitly 'tail',
+      // and excluded from the percentile thresholds
+      (13L, "solo", "en", "src5", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
 
@@ -365,6 +368,7 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(rows(10L) === ((3L, 822222L, "head")))
     assert(rows(11L) === ((2L, 500000L, "middle"))) // 500000 ≥ t1 exactly
     assert(rows(12L) === ((2L, 516666L, "middle")))
+    assert(rows(13L) === ((0L, 0L, "tail"))) // unscorable → explicit tail
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
 

@@ -57,4 +57,29 @@ class DsirStreamsSpec extends SparkTestBase {
       "streamed top-K diverges from the batch selection")
     org.apache.spark.sql.GraftCheckpoints.releaseAll()
   }
+
+  test("frozen table keeps target-only buckets at their true smoothed weight") {
+    // the review finding: dsirWeightsOf's batch-only cr>0 probe filter
+    // must NOT leak into the frozen apply table — a bucket seen only in
+    // the curated target (ct>0, cr=0) is the highest-signal feature a
+    // future stream can probe, (ct+1)·scale, never the neutral weight
+    import spark.implicits._
+    val Q = graft.queries.QualityQueries
+    val corpus = Seq(
+      (0L, "t1 t1 t1", Q.DsirTargetSources.head), // target-only bucket
+      (1L, "r1 r1", "srcRaw"))                    // raw-only bucket
+      .toDF("doc_id", "text", "source")
+    val frozen = DsirStreams.trainWeights(corpus)
+    val Seq(bT, bR) = spark.range(1)
+      .select(Q.dsirBucket(org.apache.spark.sql.functions.lit("t1")),
+        Q.dsirBucket(org.apache.spark.sql.functions.lit("r1")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long].toInt)
+    assert(bT != bR, "fixture tokens must hash to distinct buckets")
+    assert(frozen(bT) === (3L + 1) * Q.DsirScale,
+      "target-only bucket must carry (ct+1)*scale, not the neutral weight")
+    assert(frozen(bR) === (0L + 1) * Q.DsirScale / (2L + 1))
+    (0 until Q.DsirBuckets).filterNot(b => b == bT || b == bR)
+      .foreach(b => assert(frozen(b) === Q.DsirScale))
+    org.apache.spark.sql.GraftCheckpoints.releaseAll()
+  }
 }
