@@ -100,6 +100,7 @@ object SparkEntry {
     "q81_collocations" -> (graft.queries.TextQueries.collocations _),
     "q82_line_dedup" -> (graft.queries.QualityQueries.lineDedup _),
     "q83_lm_fluency" -> (graft.queries.QualityQueries.lmFluency _),
+    "q84_cm_heavy" -> (graft.queries.TextQueries.cmHeavy _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -188,6 +189,7 @@ object SparkEntry {
     "q81_collocations" -> graft.queries.TextOracles.collocations,
     "q82_line_dedup" -> graft.queries.QualityOracles.lineDedup,
     "q83_lm_fluency" -> graft.queries.QualityOracles.lmFluency,
+    "q84_cm_heavy" -> graft.queries.TextOracles.cmHeavy,
   )
 }
 

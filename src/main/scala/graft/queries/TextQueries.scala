@@ -235,6 +235,40 @@ object TextQueries {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** q84 support threshold (mirrored in [[TextOracles.cmHeavy]]). */
+  val CmHeavyMin = 40L
+
+  /** q84: threshold heavy hitters (all word bigrams with support ≥
+    * [[CmHeavyMin]]) via a Count-Min prefilter with exact refine — the
+    * sketch twin of q65's Bloom decontamination, and the THRESHOLD
+    * counterpart of q72's top-K (different machinery: q72 bounds the
+    * output size, q84 bounds the support).
+    *
+    * Scale shape: pass 1 folds the gram stream into ONE 32 KB Count-Min
+    * grid ([[graft.sql.CountMinAgg]] — map-side partial sketches, the
+    * exchange carries a single sketch row, never the key space); the
+    * frozen grid bakes into the plan as a literal (the q65 Bloom-literal
+    * pattern) and pass 2's `cm_est(g) ≥ T` prunes the long tail MAP-SIDE
+    * before the only key exchange — at 10^12 grams the exchange shrinks
+    * from |all keys| to |heavy candidates|. Because the estimate never
+    * undercounts, no truly-heavy key is pruned, and the exact recount +
+    * HAVING makes the output BYTE-EQUAL to the plain exact query the
+    * oracle runs (sketch error can only admit extra candidates, which the
+    * refine removes). */
+  def cmHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .select(split(col("text"), " ").as("a"))
+      .select(explode(graft.ops.TextOps.adjacentPairs(col("a"))(
+        (x, y) => concat_ws(" ", x, y))).as("g"))
+    // bounded driver collect: ONE 32 KB model artifact, never data rows
+    val sk = grams.agg(call_function("cm_sketch_agg", col("g")))
+      .collect()(0).getAs[Array[Byte]](0)
+    grams.where(call_function("cm_est", col("g"), lit(sk)) >= CmHeavyMin)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= CmHeavyMin)
+      .orderBy(col("g"))
+  }
+
   val PostingBuckets = 16
 
   /** Inverted-index posting store — the TEXT twin of the IVF serving
@@ -696,6 +730,15 @@ object TextOracles {
        |       g1, g2, c_bigram, c_left, c_right, score
        |FROM sc ORDER BY score DESC, g1, g2 LIMIT ${TextQueries.ColloTopK}"""
       .stripMargin
+
+  /** q84 mirror: the plain EXACT threshold query — the sketch prefilter
+    * must be invisible in the output (never-undercount + exact refine). */
+  val cmHeavy: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+       |ti AS (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM t),
+       |b AS (SELECT a[CAST(i AS INTEGER)] || ' ' || a[CAST(i + 1 AS INTEGER)] AS g FROM ti)
+       |SELECT g, count(*) AS c FROM b GROUP BY g
+       |HAVING count(*) >= ${TextQueries.CmHeavyMin} ORDER BY g""".stripMargin
 
   val heavyHitters: String =
     s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),

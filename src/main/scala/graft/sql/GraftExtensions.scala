@@ -111,6 +111,10 @@ object GraftFunctions {
         .toAggregateExpression()),
     "might_contain" -> (a =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))),
+    // Count-Min sketch (q84 threshold heavy hitters): constant-size
+    // mergeable aggregate + never-undercounting literal probe
+    "cm_sketch_agg" -> agg(CountMinAgg(_)) _,
+    "cm_est" -> (a => CmEst(a(0), a(1))),
     // raster serving
     "tile_to_png" -> (a => graft.raster.TileToPng(a(0), a(1), a(2), a(3))),
     // aggregates
