@@ -85,6 +85,10 @@ class RegistrySweepSpec extends SparkTestBase {
       "st_envelope_agg" -> s"st_envelope_agg($g)",
       "st_union_agg" -> s"st_union_agg($g)",
       "bloom_filter_agg" -> "bloom_filter_agg(xxhash64('probe'))",
+      "cm_sketch_agg" -> "cm_sketch_agg('probe term')",
+      // cm_est demands a FOLDABLE sketch (a plan literal): the zero grid
+      "cm_est" -> ("cm_est('probe term', X'" +
+        "00" * (CmSketch.Depth * CmSketch.Width * 8) + "')"),
       "might_contain" ->
         ("might_contain((SELECT bloom_filter_agg(xxhash64(CAST(id AS STRING))) " +
           "FROM range(10)), xxhash64('5'))"))
