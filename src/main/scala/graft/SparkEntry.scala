@@ -101,6 +101,8 @@ object SparkEntry {
     "q82_line_dedup" -> (graft.queries.QualityQueries.lineDedup _),
     "q83_lm_fluency" -> (graft.queries.QualityQueries.lmFluency _),
     "q84_cm_heavy" -> (graft.queries.TextQueries.cmHeavy _),
+    "q85_hybrid_rank" -> (graft.queries.TextQueries.hybridRank _),
+    "q86_warc_ingest" -> (graft.queries.TextQueries.warcIngest _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -190,6 +192,8 @@ object SparkEntry {
     "q82_line_dedup" -> graft.queries.QualityOracles.lineDedup,
     "q83_lm_fluency" -> graft.queries.QualityOracles.lmFluency,
     "q84_cm_heavy" -> graft.queries.TextOracles.cmHeavy,
+    "q85_hybrid_rank" -> graft.queries.TextOracles.hybridRank,
+    "q86_warc_ingest" -> graft.queries.TextOracles.warcIngest,
   )
 }
 

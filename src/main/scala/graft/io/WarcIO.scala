@@ -1,0 +1,195 @@
+package graft.io
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** One parsed WARC record (ISO 28500). `payload` is the raw record block
+  * (for `response` records: the HTTP message or bare content bytes);
+  * `record_offset` is the record's byte offset in the UNCOMPRESSED stream
+  * of its source file — stable replay coordinates for lineage. */
+case class WarcRecord(
+    source_file: String,
+    record_offset: Long,
+    warc_type: String,
+    record_id: String,
+    target_uri: String,
+    warc_date: String,
+    content_type: String,
+    content_length: Long,
+    payload: Array[Byte])
+
+/** WARC (Web ARChive, ISO 28500) source/sink — the container format
+  * Common-Crawl-style pages tables are ingested from. Spark-first shape:
+  * `binaryFile` hands each archive to ONE task (WARC archives are sized
+  * ~1 GB precisely so that file-per-task is the unit of parallelism — a
+  * 100 TB crawl is ~10⁵ files → 10⁵ embarrassingly parallel parse tasks,
+  * no shuffle anywhere in ingest), and the parser is a streaming
+  * single-pass state machine over the member stream, so per-record work
+  * is allocation-bounded by that record's own Content-Length.
+  *
+  * Compression: the reader transparently handles both plain `.warc` and
+  * `.warc.gz` where EACH RECORD is its own gzip member (the Common Crawl
+  * convention — members concatenate into one valid gzip stream, which is
+  * exactly what `GZIPInputStream` consumes; per-member framing is what
+  * makes offset-indexed range reads possible on the real archive, and the
+  * writer below emits it so round-trips preserve that property).
+  */
+object WarcIO {
+
+  val Version = "WARC/1.0"
+
+  // ---------------------------------------------------------------- read
+
+  /** All records of every WARC file under `path` matched by `globFilter`,
+    * one task per file. Column names mirror the WARC header fields
+    * (lower_snake). `pathGlobFilter` rather than a glob-in-path keeps the
+    * datasource's streaming-sink metadata probe off a nonexistent literal
+    * path (it logs a spurious FileNotFoundException trace otherwise). */
+  def read(spark: SparkSession, path: String,
+           globFilter: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseAll(path, bytes) }
+      .toDF()
+  }
+
+  /** Parse one archive's bytes (gzip-member stream or plain) into records.
+    * Iterator-shaped so a caller holding the file bytes streams records
+    * out without a second corpus-sized buffer. */
+  def parseAll(sourceFile: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val gz = bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+    val in = new BufferedInputStream(
+      if (gz) new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      else new ByteArrayInputStream(bytes), 1 << 16)
+    new Iterator[WarcRecord] {
+      private var offset = 0L
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private def advance(): Unit = {
+        if (nextRec != null || done) return
+        // skip inter-record CRLFs (two after each block, tolerant to more)
+        var c = in.read(); var skipped = 0
+        while (c == '\r' || c == '\n') { skipped += 1; c = in.read() }
+        offset += skipped
+        if (c < 0) { done = true; return }
+        val recStart = offset
+        val first = new StringBuilder
+        first.append(c.toChar)
+        nextRec = parseOne(sourceFile, recStart, in, first, n => offset += n)
+        offset += 1 // the first byte read above
+      }
+      def hasNext: Boolean = { advance(); nextRec != null }
+      def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** One record: version line, header lines to the blank line, then
+    * exactly Content-Length payload bytes. Fails loudly with file+offset
+    * coordinates — a silent partial parse of a crawl archive is data loss. */
+  private def parseOne(src: String, recStart: Long, in: InputStream,
+                       firstPartial: StringBuilder,
+                       count: Int => Unit): WarcRecord = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"malformed WARC record in $src at uncompressed offset $recStart: $msg")
+    def readLine(seed: StringBuilder): String = {
+      val sb = seed
+      var c = in.read()
+      while (c >= 0 && c != '\n') { sb.append(c.toChar); count(1); c = in.read() }
+      if (c < 0) fail("EOF inside header")
+      count(1) // the \n
+      val s = sb.toString
+      if (s.endsWith("\r")) s.dropRight(1) else s
+    }
+    val version = readLine(firstPartial)
+    if (version != Version) fail(s"expected '$Version' version line, got '$version'")
+    var headers = Map.empty[String, String]
+    var line = readLine(new StringBuilder)
+    while (line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i <= 0) fail(s"header line without ':': '$line'")
+      headers += (line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
+      line = readLine(new StringBuilder)
+    }
+    val len = headers.getOrElse("content-length", fail("missing Content-Length"))
+      .toLongOption.getOrElse(fail("non-numeric Content-Length"))
+    if (len < 0 || len > Int.MaxValue - 8) fail(s"unreasonable Content-Length $len")
+    val payload = new Array[Byte](len.toInt)
+    var got = 0
+    while (got < len) {
+      val n = in.read(payload, got, len.toInt - got)
+      if (n < 0) fail(s"payload truncated at $got of $len bytes")
+      got += n
+    }
+    count(len.toInt)
+    WarcRecord(
+      source_file = src,
+      record_offset = recStart,
+      warc_type = headers.getOrElse("warc-type", ""),
+      record_id = headers.getOrElse("warc-record-id", ""),
+      target_uri = headers.getOrElse("warc-target-uri", ""),
+      warc_date = headers.getOrElse("warc-date", ""),
+      content_type = headers.getOrElse("content-type", ""),
+      content_length = len,
+      payload = payload)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Serialize one record (headers emitted in fixed order → deterministic
+    * bytes for fixtures and replay-stable offsets). */
+  def recordBytes(warcType: String, recordId: String, targetUri: String,
+                  warcDate: String, contentType: String,
+                  payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h.append(Version).append("\r\n")
+    h.append("WARC-Type: ").append(warcType).append("\r\n")
+    h.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    if (targetUri.nonEmpty) h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    h.append("WARC-Date: ").append(warcDate).append("\r\n")
+    if (contentType.nonEmpty) h.append("Content-Type: ").append(contentType).append("\r\n")
+    h.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = h.toString.getBytes("ISO-8859-1")
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** shields the shared file stream from per-member gzip close(). */
+  private final class NoCloseOut(o: java.io.OutputStream)
+      extends java.io.FilterOutputStream(o) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
+
+  /** Write records to one local `.warc.gz` (each record its own gzip
+    * member — the Common Crawl framing) or plain `.warc`. */
+  def writeLocal(records: Iterator[(String, String, String, String, String, Array[Byte])],
+                 file: java.io.File, gzipPerRecord: Boolean = true): Unit = {
+    val fos = new java.io.FileOutputStream(file)
+    try {
+      records.foreach { case (t, id, uri, date, ct, payload) =>
+        val rec = recordBytes(t, id, uri, date, ct, payload)
+        if (gzipPerRecord) {
+          // close() releases the member's Deflater; NoCloseOut keeps fos open
+          val g = new GZIPOutputStream(new NoCloseOut(fos), 1 << 16)
+          g.write(rec); g.close()
+        } else fos.write(rec)
+      }
+    } finally fos.close()
+  }
+}

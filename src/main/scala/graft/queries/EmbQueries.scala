@@ -478,7 +478,7 @@ object EmbOracles {
 
   /** sequential-order dot product in DuckDB (list_sum over an index
     * transform — same i-order as the Spark left fold). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   private def dotLitSql(a: String, w: Seq[Double]): String = {

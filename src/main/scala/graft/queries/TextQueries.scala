@@ -24,6 +24,82 @@ object TextQueries {
         col("html_len"))
       .orderBy(col("doc_id"))
 
+  /** q86 WARC ingest round-trip: the corpus is serialized to Common-Crawl
+    * framing (`.warc.gz`, one gzip member per record — [[graft.io.WarcIO]])
+    * and parsed back; the gate compares doc ids, byte lengths, dates and
+    * payload md5 against the ORIGINAL parquet, so any header or payload
+    * corruption in either direction of the codec is a hash mismatch. The
+    * fixture staging is fingerprint-keyed ([[StageCache.dir]]); ingest
+    * itself is file-per-task with zero shuffle before the output sort —
+    * the exact shape a 10⁵-file crawl dump wants. */
+  val WarcFiles = 8
+
+  private val warcStageLock = new Object
+
+  /** Stage the corpus as WARC files once per (input fingerprint, framing
+    * derivation); concurrent processes race safely on the atomic rename
+    * (same choreography as [[StageCache.publish]]). */
+  def warcFixture(spark: SparkSession, sfDir: String): java.io.File = {
+    val dir = StageCache.dir(s"$sfDir/documents.parquet", "warc_fixture",
+      s"gzmember:html:iso:f$WarcFiles:v1")
+    warcStageLock.synchronized {
+      if (!StageCache.isPublished(dir)) {
+        val tmp = new java.io.File(dir.getParentFile,
+          dir.getName + ".tmp-" + java.lang.ProcessHandle.current().pid())
+        tmp.mkdirs()
+        val tmpPath = tmp.getAbsolutePath
+        docs(spark, sfDir)
+          .select(col("doc_id"), col("url"), col("warc_epoch"), col("html"))
+          .repartition(WarcFiles, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+                .withZone(java.time.ZoneOffset.UTC)
+              val f = new java.io.File(tmpPath, f"part-$pid%05d.warc.gz")
+              graft.io.WarcIO.writeLocal(it.map { r =>
+                val docId = r.getLong(0)
+                ("response", s"<urn:graft:$docId>", r.getString(1),
+                  fmt.format(java.time.Instant.ofEpochSecond(r.getLong(2))),
+                  "application/http; msgtype=response",
+                  r.getAs[Array[Byte]](3))
+              }, f)
+            }
+          }
+        new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            // another process published first — deterministic bytes, drop ours
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(tmp)
+        }
+      }
+    }
+    dir
+  }
+
+  def warcIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = warcFixture(spark, sfDir)
+    graft.io.WarcIO.read(spark, dir.getAbsolutePath, "*.warc.gz")
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        unix_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
+          .as("warc_epoch"),
+        col("content_length"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Collection sort + head (collections.py:158-177 + slicing). */
   def sortTopN(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -145,6 +221,54 @@ object TextQueries {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("dl"),
         col("tf0"), col("tf1"), col("tf2"), col("score"))
+  }
+
+  /** q85 hybrid retrieval: BM25 lexical top-[[HybridK]] fused with
+    * embedding-cosine semantic top-[[HybridK]] (probe = vector 0, the
+    * documents/embeddings tables share the 0..N id space) by Reciprocal
+    * Rank Fusion. The fused score is INTEGER-exact —
+    * `rrf_nano = Σ_leg 10⁹ div (60 + rank_leg)` over the leg ranks, 0 when
+    * the doc missed a leg — so fusion ordering never touches a float
+    * (Cormack et al.'s 1/(k+r) with k=60, nano-scaled and floored; the
+    * leg ranks themselves are the q67/q20-proven deterministic orderings).
+    * Scale shape: each leg ends in a TakeOrderedAndProject(K) — a K-row
+    * driver-bounded frame — so the full-outer fusion join touches 2K rows
+    * no matter the corpus size; the only corpus-sized work is the two
+    * scans the legs already own. */
+  val HybridK = 20
+  val HybridTop = 10
+  val RrfK0 = 60
+
+  def hybridRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.EmbQueries.dotCols
+    val lex = bm25Rank(spark, sfDir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"), col("norm").as("qnorm"))
+    val sem = emb.join(broadcast(probe))
+      .select(col("vec_id"),
+        (dotCols(col("embedding"), col("qemb")) / (col("qnorm") * col("norm"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(HybridK)
+      // rank AFTER the top-k limit: the unpartitioned window sees K rows
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
+      .withColumn("rrf_nano",
+        when(col("lex_rank") > 0,
+          expr(s"1000000000 div ($RrfK0 + lex_rank)")).otherwise(lit(0L)) +
+          when(col("sem_rank") > 0,
+            expr(s"1000000000 div ($RrfK0 + sem_rank)")).otherwise(lit(0L)))
+    fused.orderBy(col("rrf_nano").desc, col("doc_id")).limit(HybridTop)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_nano").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_nano"))
   }
 
   /** Corpus heavy hitters (q72): the exact top-K most frequent word
@@ -671,8 +795,8 @@ object TextOracles {
 
   /** q67: same rational BM25 — only BIGINT products and IEEE + * / in the
     * same operation order as the Spark plan, so the double score is
-    * bit-identical. */
-  val bm25Rank: String = {
+    * bit-identical. The CTE chain is shared with the q85 hybrid oracle. */
+  private def bm25Ctes: String = {
     val ts = TextQueries.Bm25Terms
     val tfDefs = ts.indices.map(i =>
       s"len(list_filter(a, x -> x = '${ts(i)}')) AS tf$i").mkString(",\n  ")
@@ -684,17 +808,59 @@ object TextOracles {
          | * (CAST(tf$i*sum_dl*20 AS DOUBLE)
          |    / CAST(tf$i*sum_dl*8 + sum_dl*3 + dl*n_docs*9 AS DOUBLE))"""
         .stripMargin).mkString("\n  + ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
        |tf AS (SELECT doc_id, len(a) AS dl,
        |  $tfDefs FROM toks),
        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        |  $dfDefs FROM tf),
        |sc AS (SELECT doc_id, dl, tf0, tf1, tf2,
        |  $termSum AS score
-       |  FROM tf, s)
+       |  FROM tf, s)""".stripMargin
+  }
+
+  val bm25Rank: String =
+    s"""WITH $bm25Ctes
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        |       doc_id, dl, tf0, tf1, tf2, score
        |FROM sc ORDER BY score DESC, doc_id LIMIT ${TextQueries.Bm25TopK}"""
+      .stripMargin
+
+  /** q85 mirror: the same BM25 score chain and the q20-proven sequential
+    * cosine fold feed integer RRF — `10⁹ // (k0 + rank)` — so the fused
+    * ordering is float-free on both sides. */
+  val hybridRank: String = {
+    val k = TextQueries.HybridK
+    val k0 = TextQueries.RrfK0
+    s"""WITH $bm25Ctes,
+       |lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |  FROM sc ORDER BY score DESC, doc_id LIMIT $k),
+       |e AS (SELECT vec_id, embedding,
+       |             sqrt(${EmbOracles.dotSql("embedding", "embedding")}) AS norm
+       |      FROM embeddings),
+       |p AS (SELECT embedding AS qemb, norm AS qnorm FROM e WHERE vec_id = 0),
+       |cosr AS (SELECT e.vec_id,
+       |                ${EmbOracles.dotSql("e.embedding", "p.qemb")} / (p.qnorm * e.norm) AS cos
+       |         FROM e CROSS JOIN p),
+       |sem AS (
+       |  SELECT vec_id AS doc_id,
+       |         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS sem_rank
+       |  FROM cosr ORDER BY cos DESC, vec_id LIMIT $k),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+       |         COALESCE(l.lex_rank, 0) AS lex_rank,
+       |         COALESCE(m.sem_rank, 0) AS sem_rank
+       |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id),
+       |scored AS (
+       |  SELECT doc_id, lex_rank, sem_rank,
+       |         CAST(CASE WHEN lex_rank > 0 THEN 1000000000 // ($k0 + lex_rank) ELSE 0 END
+       |            + CASE WHEN sem_rank > 0 THEN 1000000000 // ($k0 + sem_rank) ELSE 0 END
+       |           AS BIGINT) AS rrf_nano
+       |  FROM fused)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank,
+       |       doc_id, lex_rank, sem_rank, rrf_nano
+       |FROM scored ORDER BY rrf_nano DESC, doc_id LIMIT ${TextQueries.HybridTop}"""
       .stripMargin
   }
 
@@ -749,6 +915,17 @@ object TextOracles {
        |c AS (SELECT g, count(*) AS c FROM g GROUP BY g)
        |SELECT CAST(row_number() OVER (ORDER BY c DESC, g) AS INT) AS rank, g, c
        |FROM c ORDER BY c DESC, g LIMIT ${TextQueries.HeavyK}""".stripMargin
+
+  /** q86 mirror: straight off the parquet — the WARC write→parse round
+    * trip on the Spark side must reproduce these values byte-exactly
+    * (same warc_epoch chain as the q70 crawl-diff oracle). */
+  val warcIngest: String =
+    """SELECT doc_id,
+      |  'https://example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+      |  1704067200 + (CAST(doc_id AS BIGINT) * 7919) % 31536000 AS warc_epoch,
+      |  CAST(octet_length(encode('<html>' || text || '</html>')) AS BIGINT) AS content_length,
+      |  md5('<html>' || text || '</html>') AS payload_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val textIdentity: String =
     """SELECT doc_id, text, md5(text) AS text_md5,

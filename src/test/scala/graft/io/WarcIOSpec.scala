@@ -1,0 +1,100 @@
+package graft.io
+
+import graft.sql.SparkTestBase
+
+/** WARC codec contracts: round-trip identity on both framings, Common
+  * Crawl per-record gzip members, offset coordinates, and loud failure on
+  * the malformed inputs a crawl pipeline actually meets (truncation,
+  * missing length, wrong version). */
+class WarcIOSpec extends SparkTestBase {
+
+  private def rec(i: Int, payload: Array[Byte]) =
+    ("response", s"<urn:test:$i>", s"https://example.org/p/$i",
+      "2024-03-01T12:00:00Z", "application/http; msgtype=response", payload)
+
+  private def tmpFile(suffix: String): java.io.File = {
+    val f = java.io.File.createTempFile("warcspec", suffix)
+    f.deleteOnExit(); f
+  }
+
+  test("gz round-trip: every field and payload byte survives") {
+    val payloads = (0 until 5).map { i =>
+      Array.tabulate[Byte](100 + 37 * i)(j => ((i * 131 + j * 7) % 251).toByte)
+    }
+    val f = tmpFile(".warc.gz")
+    WarcIO.writeLocal(payloads.zipWithIndex.map { case (p, i) => rec(i, p) }.iterator, f)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // Common Crawl framing: N gzip member headers in the file
+    val members = bytes.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b)
+    assert(members >= 5, s"expected one gzip member per record, saw $members headers")
+
+    val out = WarcIO.parseAll(f.getName, bytes).toVector
+    assert(out.size == 5)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.warc_type == "response" && r.record_id == s"<urn:test:$i>")
+      assert(r.target_uri == s"https://example.org/p/$i")
+      assert(r.warc_date == "2024-03-01T12:00:00Z")
+      assert(r.content_length == payloads(i).length.toLong)
+      assert(java.util.Arrays.equals(r.payload, payloads(i)), s"payload $i differs")
+    }
+    // offsets strictly increase and start at 0 in the uncompressed stream
+    assert(out.head.record_offset == 0L)
+    assert(out.map(_.record_offset) == out.map(_.record_offset).sorted)
+    assert(out.map(_.record_offset).distinct.size == 5)
+  }
+
+  test("plain .warc framing parses identically") {
+    val payload = "hello warc body".getBytes("UTF-8")
+    val f = tmpFile(".warc")
+    WarcIO.writeLocal(Iterator(rec(0, payload)), f, gzipPerRecord = false)
+    val out = WarcIO.parseAll(f.getName, java.nio.file.Files.readAllBytes(f.toPath)).toVector
+    assert(out.size == 1 && new String(out.head.payload, "UTF-8") == "hello warc body")
+  }
+
+  test("empty payload record is legal (Content-Length: 0)") {
+    val f = tmpFile(".warc.gz")
+    WarcIO.writeLocal(Iterator(rec(0, Array.emptyByteArray)), f)
+    val out = WarcIO.parseAll(f.getName, java.nio.file.Files.readAllBytes(f.toPath)).toVector
+    assert(out.size == 1 && out.head.content_length == 0L && out.head.payload.isEmpty)
+  }
+
+  test("truncated payload fails loudly with file+offset coordinates") {
+    val full = WarcIO.recordBytes("response", "<urn:t:0>", "u", "d", "ct",
+      Array.fill[Byte](64)(7))
+    val cut = full.dropRight(30)
+    val e = intercept[IllegalArgumentException] {
+      WarcIO.parseAll("cut.warc", cut).toVector
+    }
+    assert(e.getMessage.contains("cut.warc") && e.getMessage.contains("truncated"))
+  }
+
+  test("missing Content-Length and wrong version line are rejected") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("ISO-8859-1")
+    val e1 = intercept[IllegalArgumentException] {
+      WarcIO.parseAll("nolen.warc", noLen).toVector
+    }
+    assert(e1.getMessage.contains("Content-Length"))
+    val badVer = ("WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n").getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException] {
+      WarcIO.parseAll("badver.warc", badVer).toVector
+    }
+    assert(e2.getMessage.contains("version"))
+  }
+
+  test("spark read: file-per-task ingest, no shuffle before the output") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspark").toFile
+    (0 until 3).foreach { fi =>
+      WarcIO.writeLocal((0 until 4).map(i =>
+        rec(fi * 10 + i, s"file $fi rec $i".getBytes("UTF-8"))).iterator,
+        new java.io.File(dir, f"part-$fi%05d.warc.gz"))
+    }
+    val df = WarcIO.read(spark, dir.getAbsolutePath, "*.warc.gz")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ingest must be shuffle-free:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 12)
+    val uris = rows.map(_.getAs[String]("target_uri")).toSet
+    assert(uris == (0 until 3).flatMap(fi => (0 until 4).map(i =>
+      s"https://example.org/p/${fi * 10 + i}")).toSet)
+  }
+}
