@@ -103,6 +103,7 @@ object SparkEntry {
     "q84_cm_heavy" -> (graft.queries.TextQueries.cmHeavy _),
     "q85_hybrid_rank" -> (graft.queries.TextQueries.hybridRank _),
     "q86_warc_ingest" -> (graft.queries.TextQueries.warcIngest _),
+    "q87_ann_recall" -> (graft.queries.EmbQueries.annRecall _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -194,6 +195,7 @@ object SparkEntry {
     "q84_cm_heavy" -> graft.queries.TextOracles.cmHeavy,
     "q85_hybrid_rank" -> graft.queries.TextOracles.hybridRank,
     "q86_warc_ingest" -> graft.queries.TextOracles.warcIngest,
+    "q87_ann_recall" -> graft.queries.EmbOracles.annRecall,
   )
 }
 

@@ -171,6 +171,29 @@ object EmbQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q87 ANN recall evaluation: recall@K of the trained-IVF serving path
+    * ([[ivfAnn]]) against the brute-force exact ground truth
+    * ([[knnCosine]]), per probe — the quality gate every approximate
+    * index ships with (an ANN layout is only deployable alongside its
+    * measured recall). `recall_bp = hits·10⁴ div K` is integer-exact.
+    * Scale shape: both legs are driver-bounded top-k frames (≤ probes·K
+    * rows), so the eval join/rollup is free at any corpus size — the
+    * whole cost is the two legs, which is the definition of the metric.
+    * hits ≥ 1 by construction: a probe's best cell IS its assigned cell
+    * (same argmax, same tie-break), so every probe retrieves itself. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = knnCosine(spark, sfDir).select(col("qid"), col("vec_id"))
+    val approx = ivfAnn(spark, sfDir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    // approx is ≤ probes·K rows by construction — broadcast beats the
+    // SortMergeJoin Spark picks for the two window-bearing legs
+    truth.join(broadcast(approx), Seq("qid", "vec_id"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr(s"hits * 10000 div $K"))
+      .orderBy(col("qid"))
+  }
+
   /** rank cells for `df` against a centroid table (max dot; ties → lowest
     * cell id — the oracle's ROW_NUMBER ordering). */
   private def cellRank(df: DataFrame, cents: DataFrame, rankCol: String): DataFrame = {
@@ -563,6 +586,17 @@ object EmbOracles {
     (0 until LshBits).map { j =>
       s"(CASE WHEN ${dotLitSql(emb, planeWeights(j))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** q87 mirror: both leg statements verbatim as derived tables (their
+    * WITH chains are scoped inside the parens, so the shared CTE names
+    * don't collide), joined and rolled up with integer recall. */
+  val annRecall: String =
+    s"""SELECT t.qid, CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |       CAST((count(a.vec_id) * 10000) // $K AS BIGINT) AS recall_bp
+       |FROM (SELECT qid, vec_id FROM ($knnCosine) tt) t
+       |LEFT JOIN (SELECT qid, vec_id FROM ($ivfAnn) aa) a
+       |  ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
   val lshBuckets: String =
     s"""SELECT bucket, count(*) AS n, min(vec_id) AS min_vec FROM (

@@ -81,6 +81,38 @@ class WarcIOSpec extends SparkTestBase {
     assert(e2.getMessage.contains("version"))
   }
 
+  test("seeded fuzz: adversarial payloads never confuse the framing") {
+    // payloads embedding CRLFs, fake version lines, fake headers, gzip
+    // magic, and every byte value — the parser is length-delimited, so
+    // record boundaries must come ONLY from Content-Length
+    val rnd = new scala.util.Random(20260818)
+    val adversarial = Vector(
+      "\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 999\r\n\r\n".getBytes("ISO-8859-1"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0),
+      Array.tabulate[Byte](256)(_.toByte),
+      Array.emptyByteArray,
+      "Content-Length: 0\r\n\r\n\r\n\r\n".getBytes("ISO-8859-1"))
+    (0 until 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(6)
+      val payloads = (0 until n).map { _ =>
+        if (rnd.nextBoolean()) adversarial(rnd.nextInt(adversarial.size))
+        else Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      }
+      val gz = rnd.nextBoolean()
+      val f = tmpFile(if (gz) ".warc.gz" else ".warc")
+      WarcIO.writeLocal(payloads.zipWithIndex.map { case (p, i) => rec(i, p) }.iterator,
+        f, gzipPerRecord = gz)
+      val out = WarcIO.parseAll(s"fuzz$trial", java.nio.file.Files.readAllBytes(f.toPath)).toVector
+      assert(out.size == n, s"trial $trial: got ${out.size} of $n records")
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.record_id == s"<urn:test:$i>", s"trial $trial record $i order")
+        assert(java.util.Arrays.equals(r.payload, payloads(i)),
+          s"trial $trial record $i payload")
+      }
+      f.delete()
+    }
+  }
+
   test("spark read: file-per-task ingest, no shuffle before the output") {
     val dir = java.nio.file.Files.createTempDirectory("warcspark").toFile
     (0 until 3).foreach { fi =>
