@@ -104,6 +104,7 @@ object SparkEntry {
     "q85_hybrid_rank" -> (graft.queries.TextQueries.hybridRank _),
     "q86_warc_ingest" -> (graft.queries.TextQueries.warcIngest _),
     "q87_ann_recall" -> (graft.queries.EmbQueries.annRecall _),
+    "q88_link_extract" -> (graft.queries.GraphQueries.linkExtract _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -196,6 +197,7 @@ object SparkEntry {
     "q85_hybrid_rank" -> graft.queries.TextOracles.hybridRank,
     "q86_warc_ingest" -> graft.queries.TextOracles.warcIngest,
     "q87_ann_recall" -> graft.queries.EmbOracles.annRecall,
+    "q88_link_extract" -> graft.queries.GraphOracles.linkExtract,
   )
 }
 

@@ -69,6 +69,45 @@ object GraphQueries {
     }
     ranks.orderBy(col("r").desc, col("node")).limit(TopK)
   }
+
+  /** q88 outlink extraction — the operator that turns raw HTML into the
+    * edge table q74 ranks: anchor hrefs pulled by `regexp_extract_all`
+    * (codegen'd, map-side), relative URLs resolved against the site root,
+    * dst ids parsed back out. The anchors are injected deterministically
+    * from the [[Offsets]] edge arithmetic (absolute form for the ring
+    * link, relative for the others — both resolution branches exercised),
+    * so the extracted graph must equal [[edges]] exactly (spec) AND the
+    * DuckDB regex engine's view of the same pages (oracle). Scale shape:
+    * ONE projection + explode, zero joins, zero aggregates — link
+    * extraction over 10^12 pages is embarrassingly parallel and this plan
+    * keeps it that way (the final sort exists only for the gate). */
+  def linkExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val d = docs(spark, sfDir).select(col("doc_id").as("src"))
+    def anchor(urlPrefix: String, off: Long) = concat(
+      lit(s"<a href='$urlPrefix"),
+      pmod(col("src") + off, lit(n)).cast("string"), lit("'>x</a>"))
+    val linked = d.withColumn("html2", concat(
+      lit("<html><body>"),
+      anchor("https://example.org/d/", Offsets(0)),
+      when(pmod(col("src"), lit(3)) >= 1, anchor("/d/", Offsets(1)))
+        .otherwise(lit("")),
+      when(pmod(col("src"), lit(3)) === 2, anchor("/d/", Offsets(2)))
+        .otherwise(lit("")),
+      lit("</body></html>")))
+    linked
+      .select(col("src"), explode(regexp_extract_all(col("html2"),
+        lit("<a href='([^']+)'"), lit(1))).as("href"))
+      .withColumn("dst_url",
+        when(col("href").startsWith("/"),
+          concat(lit("https://example.org"), col("href")))
+          .otherwise(col("href")))
+      .select(col("src"),
+        regexp_extract(col("dst_url"), "/d/([0-9]+)$", 1)
+          .cast("long").as("dst"),
+        col("dst_url"))
+      .orderBy(col("src"), col("dst"))
+  }
 }
 
 object GraphOracles {
@@ -93,5 +132,28 @@ object GraphOracles {
        |$rounds
        |SELECT node, r FROM p${GraphQueries.Iters}
        |ORDER BY r DESC, node LIMIT ${GraphQueries.TopK}""".stripMargin
+  }
+
+  /** q88 mirror: DuckDB builds the same anchor-bearing pages and must
+    * extract the identical edge set with ITS regex engine. */
+  val linkExtract: String = {
+    val offs = GraphQueries.Offsets
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |l AS (SELECT doc_id AS src,
+       |  '<html><body><a href=''https://example.org/d/'
+       |    || CAST((doc_id + ${offs(0)}) % nn.n AS VARCHAR) || '''>x</a>'
+       |  || CASE WHEN doc_id % 3 >= 1 THEN '<a href=''/d/'
+       |       || CAST((doc_id + ${offs(1)}) % nn.n AS VARCHAR) || '''>x</a>' ELSE '' END
+       |  || CASE WHEN doc_id % 3 = 2 THEN '<a href=''/d/'
+       |       || CAST((doc_id + ${offs(2)}) % nn.n AS VARCHAR) || '''>x</a>' ELSE '' END
+       |  || '</body></html>' AS html2
+       |  FROM documents, nn),
+       |h AS (SELECT src, unnest(regexp_extract_all(html2, '<a href=''([^'']+)''', 1)) AS href
+       |      FROM l),
+       |r AS (SELECT src,
+       |  CASE WHEN href LIKE '/%' THEN 'https://example.org' || href ELSE href END AS dst_url
+       |  FROM h)
+       |SELECT src, CAST(regexp_extract(dst_url, '/d/([0-9]+)$$', 1) AS BIGINT) AS dst, dst_url
+       |FROM r ORDER BY src, dst""".stripMargin
   }
 }
