@@ -105,6 +105,7 @@ object SparkEntry {
     "q86_warc_ingest" -> (graft.queries.TextQueries.warcIngest _),
     "q87_ann_recall" -> (graft.queries.EmbQueries.annRecall _),
     "q88_link_extract" -> (graft.queries.GraphQueries.linkExtract _),
+    "q89_corpus_card" -> (graft.queries.QualityQueries.corpusCard _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -198,6 +199,7 @@ object SparkEntry {
     "q86_warc_ingest" -> graft.queries.TextOracles.warcIngest,
     "q87_ann_recall" -> graft.queries.EmbOracles.annRecall,
     "q88_link_extract" -> graft.queries.GraphOracles.linkExtract,
+    "q89_corpus_card" -> graft.queries.QualityOracles.corpusCard,
   )
 }
 

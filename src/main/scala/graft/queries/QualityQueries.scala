@@ -210,26 +210,49 @@ object QualityQueries {
 
   /** The q73 scorer over ANY (doc_id, text) frame — factored so the
     * oracle-gated query and [[graft.jobs.TrainingDataJob]]'s quality gate
-    * evaluate the exact same expressions. Map-side only. */
-  def scoreDocs(d0: DataFrame): DataFrame = {
+    * evaluate the exact same expressions. Map-side only. `carry` columns
+    * ride through the projection untouched (q89's report dimensions). */
+  def scoreDocs(d0: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val a = split(col("text"), " ")
     val stop = filter(a, x => x.isin(StopWords: _*))
-    val d = d0.select(col("doc_id"), col("text"),
+    val cc = carry.map(col)
+    val d = d0.select(Seq(col("doc_id"), col("text")) ++ cc ++ Seq(
       size(a).cast("long").as("n_words"),
       size(stop).cast("long").as("n_stop"),
       size(array_distinct(a)).cast("long").as("n_distinct"),
       (length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"))
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit")): _*)
     // `text` rides along so a pipeline caller can FILTER in the same
     // map-side projection — no survivor re-join (round-4 review #2);
     // the gate query drops it.
-    d.select(col("doc_id"), col("text"), col("n_words"), col("n_stop"),
+    d.select(Seq(col("doc_id"), col("text")) ++ cc ++ Seq(
+        col("n_words"), col("n_stop"),
         col("n_distinct"), col("n_digit"),
         (expr("n_stop * 10000 div n_words") * 2L +
           expr("n_distinct * 10000 div n_words") * 3L -
-          expr("n_digit * 10000 div greatest(length(text), 1)") * 5L).as("score"))
+          expr("n_digit * 10000 div greatest(length(text), 1)") * 5L).as("score")): _*)
       .withColumn("keep", col("score") >= KeepThresholdBp)
   }
+
+  /** q89 corpus card: the per-(lang, source) dataset report every corpus
+    * release ships (Dolma/RefinedWeb-style): volume, token mass, quality
+    * pass-rate, score mass, length extremes. Plan = the q73 map-side
+    * feature projection (no explode, no join) carrying the report
+    * dimensions through, then ONE G-row groupBy exchange — a corpus
+    * report at 10^12 docs costs exactly one aggregation pass. Division
+    * operands stay non-negative (`keep_bp`), so `div`↔`//` mirror exactly;
+    * the possibly-negative score aggregates ship as sums, never divided. */
+  def corpusCard(spark: SparkSession, sfDir: String): DataFrame =
+    scoreDocs(docs(spark, sfDir), Seq("lang", "source", "n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score")).as("sum_score"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))
+      .orderBy(col("lang"), col("source"))
 
   /** Quality-gate derivation token (threshold, weights, stopword list) —
     * folded into lake stage names (the stage-key invariant). */
@@ -1108,6 +1131,33 @@ object QualityOracles {
        |       CAST($score AS BIGINT) AS score,
        |       ($score) >= ${QualityQueries.KeepThresholdBp} AS keep
        |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** q89 mirror: same feature chain with the report dimensions carried,
+    * rolled up per (lang, source). All `//` operands non-negative. */
+  val corpusCard: String = {
+    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
+    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
+       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+       |             string_split(text, ' ') AS a FROM documents),
+       |f AS (SELECT doc_id, text, lang, source, n_chars,
+       |        len(a) AS n_words,
+       |        len(list_filter(a, x -> x IN ($stops))) AS n_stop,
+       |        len(list_distinct(a)) AS n_distinct,
+       |        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |      FROM t),
+       |s AS (SELECT lang, source, n_chars, CAST(n_words AS BIGINT) AS n_words,
+       |        CAST($score AS BIGINT) AS score,
+       |        ($score) >= ${QualityQueries.KeepThresholdBp} AS keep
+       |      FROM f)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |       CAST(sum(score) AS BIGINT) AS sum_score,
+       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |       CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS keep_bp
+       |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
   val domainBlocklist: String = {
