@@ -106,6 +106,7 @@ object SparkEntry {
     "q87_ann_recall" -> (graft.queries.EmbQueries.annRecall _),
     "q88_link_extract" -> (graft.queries.GraphQueries.linkExtract _),
     "q89_corpus_card" -> (graft.queries.QualityQueries.corpusCard _),
+    "q90_length_histogram" -> (graft.queries.QualityQueries.lengthHistogram _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -200,6 +201,7 @@ object SparkEntry {
     "q87_ann_recall" -> graft.queries.EmbOracles.annRecall,
     "q88_link_extract" -> graft.queries.GraphOracles.linkExtract,
     "q89_corpus_card" -> graft.queries.QualityOracles.corpusCard,
+    "q90_length_histogram" -> graft.queries.QualityOracles.lengthHistogram,
   )
 }
 

@@ -254,6 +254,42 @@ object QualityQueries {
       .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))
       .orderBy(col("lang"), col("source"))
 
+  /** q90 sequence-length histogram: doc token lengths in power-of-two
+    * buckets with cumulative token mass — the packing-efficiency report
+    * that picks `max_seq_len` (what share of token mass fits below 2^k
+    * before truncation). Bucket assignment is a BROADCAST range join
+    * against a 16-row bucket table (each doc matches exactly one row —
+    * integer bounds, no float log2 whose boundary rounding could diverge
+    * between engines); the corpus sees one map-side length projection and
+    * ONE 16-group rollup exchange; the cumulative window runs over the
+    * 16 aggregated rows, never the corpus. */
+  val LenBuckets = 16
+
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_words"))
+    val buckets = (0 until LenBuckets)
+      .map(k => (k, if (k == 0) 0L else 1L << (k - 1), 1L << k))
+      .toDF("k", "lo", "hi")
+    val perBucket = lens
+      .join(broadcast(buckets),
+        col("n_words") > col("lo") && col("n_words") <= col("hi"))
+      .groupBy(col("k"), col("hi"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val wCum = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perBucket
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .select(col("k"), col("hi").as("bucket_max"), col("n_docs"),
+        col("n_tokens"), col("cum_tokens"),
+        expr("cum_tokens * 10000 div total_tokens").as("cum_bp"))
+      .orderBy(col("k"))
+  }
+
   /** Quality-gate derivation token (threshold, weights, stopword list) —
     * folded into lake stage names (the stage-key invariant). */
   def qualityKey: String =
@@ -1132,6 +1168,27 @@ object QualityOracles {
        |       ($score) >= ${QualityQueries.KeepThresholdBp} AS keep
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  /** q90 mirror: same integer bucket bounds (`1 << k`, no float log2),
+    * same 16-row cumulative windows. */
+  val lengthHistogram: String =
+    s"""WITH lens AS (SELECT len(string_split(text, ' ')) AS n_words FROM documents),
+       |b AS (SELECT k,
+       |        CASE WHEN k = 0 THEN 0 ELSE 1 << (k - 1) END AS lo,
+       |        1 << k AS hi
+       |      FROM generate_series(0, ${QualityQueries.LenBuckets - 1}) AS g(k)),
+       |p AS (SELECT k, hi, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |      FROM lens JOIN b ON n_words > lo AND n_words <= hi
+       |      GROUP BY k, hi),
+       |c AS (SELECT k, hi, n_docs, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY k) AS BIGINT) AS cum_tokens,
+       |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+       |      FROM p)
+       |SELECT CAST(k AS INTEGER) AS k, CAST(hi AS BIGINT) AS bucket_max,
+       |       n_docs, n_tokens, cum_tokens,
+       |       CAST((cum_tokens * 10000) // total_tokens AS BIGINT) AS cum_bp
+       |FROM c ORDER BY k""".stripMargin
 
   /** q89 mirror: same feature chain with the report dimensions carried,
     * rolled up per (lang, source). All `//` operands non-negative. */
