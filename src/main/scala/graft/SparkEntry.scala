@@ -107,6 +107,7 @@ object SparkEntry {
     "q88_link_extract" -> (graft.queries.GraphQueries.linkExtract _),
     "q89_corpus_card" -> (graft.queries.QualityQueries.corpusCard _),
     "q90_length_histogram" -> (graft.queries.QualityQueries.lengthHistogram _),
+    "q91_split_leakage" -> (graft.queries.TextQueries.splitLeakage _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -202,6 +203,7 @@ object SparkEntry {
     "q88_link_extract" -> graft.queries.GraphOracles.linkExtract,
     "q89_corpus_card" -> graft.queries.QualityOracles.corpusCard,
     "q90_length_histogram" -> graft.queries.QualityOracles.lengthHistogram,
+    "q91_split_leakage" -> graft.queries.TextOracles.splitLeakage,
   )
 }
 

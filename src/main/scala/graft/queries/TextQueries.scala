@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession, GraftRegistrar, GraftCheckpoints}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, GraftRegistrar, GraftCheckpoints}
 import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -495,6 +495,29 @@ object TextQueries {
 
   def minhashPairsOf(spark: SparkSession, d: DataFrame): DataFrame =
     minhashPairsWithSigs(spark, d)._1
+
+  /** q91 cross-split leakage audit: every near-dup pair (the staged q18
+    * LSH pairs) labeled with both ends' q79 split assignment and a `leak`
+    * verdict (a near-duplicate straddling the train/eval wall is exactly
+    * the contamination q79's hash wall is built to prevent for RECRAWLS
+    * of the same doc — near-dups of DIFFERENT doc_ids hash independently,
+    * so this audit is the report a release runs before freezing splits).
+    * Scale shape: the split is a pure function of doc_id, derived
+    * MAP-SIDE on both pair ends — no join against an assignment table;
+    * the corpus-sized work is the staged pair table the audit reads. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = md5(c.cast("string"))
+      when(substring(h, 1, 2) < QualityQueries.TestCut, "test")
+        .when(substring(h, 1, 2) < QualityQueries.ValCut, "val")
+        .otherwise("train")
+    }
+    minhashPairs(spark, sfDir)
+      .select(col("a"), col("b"), col("n_match"),
+        splitOf(col("a")).as("split_a"), splitOf(col("b")).as("split_b"))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
+      .orderBy(col("a"), col("b"))
+  }
 
   /** pairs plus the checkpointed signature handle, so iterative callers can
     * release the signature blocks once their own materialization no longer
@@ -1018,6 +1041,20 @@ object TextOracles {
   val minhashPairs: String =
     s"""WITH ${pairsCte}
        |SELECT a, b, n_match FROM pairs ORDER BY a, b""".stripMargin
+
+  /** q91 mirror: the q18 pair chain + the q79 split CASE on both ends. */
+  val splitLeakage: String = {
+    def splitOf(c: String) =
+      s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < '${QualityQueries.TestCut}' THEN 'test'
+         |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < '${QualityQueries.ValCut}' THEN 'val'
+         |     ELSE 'train' END""".stripMargin
+    s"""WITH ${pairsCte}
+       |SELECT a, b, n_match,
+       |       ${splitOf("a")} AS split_a,
+       |       ${splitOf("b")} AS split_b,
+       |       (${splitOf("a")}) <> (${splitOf("b")}) AS leak
+       |FROM pairs ORDER BY a, b""".stripMargin
+  }
 
   /** connected components of the pair graph via recursive transitive
     * closure; label = component-min doc_id (≡ the Spark min-propagation
