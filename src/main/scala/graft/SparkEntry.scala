@@ -108,6 +108,7 @@ object SparkEntry {
     "q89_corpus_card" -> (graft.queries.QualityQueries.corpusCard _),
     "q90_length_histogram" -> (graft.queries.QualityQueries.lengthHistogram _),
     "q91_split_leakage" -> (graft.queries.TextQueries.splitLeakage _),
+    "q92_shingle_containment" -> (graft.queries.TextQueries.shingleContainment _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -204,6 +205,7 @@ object SparkEntry {
     "q89_corpus_card" -> graft.queries.QualityOracles.corpusCard,
     "q90_length_histogram" -> graft.queries.QualityOracles.lengthHistogram,
     "q91_split_leakage" -> graft.queries.TextOracles.splitLeakage,
+    "q92_shingle_containment" -> graft.queries.TextOracles.shingleContainment,
   )
 }
 

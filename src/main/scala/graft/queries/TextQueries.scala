@@ -717,7 +717,9 @@ object TextQueries {
     * J ≥ 0.5 as 3·common ≥ nA+nB, so no float ever faces the oracle. At
     * scale: candidates are O(N·bands) from the LSH equi-join, the shingle
     * join is an equi-join on (hash), both shuffle-partitioned. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (a, b, common, na, nb) shingle overlap over the LSH shortlist — the
+    * shared engine of q46 (Jaccard) and q92 (containment). */
+  private def shingleOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
     // banded-LSH candidate pairs (no n_match threshold — Jaccard decides);
     // one signature pass, not one per self-join branch
@@ -762,10 +764,34 @@ object TextQueries {
     common
       .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    shingleOverlap(spark, sfDir)
       .where(col("common") * 3 >= col("na") + col("nb")) // J ≥ 0.5, integer-exact
       .select(col("a"), col("b"), col("common"), col("na"), col("nb"))
       .orderBy(col("a"), col("b"))
-  }
+
+  /** q92 shingle CONTAINMENT (Broder 1997's other resemblance measure):
+    * max(|A∩B|/|A|, |A∩B|/|B|) = common/min(na,nb) — the subset-duplication
+    * detector (a doc quoted wholesale inside a larger one scores high
+    * containment at LOW Jaccard, so a Jaccard-only dedup misses it).
+    * Integer-exact: `cont_bp = common·10⁴ div least(na,nb)`. Candidate
+    * recall caveat, stated for the record: the shortlist is the Jaccard
+    * LSH banding, which under-recalls extreme small-inside-large pairs —
+    * the production fix at 10^12 docs is banding on the SMALLER doc's
+    * shingles; over this corpus's planted near-identical dups the
+    * shortlist is exhaustive (every output pair of the exhaustive-scan
+    * spec appears). */
+  val ContainmentBp = 9000L
+
+  def shingleContainment(spark: SparkSession, sfDir: String): DataFrame =
+    shingleOverlap(spark, sfDir)
+      .withColumn("cont_bp", expr("common * 10000 div least(na, nb)"))
+      .where(col("cont_bp") >= ContainmentBp)
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
+        col("cont_bp"))
+      .orderBy(col("a"), col("b"))
 
   /** BPE-ish subword token counting next to the whitespace count (builder
     * prompt: "token counting (whitespace + a BPE-ish regex)"). The pattern
@@ -1145,8 +1171,8 @@ object TextOracles {
 
   /** exact n-gram Jaccard mirror: same shingle hashes (distinct per doc),
     * same banded candidates, integer 3·common ≥ nA+nB threshold. */
-  val ngramJaccard: String =
-    s"""WITH sigs AS (${sigsSql("documents")}),
+  private def shingleOverlapCtes: String =
+    s"""sigs AS (${sigsSql("documents")}),
        |bands AS (
        |  SELECT doc_id, CAST(j // ${BandRows} AS INTEGER) AS band,
        |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS key
@@ -1162,12 +1188,27 @@ object TextOracles {
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.a
        |  JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
-       |  GROUP BY c.a, c.b)
+       |  GROUP BY c.a, c.b)""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH $shingleOverlapCtes
        |SELECT m.a, m.b, m.common, ca.n AS na, cb.n AS nb
        |FROM common m
        |JOIN counts ca ON ca.doc_id = m.a
        |JOIN counts cb ON cb.doc_id = m.b
        |WHERE m.common * 3 >= ca.n + cb.n
+       |ORDER BY m.a, m.b""".stripMargin
+
+  /** q92 mirror: same overlap chain, containment numerator over the
+    * smaller set (`least`), same 9000 bp threshold. */
+  val shingleContainment: String =
+    s"""WITH $shingleOverlapCtes
+       |SELECT m.a, m.b, m.common, ca.n AS na, cb.n AS nb,
+       |       CAST((m.common * 10000) // least(ca.n, cb.n) AS BIGINT) AS cont_bp
+       |FROM common m
+       |JOIN counts ca ON ca.doc_id = m.a
+       |JOIN counts cb ON cb.doc_id = m.b
+       |WHERE (m.common * 10000) // least(ca.n, cb.n) >= ${TextQueries.ContainmentBp}
        |ORDER BY m.a, m.b""".stripMargin
 
   /** the same extraction chain over the same derived html bytes; `exact`
