@@ -1,0 +1,58 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.WarcIO
+
+/** Crawl-dump → training-store: the end-to-end face a user points at a
+  * directory of WARC archives (the input_hint pages shape, sourced from
+  * the wire format instead of parquet). Ingest is file-per-archive with
+  * zero shuffle — parse, extract text from the html payload, derive the
+  * recrawl-stable doc identity — and the survivors flow through the
+  * existing resumable [[TrainingDataJob]] stages (quality → exact dedup →
+  * near-dup → decontaminate → sharded store).
+  *
+  * Identity: `doc_id = xxhash64(url) & Long.MaxValue`. A RECRAWL of the
+  * same url maps to the same id by construction — exactly the stability
+  * the q79 contamination wall and exact-dedup keeper rule rely on (a
+  * url's content update dedups against its older self instead of leaking
+  * across the eval wall). The stated trade: two DIFFERENT urls colliding
+  * in the 63-bit space (birthday bound ≈ N²/2⁶⁴ — ~0.005 expected
+  * collisions at 10⁹ urls, ~5000 at 10¹² where a production run widens
+  * the identity to a 128-bit url digest) cost one of two unrelated docs,
+  * never a correctness break downstream. */
+object WarcPipeline {
+
+  /** (doc_id, url, warc_epoch, text) from every response record under
+    * `warcDir` — one task per archive, map-side only. */
+  def ingest(spark: SparkSession, warcDir: String): DataFrame =
+    WarcIO.read(spark, warcDir, "*.warc*")
+      .where(col("warc_type") === "response")
+      .select(
+        xxhash64(col("target_uri")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+        col("target_uri").as("url"),
+        unix_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
+          .as("warc_epoch"),
+        graft.ops.ExtractText.extract(col("payload")).as("text"))
+
+  /** every ~[[graft.queries.QualityQueries.EvalMod]]-th ingested doc by id
+    * (a deterministic held-out slice standing in for the caller's
+    * benchmark suite when none is supplied). */
+  def defaultEvalSlice(ingested: DataFrame): DataFrame =
+    ingested.where(pmod(col("doc_id"),
+        lit(graft.queries.QualityQueries.EvalMod)) === 0)
+      .select(col("doc_id"), col("text"))
+
+  /** The whole path: parse the dump, split off the eval slice, run the
+    * resumable pipeline into `storeDir`. Returns the sharded survivors. */
+  def runFromDump(spark: SparkSession, warcDir: String,
+                  lakeRoot: String, storeDir: String,
+                  evalDocs: Option[DataFrame] = None): DataFrame = {
+    val ingested = ingest(spark, warcDir)
+    val eval = evalDocs.getOrElse(defaultEvalSlice(ingested))
+    TrainingDataJob.run(spark,
+      ingested.select(col("doc_id"), col("text")), eval,
+      lakeRoot, storeDir)
+  }
+}

@@ -499,8 +499,13 @@ object QualityQueries {
         when(substring(col("h"), 1, 2) < TestCut, "test")
           .when(substring(col("h"), 1, 2) < ValCut, "val")
           .otherwise("train"))
+      // mod-before-multiply: ((id mod P)·m) mod P ≡ (id·m) mod P for any
+      // non-negative id, and the product stays < 2.66e18 — overflow-proof
+      // under ANSI for 63-bit url-hash ids (WarcPipeline), value-identical
+      // to the oracle's (doc_id·m) % P on its parquet-range inputs
       .withColumn("shard",
-        pmod(col("doc_id") * lit(ShardMul), lit(ShardMod)) % NumShards)
+        pmod(pmod(col("doc_id"), lit(ShardMod)) * lit(ShardMul),
+          lit(ShardMod)) % NumShards)
 
   def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
     val d = withShardAssignment(
