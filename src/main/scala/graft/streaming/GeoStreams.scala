@@ -37,4 +37,25 @@ object GeoStreams {
       .select(unix_timestamp(col("w.start")).as("win_start"),
         col("poly_id"), col("n"), col("n_hot"))
   }
+
+  /** Streaming TILE rollup — the live-map face: per (event-time window,
+    * z-cell) page counts, the streamed twin of the q01 batch census.
+    * Stateless until the windowed aggregation (one map-side `st_tile`
+    * projection — codegen'd, no join); state is bounded by the watermark
+    * horizon × |active cells in the horizon|, and the packed LongType cell
+    * key hash-partitions the aggregation evenly at any executor count.
+    * The same call runs in batch (watermark no-op), which is how the spec
+    * proves streamed ≡ batch counts. */
+  def tileCounts(pages: DataFrame, zoom: Int = 12,
+                 win: String = "1 hour",
+                 watermarkDelay: String = "1 minute"): DataFrame =
+    pages
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("cell", G.st_tile(col("lon"), col("lat"), lit(zoom)))
+      .groupBy(window(col("ts"), win).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("cell"), col("n"), col("n_hot"))
 }

@@ -27,7 +27,10 @@ object SketchStreams {
     * crash-between-commit-and-checkpoint — batch ids are monotone per
     * checkpoint, so the `batchId > lastBatchId` guard makes the merge
     * idempotent (the same redelivery contract as the lake's `_batch_<id>`
-    * markers, scaled down to one file). */
+    * markers, scaled down to one file). Contract: a store is bound to ONE
+    * checkpoint lineage — pointing a FRESH checkpoint at an existing
+    * store restarts batch ids at 0 and the guard would skip them; start a
+    * fresh store alongside a fresh checkpoint. */
   final class SketchStore(dir: java.io.File) {
     dir.mkdirs()
     private val file = new java.io.File(dir, "sketch.bin")

@@ -66,6 +66,43 @@ class GeoStreamsSpec extends SparkTestBase {
     assert(!streamed.exists(_._3 > 3L))
   }
 
+  test("streamed tile rollup across two batches ≡ batch run (live-map face)") {
+    val in = Files.createTempDirectory("tile_in").toString
+    val out = Files.createTempDirectory("tile_out").toString
+    val ck = Files.createTempDirectory("tile_ck").toString
+    val cols = Seq("pid", "lon", "lat", "is_hot", "epoch")
+
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = GeoStreams.tileCounts(stream)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    batch1.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    run()
+    batch2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    run()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = GeoStreams.tileCounts((batch1 ++ batch2).toDF(cols: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sentinelWin = (H0 + 10L * 3600L) / 3600L * 3600L
+    assert(streamed === batchAll.filter(_._1 < sentinelWin),
+      "streamed closed windows must equal the batch run")
+    // the two co-located US points (−110,35)×2 across the batches share
+    // hour 0 but sit in different z12 cells than the Paris point; every
+    // count is per-(window, cell) — total mass equals the input rows
+    assert(streamed.toSeq.map(_._3).sum == 5L, s"tile mass: $streamed")
+    // the batch-side cell derivation matches the q01 expression
+    val parisCell = graft.core.Mercator.tileAtPacked(2.30, 48.85, 12)
+    assert(streamed.exists(t => t._2 == parisCell && t._3 == 1L && t._4 == 1L))
+  }
+
   test("cross-query invariant: q62 windows sum to q02's per-polygon totals") {
     val sf = "/root/testdata/sf0.001"
     val enriched = graft.queries.StreamQueries.streamEnrich(spark, sf)
