@@ -80,9 +80,7 @@ object WarcIO {
         offset += skipped
         if (c < 0) { done = true; return }
         val recStart = offset
-        val first = new StringBuilder
-        first.append(c.toChar)
-        nextRec = parseOne(sourceFile, recStart, in, first, n => offset += n)
+        nextRec = parseOne(sourceFile, recStart, in, c.toByte, n => offset += n)
         offset += 1 // the first byte read above
       }
       def hasNext: Boolean = { advance(); nextRec != null }
@@ -98,28 +96,31 @@ object WarcIO {
     * exactly Content-Length payload bytes. Fails loudly with file+offset
     * coordinates — a silent partial parse of a crawl archive is data loss. */
   private def parseOne(src: String, recStart: Long, in: InputStream,
-                       firstPartial: StringBuilder,
+                       firstByte: Byte,
                        count: Int => Unit): WarcRecord = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"malformed WARC record in $src at uncompressed offset $recStart: $msg")
-    def readLine(seed: StringBuilder): String = {
-      val sb = seed
+    // header lines are UTF-8 (ISO 28500 §4 — a Latin-1 per-byte decode
+    // would mojibake non-ASCII WARC-Target-URIs and desync url identities)
+    def readLine(seed: Option[Byte]): String = {
+      val bb = new java.io.ByteArrayOutputStream(64)
+      seed.foreach(b => bb.write(b & 0xff))
       var c = in.read()
-      while (c >= 0 && c != '\n') { sb.append(c.toChar); count(1); c = in.read() }
+      while (c >= 0 && c != '\n') { bb.write(c); count(1); c = in.read() }
       if (c < 0) fail("EOF inside header")
       count(1) // the \n
-      val s = sb.toString
+      val s = new String(bb.toByteArray, "UTF-8")
       if (s.endsWith("\r")) s.dropRight(1) else s
     }
-    val version = readLine(firstPartial)
+    val version = readLine(Some(firstByte))
     if (version != Version) fail(s"expected '$Version' version line, got '$version'")
     var headers = Map.empty[String, String]
-    var line = readLine(new StringBuilder)
+    var line = readLine(None)
     while (line.nonEmpty) {
       val i = line.indexOf(':')
       if (i <= 0) fail(s"header line without ':': '$line'")
       headers += (line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
-      line = readLine(new StringBuilder)
+      line = readLine(None)
     }
     val len = headers.getOrElse("content-length", fail("missing Content-Length"))
       .toLongOption.getOrElse(fail("non-numeric Content-Length"))
@@ -159,7 +160,7 @@ object WarcIO {
     h.append("WARC-Date: ").append(warcDate).append("\r\n")
     if (contentType.nonEmpty) h.append("Content-Type: ").append(contentType).append("\r\n")
     h.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-    val head = h.toString.getBytes("ISO-8859-1")
+    val head = h.toString.getBytes("UTF-8") // ISO 28500 §4 header encoding
     val out = new Array[Byte](head.length + payload.length + 4)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(payload, 0, out, head.length, payload.length)

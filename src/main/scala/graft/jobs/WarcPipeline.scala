@@ -44,15 +44,26 @@ object WarcPipeline {
         lit(graft.queries.QualityQueries.EvalMod)) === 0)
       .select(col("doc_id"), col("text"))
 
-  /** The whole path: parse the dump, split off the eval slice, run the
-    * resumable pipeline into `storeDir`. Returns the sharded survivors. */
+  /** The whole path: parse the dump ONCE (checkpointed — the quality gate
+    * and the decontamination eval slice both read the materialized parse,
+    * so the dominant binaryFile+extract cost is never paid twice), split
+    * off the eval slice, run the resumable pipeline into `storeDir`.
+    * `broadcastEval = false` is the pass-through for an eval corpus too
+    * large to ship to every executor (TrainingDataJob's documented
+    * escape — the default 1/EvalMod slice of a 100 TB dump is exactly
+    * that case). Returns the sharded survivors. */
   def runFromDump(spark: SparkSession, warcDir: String,
                   lakeRoot: String, storeDir: String,
-                  evalDocs: Option[DataFrame] = None): DataFrame = {
+                  evalDocs: Option[DataFrame] = None,
+                  broadcastEval: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpoints
+    import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
     val ingested = ingest(spark, warcDir)
-    val eval = evalDocs.getOrElse(defaultEvalSlice(ingested))
-    TrainingDataJob.run(spark,
-      ingested.select(col("doc_id"), col("text")), eval,
-      lakeRoot, storeDir)
+      .select(col("doc_id"), col("text")).trackedCheckpoint
+    try {
+      val eval = evalDocs.getOrElse(defaultEvalSlice(ingested))
+      TrainingDataJob.run(spark, ingested, eval, lakeRoot, storeDir,
+        broadcastEval)
+    } finally GraftCheckpoints.release(ingested)
   }
 }

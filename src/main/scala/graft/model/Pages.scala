@@ -44,11 +44,24 @@ object Pages {
   val DerivationKey: String =
     s"$M1:$M2:$A2:$P:$HotLon:$HotLat:${Langs.mkString(",")}"
 
+  /** documentsPages derivation constants — mirrored as literals in the
+    * oracles (TextOracles.warcIngest, QualityOracles url/epoch CTEs);
+    * change them ONLY together. [[DocDerivationKey]] folds them into every
+    * stage that bakes these values into bytes (the stage-key invariant). */
+  val DocUrlPrefix = "https://example.org/d/"
+  val DocEpochBase = 1704067200L
+  val DocEpochMul = 7919L
+  val DocEpochMod = 31536000L
+
+  val DocDerivationKey: String =
+    s"u$DocUrlPrefix:e$DocEpochBase.$DocEpochMul.$DocEpochMod:html"
+
   def documentsPages(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("url", concat(lit("https://example.org/d/"), col("doc_id").cast("string")))
-      .withColumn("warc_epoch", lit(1704067200L) + pmod(col("doc_id") * 7919L, lit(31536000L)))
+      .withColumn("url", concat(lit(DocUrlPrefix), col("doc_id").cast("string")))
+      .withColumn("warc_epoch",
+        lit(DocEpochBase) + pmod(col("doc_id") * DocEpochMul, lit(DocEpochMod)))
       .withColumn("html", encode(concat(lit("<html>"), col("text"), lit("</html>")), "UTF-8"))
   }
 

@@ -265,17 +265,26 @@ object QualityQueries {
     * 16 aggregated rows, never the corpus. */
   val LenBuckets = 16
 
-  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    lengthHistogramOf(spark,
+      docs(spark, sfDir).select(size(split(col("text"), " "))
+        .cast("long").as("n_words")))
+
+  /** the histogram over any (n_words) frame. The LAST bucket is an
+    * unbounded catch-all (`k = LenBuckets−1` admits every length above its
+    * lower face) — without it, docs longer than 2^(LenBuckets−1) would
+    * silently vanish from the token-mass report, which is wrong exactly
+    * for the long-document tail the report exists to measure. */
+  def lengthHistogramOf(spark: SparkSession, lens: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val lens = docs(spark, sfDir)
-      .select(size(split(col("text"), " ")).cast("long").as("n_words"))
     val buckets = (0 until LenBuckets)
       .map(k => (k, if (k == 0) 0L else 1L << (k - 1), 1L << k))
       .toDF("k", "lo", "hi")
     val perBucket = lens
       .join(broadcast(buckets),
-        col("n_words") > col("lo") && col("n_words") <= col("hi"))
+        col("n_words") > col("lo") &&
+          (col("n_words") <= col("hi") || col("k") === (LenBuckets - 1)))
       .groupBy(col("k"), col("hi"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
     val wCum = Window.orderBy(col("k"))
@@ -493,12 +502,27 @@ object QualityQueries {
     * expressions — the same single-source-of-truth pattern as
     * `TextOps.canonicalUrl` across q69 and its streaming face. Adds
     * columns (h, split, shard) to any frame with a `doc_id`. */
+  /** The q79 split rule — SINGLE source for the assignment
+    * ([[withShardAssignment]]), the q91 leakage audit ([[splitCol]]), and
+    * both oracles ([[splitCaseSql]]); a rule change lands everywhere or
+    * nowhere. */
+  def splitFromHash(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(h, 1, 2) < TestCut, "test")
+      .when(substring(h, 1, 2) < ValCut, "val")
+      .otherwise("train")
+
+  def splitCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    splitFromHash(md5(id.cast("string")))
+
+  /** SQL mirror over an md5-hex expression string. */
+  def splitCaseSql(hExpr: String): String =
+    s"""CASE WHEN substr($hExpr, 1, 2) < '$TestCut' THEN 'test'
+       |     WHEN substr($hExpr, 1, 2) < '$ValCut' THEN 'val'
+       |     ELSE 'train' END""".stripMargin
+
   def withShardAssignment(df: DataFrame): DataFrame =
     df.withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("split",
-        when(substring(col("h"), 1, 2) < TestCut, "test")
-          .when(substring(col("h"), 1, 2) < ValCut, "val")
-          .otherwise("train"))
+      .withColumn("split", splitFromHash(col("h")))
       // mod-before-multiply: ((id mod P)·m) mod P ≡ (id·m) mod P for any
       // non-negative id, and the product stays < 2.66e18 — overflow-proof
       // under ANSI for 63-bit url-hash ids (WarcPipeline), value-identical
@@ -1184,7 +1208,9 @@ object QualityOracles {
        |      FROM generate_series(0, ${QualityQueries.LenBuckets - 1}) AS g(k)),
        |p AS (SELECT k, hi, CAST(count(*) AS BIGINT) AS n_docs,
        |        CAST(sum(n_words) AS BIGINT) AS n_tokens
-       |      FROM lens JOIN b ON n_words > lo AND n_words <= hi
+       |      FROM lens JOIN b
+       |        ON n_words > lo
+       |       AND (n_words <= hi OR k = ${QualityQueries.LenBuckets - 1})
        |      GROUP BY k, hi),
        |c AS (SELECT k, hi, n_docs, n_tokens,
        |        CAST(sum(n_tokens) OVER (ORDER BY k) AS BIGINT) AS cum_tokens,
@@ -1308,9 +1334,7 @@ object QualityOracles {
     s"""WITH d AS (SELECT doc_id, n_chars,
        |            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
        |s AS (SELECT doc_id, n_chars, h,
-       |        CASE WHEN substr(h, 1, 2) < '${QualityQueries.TestCut}' THEN 'test'
-       |             WHEN substr(h, 1, 2) < '${QualityQueries.ValCut}' THEN 'val'
-       |             ELSE 'train' END AS split,
+       |        ${QualityQueries.splitCaseSql("h")} AS split,
        |        ((doc_id * ${QualityQueries.ShardMul}) % ${QualityQueries.ShardMod}) % ${QualityQueries.NumShards} AS shard
        |      FROM d),
        |r AS (SELECT doc_id, n_chars, split, shard,

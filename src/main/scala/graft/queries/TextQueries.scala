@@ -40,8 +40,12 @@ object TextQueries {
     * derivation); concurrent processes race safely on the atomic rename
     * (same choreography as [[StageCache.publish]]). */
   def warcFixture(spark: SparkSession, sfDir: String): java.io.File = {
+    // folds the documentsPages derivation (url prefix, epoch chain, html
+    // framing) — the staged .warc.gz bytes bake those values in, so a
+    // mirrored-constant change must invalidate the stage (CLAUDE.md
+    // stage-key invariant), not serve stale archives against a new oracle
     val dir = StageCache.dir(s"$sfDir/documents.parquet", "warc_fixture",
-      s"gzmember:html:iso:f$WarcFiles:v1")
+      s"gzmember:${Pages.DocDerivationKey}:iso:f$WarcFiles:v1")
     warcStageLock.synchronized {
       if (!StageCache.isPublished(dir)) {
         val tmp = new java.io.File(dir.getParentFile,
@@ -235,7 +239,10 @@ object TextQueries {
     * driver-bounded frame — so the full-outer fusion join touches 2K rows
     * no matter the corpus size; the only corpus-sized work is the two
     * scans the legs already own. */
-  val HybridK = 20
+  /** statically tied to [[Bm25TopK]]: the lex leg's depth IS bm25Rank's
+    * internal limit, so an independent HybridK would silently desync the
+    * Spark leg (capped at Bm25TopK) from the oracle's LIMIT HybridK. */
+  val HybridK: Int = Bm25TopK
   val HybridTop = 10
   val RrfK0 = 60
 
@@ -506,15 +513,10 @@ object TextQueries {
     * MAP-SIDE on both pair ends — no join against an assignment table;
     * the corpus-sized work is the staged pair table the audit reads. */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    def splitOf(c: Column): Column = {
-      val h = md5(c.cast("string"))
-      when(substring(h, 1, 2) < QualityQueries.TestCut, "test")
-        .when(substring(h, 1, 2) < QualityQueries.ValCut, "val")
-        .otherwise("train")
-    }
     minhashPairs(spark, sfDir)
       .select(col("a"), col("b"), col("n_match"),
-        splitOf(col("a")).as("split_a"), splitOf(col("b")).as("split_b"))
+        QualityQueries.splitCol(col("a")).as("split_a"),
+        QualityQueries.splitCol(col("b")).as("split_b"))
       .withColumn("leak", col("split_a") =!= col("split_b"))
       .orderBy(col("a"), col("b"))
   }
@@ -1068,12 +1070,11 @@ object TextOracles {
     s"""WITH ${pairsCte}
        |SELECT a, b, n_match FROM pairs ORDER BY a, b""".stripMargin
 
-  /** q91 mirror: the q18 pair chain + the q79 split CASE on both ends. */
+  /** q91 mirror: the q18 pair chain + the shared q79 split CASE on both
+    * ends ([[QualityQueries.splitCaseSql]] — single source). */
   val splitLeakage: String = {
     def splitOf(c: String) =
-      s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < '${QualityQueries.TestCut}' THEN 'test'
-         |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < '${QualityQueries.ValCut}' THEN 'val'
-         |     ELSE 'train' END""".stripMargin
+      QualityQueries.splitCaseSql(s"md5(CAST($c AS VARCHAR))")
     s"""WITH ${pairsCte}
        |SELECT a, b, n_match,
        |       ${splitOf("a")} AS split_a,

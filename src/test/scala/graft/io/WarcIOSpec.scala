@@ -81,6 +81,20 @@ class WarcIOSpec extends SparkTestBase {
     assert(e2.getMessage.contains("version"))
   }
 
+  test("non-ASCII target URIs round-trip as UTF-8 (ISO 28500 header encoding)") {
+    val uris = Seq("https://example.org/café", "https://example.org/页面/λ",
+      "https://example.org/emoji/éß")
+    val f = tmpFile(".warc.gz")
+    WarcIO.writeLocal(uris.zipWithIndex.map { case (u, i) =>
+      ("response", s"<urn:t:$i>", u, "2024-03-01T12:00:00Z", "ct",
+        s"p$i".getBytes("UTF-8"))
+    }.iterator, f)
+    val out = WarcIO.parseAll(f.getName, java.nio.file.Files.readAllBytes(f.toPath))
+      .toVector
+    assert(out.map(_.target_uri) == uris,
+      "two distinct non-Latin URIs must stay distinct after a round-trip")
+  }
+
   test("seeded fuzz: adversarial payloads never confuse the framing") {
     // payloads embedding CRLFs, fake version lines, fake headers, gzip
     // magic, and every byte value — the parser is length-delimited, so

@@ -32,6 +32,17 @@ class LengthHistogramSpec extends SparkTestBase {
     assert(out.last.getLong(5) == 10000L)
   }
 
+  test("q90 catch-all: docs beyond the last power of two still count") {
+    import spark.implicits._
+    val lens = Seq(10L, 40000L, 1000000L).toDF("n_words")
+    val out = QualityQueries.lengthHistogramOf(spark, lens).collect()
+    assert(out.map(_.getLong(3)).sum == 1040010L, "no token mass may vanish")
+    val last = out.last
+    assert(last.getInt(0) == QualityQueries.LenBuckets - 1)
+    assert(last.getLong(2) == 2L, "both over-long docs land in the catch-all")
+    assert(last.getLong(5) == 10000L)
+  }
+
   test("q90 plan: bucket table broadcasts; corpus never range-shuffles") {
     val df = QualityQueries.lengthHistogram(spark, sf)
     val nodes = allPlanNodes(df.queryExecution.executedPlan).map(_.nodeName)
