@@ -109,6 +109,7 @@ object SparkEntry {
     "q90_length_histogram" -> (graft.queries.QualityQueries.lengthHistogram _),
     "q91_split_leakage" -> (graft.queries.TextQueries.splitLeakage _),
     "q92_shingle_containment" -> (graft.queries.TextQueries.shingleContainment _),
+    "q93_cluster_balance" -> (graft.queries.EmbQueries.clusterBalance _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -206,6 +207,7 @@ object SparkEntry {
     "q90_length_histogram" -> graft.queries.QualityOracles.lengthHistogram,
     "q91_split_leakage" -> graft.queries.TextOracles.splitLeakage,
     "q92_shingle_containment" -> graft.queries.TextOracles.shingleContainment,
+    "q93_cluster_balance" -> graft.queries.EmbOracles.clusterBalance,
   )
 }
 

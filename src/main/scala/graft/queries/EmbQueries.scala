@@ -194,6 +194,30 @@ object EmbQueries {
       .orderBy(col("qid"))
   }
 
+  /** q93 cluster-balanced sampling factors: the embedding-space census a
+    * mixture-curation pass runs before resampling (the semantic analogue
+    * of q68's per-language rebalance — over-represented regions of
+    * embedding space get a sub-10⁴ keep rate, under-represented ones keep
+    * everything). Per seed cell: volume, corpus share, and the
+    * integer-exact equalizing keep rate
+    * `min(10⁴, ceil(N/cells)·10⁴ div n)`. Scale shape: the census is ONE
+    * groupBy over the (write-time bucketed) cell assignment — cells-row
+    * output; totals are a one-row broadcast; applying the factors later
+    * is a map-side join against this cells-row table. */
+  def clusterBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = seedAssigned(spark, sfDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n * 10000 div n_total"))
+      .withColumn("keep_bp",
+        least(lit(10000L),
+          expr("((n_total + n_cells - 1) div n_cells) * 10000 div n")))
+      .select(col("cell"), col("n"), col("share_bp"), col("keep_bp"))
+      .orderBy(col("cell"))
+  }
+
   /** rank cells for `df` against a centroid table (max dot; ties → lowest
     * cell id — the oracle's ROW_NUMBER ordering). */
   private def cellRank(df: DataFrame, cents: DataFrame, rankCol: String): DataFrame = {
@@ -534,6 +558,33 @@ object EmbOracles {
     s"""list_sum(list_transform(generate_series(1, $Dim), i ->
        |  CAST(embedding[i] AS DOUBLE) * CAST(((($IvfSeedOffset + k) * $Dim + i - 1) * ${Pages.M1}) % ${Pages.P} % 2001 - 1000 AS DOUBLE)))""".stripMargin
 
+  /** seed-cell assignment CTE chain (norms + seed dots + argmax cell) —
+    * shared by the ivfAnn oracle and the q93 cluster-balance oracle. */
+  private def seedAssignCtes: String =
+    s"""e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |           FROM embeddings),
+       |seeddots AS (
+       |  SELECT vec_id, embedding, k AS j, $ivfDotSql AS dot
+       |  FROM e CROSS JOIN generate_series(0, ${IvfCells - 1}) g(k)),
+       |assign0 AS (
+       |  SELECT vec_id, embedding, j AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS crank
+       |    FROM seeddots) WHERE crank = 1)""".stripMargin
+
+  /** q93 mirror: per-cell census over the seed assignment + integer
+    * equalization arithmetic. */
+  val clusterBalance: String =
+    s"""WITH $seedAssignCtes,
+       |cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |          FROM assign0 GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       |               CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+       |SELECT CAST(cell AS INTEGER) AS cell, n,
+       |       CAST((n * 10000) // n_total AS BIGINT) AS share_bp,
+       |       CAST(least(10000, ((n_total + n_cells - 1) // n_cells) * 10000 // n)
+       |         AS BIGINT) AS keep_bp
+       |FROM cells, tot ORDER BY cell""".stripMargin
+
   /** mirror of the CAPPED Lloyd iteration: the chain of
     * means→centroids→reassign CTEs unrolled [[IvfLloydSteps]] times (the
     * Spark side's early exit lands on the same values — a converged
@@ -560,15 +611,7 @@ object EmbOracles {
          |    FROM dots$t) WHERE crank = 1)""".stripMargin
     }.mkString(",\n")
     val k = IvfLloydSteps
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
-       |           FROM embeddings),
-       |seeddots AS (
-       |  SELECT vec_id, embedding, k AS j, $ivfDotSql AS dot
-       |  FROM e CROSS JOIN generate_series(0, ${IvfCells - 1}) g(k)),
-       |assign0 AS (
-       |  SELECT vec_id, embedding, j AS cell FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS crank
-       |    FROM seeddots) WHERE crank = 1),
+    s"""WITH $seedAssignCtes,
        |$steps,
        |probecells AS (
        |  SELECT vec_id AS qid, embedding AS qemb, norm AS qnorm, cell FROM (
