@@ -110,6 +110,7 @@ object SparkEntry {
     "q91_split_leakage" -> (graft.queries.TextQueries.splitLeakage _),
     "q92_shingle_containment" -> (graft.queries.TextQueries.shingleContainment _),
     "q93_cluster_balance" -> (graft.queries.EmbQueries.clusterBalance _),
+    "q94_tile_lang_mix" -> (Queries.tileLangMix _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -208,6 +209,7 @@ object SparkEntry {
     "q91_split_leakage" -> graft.queries.TextOracles.splitLeakage,
     "q92_shingle_containment" -> graft.queries.TextOracles.shingleContainment,
     "q93_cluster_balance" -> graft.queries.EmbOracles.clusterBalance,
+    "q94_tile_lang_mix" -> Oracles.tileLangMix,
   )
 }
 
@@ -225,6 +227,28 @@ object Queries {
       .select(G.tile_x(col("cell")).as("x"), G.tile_y(col("cell")).as("y"),
         col("n"), col("min_pid"), col("max_pid"))
       .orderBy(col("x"), col("y"))
+  }
+
+  /** q94 geo-language census — the graft in one query: per z4 tile ×
+    * language page counts with in-tile language shares (where on the map
+    * each language's crawl mass sits — the report a multilingual crawl
+    * planner reads). One map-side `st_tile` projection + ONE (cell, lang)
+    * groupBy exchange over the corpus; the share window runs over the
+    * AGGREGATED frame (≤ 2^(2z)·|langs| rows — 1280 at z4), never the
+    * corpus, and `share_bp` is integer-exact. */
+  def tileLangMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.volumePages(spark, sfDir)
+    val agg = pages
+      .select(G.st_tile(col("lon"), col("lat"), 4).as("cell"),
+        col("lang"), col("pid"))
+      .groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("pid")).as("min_pid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    agg.withColumn("cell_n", sum(col("n")).over(w))
+      .select(G.tile_x(col("cell")).as("x"), G.tile_y(col("cell")).as("y"),
+        col("lang"), col("n"),
+        expr("n * 10000 div cell_n").as("share_bp"), col("min_pid"))
+      .orderBy(col("x"), col("y"), col("lang"))
   }
 
   /** The headline PIP join: pages points × broadcast polygon layer,
@@ -272,6 +296,18 @@ object Oracles {
     s"""SELECT ${tileXSql("lon", 12)} AS x, ${tileYSql("lat", 12)} AS y,
        |       count(*) AS n, min(pid) AS min_pid, max(pid) AS max_pid
        |FROM pages GROUP BY 1, 2 ORDER BY x, y""".stripMargin)
+
+  /** q94 mirror: same tile arithmetic at z4, share window over the
+    * grouped frame. */
+  val tileLangMix: String = withVolume(
+    s"""SELECT x, y, lang, n,
+       |       CAST((n * 10000) // (SUM(n) OVER (PARTITION BY x, y)) AS BIGINT) AS share_bp,
+       |       min_pid
+       |FROM (
+       |  SELECT ${tileXSql("lon", 4)} AS x, ${tileYSql("lat", 4)} AS y, lang,
+       |         count(*) AS n, min(pid) AS min_pid
+       |  FROM pages GROUP BY 1, 2, 3) t
+       |ORDER BY x, y, lang""".stripMargin)
 
   val pipJoin: String = {
     // HAVING count(*)>0 keeps the oracle symmetric with the Spark inner
