@@ -1,6 +1,8 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftCheckpoints
+import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.WarcIO
@@ -44,6 +46,35 @@ object WarcPipeline {
         lit(graft.queries.QualityQueries.EvalMod)) === 0)
       .select(col("doc_id"), col("text"))
 
+  /** Daily-crawl faces: initialize the incremental pipeline from the
+    * first dump, then append each day's dump with batch-id idempotence
+    * (a redelivered dump appends nothing twice — [[TrainingDataJob]]'s
+    * replay contracts). The eval WALL is the id-hash rule itself
+    * (`doc_id % EvalMod == 0`): because the identity is the url hash, a
+    * doc is on the eval side in EVERY batch that ever delivers it, so no
+    * recrawl can migrate across the wall — the per-batch
+    * [[defaultEvalSlice]] is globally consistent by construction. */
+  def initFromDump(spark: SparkSession, warcDir: String,
+                   lakeRoot: String, storeDir: String,
+                   broadcastEval: Boolean = true): DataFrame = {
+    val ing = ingest(spark, warcDir)
+      .select(col("doc_id"), col("text")).trackedCheckpoint
+    try TrainingDataJob.initIncremental(spark, ing, defaultEvalSlice(ing),
+      lakeRoot, storeDir, broadcastEval)
+    finally org.apache.spark.sql.GraftCheckpoints.release(ing)
+  }
+
+  def appendDump(spark: SparkSession, warcDir: String,
+                 lakeRoot: String, storeDir: String,
+                 batchId: Option[Long] = None,
+                 broadcastEval: Boolean = true): DataFrame = {
+    val ing = ingest(spark, warcDir)
+      .select(col("doc_id"), col("text")).trackedCheckpoint
+    try TrainingDataJob.appendBatch(spark, ing, defaultEvalSlice(ing),
+      lakeRoot, storeDir, batchId, broadcastEval)
+    finally org.apache.spark.sql.GraftCheckpoints.release(ing)
+  }
+
   /** The whole path: parse the dump ONCE (checkpointed — the quality gate
     * and the decontamination eval slice both read the materialized parse,
     * so the dominant binaryFile+extract cost is never paid twice), split
@@ -56,8 +87,6 @@ object WarcPipeline {
                   lakeRoot: String, storeDir: String,
                   evalDocs: Option[DataFrame] = None,
                   broadcastEval: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.GraftCheckpoints
-    import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
     val ingested = ingest(spark, warcDir)
       .select(col("doc_id"), col("text")).trackedCheckpoint
     try {

@@ -53,4 +53,42 @@ class WarcPipelineSpec extends SparkTestBase {
       "a resumed rerun must not rewrite the store")
     GraftCheckpoints.releaseAll()
   }
+
+  test("daily-crawl face: init from dump A, append dump B, replay appends nothing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    val fmt = "2024-03-01T12:00:00Z"
+    def dump(dir: java.io.File, rows: Seq[(Long, String)]): Unit = {
+      dir.mkdirs()
+      graft.io.WarcIO.writeLocal(rows.map { case (id, t) =>
+        ("response", s"<urn:d:$id>", s"https://example.org/d/$id", fmt,
+          "application/http; msgtype=response",
+          s"<html>$t</html>".getBytes("UTF-8"))
+      }.iterator, new java.io.File(dir, "part-00000.warc.gz"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("warcdaily").toFile
+    val a = new java.io.File(root, "dumpA"); val b = new java.io.File(root, "dumpB")
+    val rows = docs.map(r => r.getLong(0) -> r.getString(1)).toSeq
+    dump(a, rows.filter(_._1 < 250)); dump(b, rows.filter(_._1 >= 250))
+    val lakeRoot = new java.io.File(root, "lake").getAbsolutePath
+    val storeDir = new java.io.File(root, "store").getAbsolutePath
+
+    WarcPipeline.initFromDump(spark, a.getAbsolutePath, lakeRoot, storeDir)
+    val n0 = spark.read.parquet(storeDir).count()
+    assert(n0 > 0)
+    WarcPipeline.appendDump(spark, b.getAbsolutePath, lakeRoot, storeDir,
+      batchId = Some(7L))
+    val n1 = spark.read.parquet(storeDir).count()
+    assert(n1 > n0, "the second dump must contribute survivors")
+    // redelivered dump with the same batch id: nothing lands twice
+    WarcPipeline.appendDump(spark, b.getAbsolutePath, lakeRoot, storeDir,
+      batchId = Some(7L))
+    assert(spark.read.parquet(storeDir).count() == n1,
+      "a replayed dump must append nothing")
+    // the id-hash eval wall holds across batches
+    assert(spark.read.parquet(storeDir).where(
+      pmod(col("doc_id"), lit(graft.queries.QualityQueries.EvalMod)) === 0)
+      .count() == 0)
+    GraftCheckpoints.releaseAll()
+  }
 }
