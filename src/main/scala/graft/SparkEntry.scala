@@ -111,6 +111,7 @@ object SparkEntry {
     "q92_shingle_containment" -> (graft.queries.TextQueries.shingleContainment _),
     "q93_cluster_balance" -> (graft.queries.EmbQueries.clusterBalance _),
     "q94_tile_lang_mix" -> (Queries.tileLangMix _),
+    "q95_modal_agreement" -> (graft.queries.TextQueries.modalAgreement _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -210,6 +211,7 @@ object SparkEntry {
     "q92_shingle_containment" -> graft.queries.TextOracles.shingleContainment,
     "q93_cluster_balance" -> graft.queries.EmbOracles.clusterBalance,
     "q94_tile_lang_mix" -> Oracles.tileLangMix,
+    "q95_modal_agreement" -> graft.queries.TextOracles.modalAgreement,
   )
 }
 

@@ -560,7 +560,7 @@ object EmbOracles {
 
   /** seed-cell assignment CTE chain (norms + seed dots + argmax cell) —
     * shared by the ivfAnn oracle and the q93 cluster-balance oracle. */
-  private def seedAssignCtes: String =
+  private[queries] def seedAssignCtes: String =
     s"""e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
        |           FROM embeddings),
        |seeddots AS (

@@ -787,6 +787,28 @@ object TextQueries {
     * spec appears). */
   val ContainmentBp = 9000L
 
+  /** q95 cross-modal dedup agreement: of the q18 TEXT near-dup pairs, how
+    * many land in the same SEMANTIC seed cell (the q78 quantizer)? The
+    * calibration report a pipeline runs before trusting either signal
+    * alone — low agreement means the MinHash and embedding views of
+    * "duplicate" measure different things and thresholds need re-tuning.
+    * Scale shape: the pair table is the staged q18 output, cells are the
+    * write-time-bucketed assignment — two id-equi joins against
+    * pair-count-sized frames and a one-row rollup; the corpus-sized
+    * passes are the staged inputs themselves. */
+  def modalAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("a"), col("b"))
+    val cells = EmbQueries.seedAssigned(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+    pairs
+      .join(cells.select(col("vec_id").as("a"), col("cell").as("cell_a")), Seq("a"))
+      .join(cells.select(col("vec_id").as("b"), col("cell").as("cell_b")), Seq("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cell_a") === col("cell_b"), 1L).otherwise(0L))
+          .as("n_same_cell"))
+      .withColumn("agree_bp", expr("n_same_cell * 10000 div n_pairs"))
+  }
+
   def shingleContainment(spark: SparkSession, sfDir: String): DataFrame =
     shingleOverlap(spark, sfDir)
       .withColumn("cont_bp", expr("common * 10000 div least(na, nb)"))
@@ -1069,6 +1091,22 @@ object TextOracles {
   val minhashPairs: String =
     s"""WITH ${pairsCte}
        |SELECT a, b, n_match FROM pairs ORDER BY a, b""".stripMargin
+
+  /** q95 mirror: the q18 pair chain joined to the shared seed-assignment
+    * chain ([[EmbOracles.seedAssignCtes]] — CTE name sets are disjoint),
+    * one-row agreement rollup. */
+  val modalAgreement: String =
+    s"""WITH ${pairsCte},
+       |${EmbOracles.seedAssignCtes},
+       |pc AS (SELECT p.a, p.b, ca.cell AS cell_a, cb.cell AS cell_b
+       |       FROM pairs p
+       |       JOIN assign0 ca ON ca.vec_id = p.a
+       |       JOIN assign0 cb ON cb.vec_id = p.b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CASE WHEN cell_a = cell_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cell,
+       |       CAST((sum(CASE WHEN cell_a = cell_b THEN 1 ELSE 0 END) * 10000) // count(*)
+       |         AS BIGINT) AS agree_bp
+       |FROM pc""".stripMargin
 
   /** q91 mirror: the q18 pair chain + the shared q79 split CASE on both
     * ends ([[QualityQueries.splitCaseSql]] — single source). */
