@@ -127,6 +127,36 @@ class WarcIOSpec extends SparkTestBase {
     }
   }
 
+  test("record_offset is a replayable coordinate in the uncompressed stream") {
+    val payloads = (0 until 6).map(i => s"replay body $i ${"x" * i}".getBytes("UTF-8"))
+    for (gz <- Seq(false, true)) {
+      val f = tmpFile(if (gz) ".warc.gz" else ".warc")
+      WarcIO.writeLocal(payloads.zipWithIndex.map { case (p, i) => rec(i, p) }.iterator,
+        f, gzipPerRecord = gz)
+      val raw = java.nio.file.Files.readAllBytes(f.toPath)
+      // the offsets address the UNCOMPRESSED stream: decompress first
+      val bytes = if (!gz) raw else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw), 1 << 16)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+      val recs = WarcIO.parseAll(f.getName, raw).toVector
+      recs.foreach { r =>
+        // seeking to the stored offset and parsing yields exactly this
+        // record — the lineage-replay contract of the coordinate
+        val replay = WarcIO.parseAll("replay", bytes.drop(r.record_offset.toInt)).next()
+        assert(replay.record_id == r.record_id, s"gz=$gz id at ${r.record_offset}")
+        assert(java.util.Arrays.equals(replay.payload, r.payload),
+          s"gz=$gz payload at ${r.record_offset}")
+      }
+      f.delete()
+    }
+  }
+
   test("spark read: file-per-task ingest, no shuffle before the output") {
     val dir = java.nio.file.Files.createTempDirectory("warcspark").toFile
     (0 until 3).foreach { fi =>
