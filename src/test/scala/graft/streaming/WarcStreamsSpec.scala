@@ -47,4 +47,29 @@ class WarcStreamsSpec extends SparkTestBase {
     val urls = all.select("url").collect().map(_.getString(0))
     assert(urls.length == urls.distinct.length, "no archive ingested twice")
   }
+
+  test("a malformed archive fails the micro-batch loudly, never silently skips") {
+    val root = java.nio.file.Files.createTempDirectory("warcbad").toFile
+    val drop = new java.io.File(root, "drop"); drop.mkdirs()
+    writeArchive(drop, "good.warc.gz", 0 until 2)
+    // a truncated record written as a plain (non-gz) .warc: headers
+    // promise 64 payload bytes, the file ends early
+    val cut = WarcIO.recordBytes("response", "<urn:bad:0>", "u", "d", "ct",
+      Array.fill[Byte](64)(7)).dropRight(30)
+    java.nio.file.Files.write(
+      new java.io.File(drop, "bad.warc").toPath, cut)
+    val q = WarcStreams.ingestAvailableNow(spark, drop.getAbsolutePath,
+      new java.io.File(root, "out").getAbsolutePath,
+      new java.io.File(root, "ckpt").getAbsolutePath)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // the file+offset coordinates surface through the streaming failure —
+    // a crawl operator sees WHICH archive is corrupt, and nothing commits
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    val msgs = chain(e).mkString(" | ")
+    assert(msgs.contains("malformed WARC") || msgs.contains("truncated"),
+      s"expected the codec's loud error in: $msgs")
+  }
 }
