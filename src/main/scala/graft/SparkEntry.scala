@@ -112,6 +112,7 @@ object SparkEntry {
     "q93_cluster_balance" -> (graft.queries.EmbQueries.clusterBalance _),
     "q94_tile_lang_mix" -> (Queries.tileLangMix _),
     "q95_modal_agreement" -> (graft.queries.TextQueries.modalAgreement _),
+    "q96_ann_rank_drift" -> (graft.queries.EmbQueries.annRankDrift _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -212,6 +213,7 @@ object SparkEntry {
     "q93_cluster_balance" -> graft.queries.EmbOracles.clusterBalance,
     "q94_tile_lang_mix" -> Oracles.tileLangMix,
     "q95_modal_agreement" -> graft.queries.TextOracles.modalAgreement,
+    "q96_ann_rank_drift" -> graft.queries.EmbOracles.annRankDrift,
   )
 }
 

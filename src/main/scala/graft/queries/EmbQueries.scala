@@ -218,6 +218,25 @@ object EmbQueries {
       .orderBy(col("cell"))
   }
 
+  /** q96 ANN rank fidelity — q87's companion metric: recall says WHETHER
+    * the true neighbors surface; the Spearman-footrule drift
+    * `Σ |rank_ivf − rank_true|` over the shared hits says whether they
+    * surface in the right ORDER (an index can have perfect recall and
+    * still scramble the ranking a downstream re-ranker depends on).
+    * Integer-exact; same driver-bounded shape as q87 (two top-k legs,
+    * broadcast join, probes-row rollup). */
+  def annRankDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = knnCosine(spark, sfDir)
+      .select(col("qid"), col("vec_id"), col("rank").as("t_rank"))
+    val approx = ivfAnn(spark, sfDir)
+      .select(col("qid"), col("vec_id"), col("rank").as("a_rank"))
+    truth.join(broadcast(approx), Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(abs(col("t_rank") - col("a_rank")).cast("long")).as("footrule"))
+      .orderBy(col("qid"))
+  }
+
   /** rank cells for `df` against a centroid table (max dot; ties → lowest
     * cell id — the oracle's ROW_NUMBER ordering). */
   private def cellRank(df: DataFrame, cents: DataFrame, rankCol: String): DataFrame = {
@@ -638,6 +657,16 @@ object EmbOracles {
        |       CAST((count(a.vec_id) * 10000) // $K AS BIGINT) AS recall_bp
        |FROM (SELECT qid, vec_id FROM ($knnCosine) tt) t
        |LEFT JOIN (SELECT qid, vec_id FROM ($ivfAnn) aa) a
+       |  ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
+  /** q96 mirror: both leg statements as scoped derived tables (the q87
+    * pattern), inner join, integer footrule rollup. */
+  val annRankDrift: String =
+    s"""SELECT t.qid, CAST(count(*) AS BIGINT) AS n_shared,
+       |       CAST(sum(abs(t.rank - a.rank)) AS BIGINT) AS footrule
+       |FROM (SELECT qid, vec_id, rank FROM ($knnCosine) tt) t
+       |JOIN (SELECT qid, vec_id, rank FROM ($ivfAnn) aa) a
        |  ON t.qid = a.qid AND t.vec_id = a.vec_id
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 

@@ -27,4 +27,24 @@ class AnnRecallSpec extends SparkTestBase {
     }
     GraftCheckpoints.releaseAll()
   }
+
+  test("q96 footrule recomputes from the two rankings; self-hit anchors rank 1") {
+    val out = EmbQueries.annRankDrift(spark, sf).collect()
+    assert(out.length == EmbQueries.NumProbes)
+    val truth = EmbQueries.knnCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val approx = EmbQueries.ivfAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val qid = r.getLong(0)
+      val shared = truth.keySet.filter(_._1 == qid).intersect(approx.keySet)
+      assert(r.getLong(1) == shared.size.toLong, s"probe $qid n_shared")
+      val foot = shared.toSeq.map(k => math.abs(truth(k) - approx(k)).toLong).sum
+      assert(r.getLong(2) == foot, s"probe $qid footrule")
+      // the probe itself is rank 1 in BOTH rankings (cosine exactly 1),
+      // so the footrule can never be the worst case over all shared hits
+      assert(truth((qid, qid)) == 1 && approx((qid, qid)) == 1)
+    }
+    GraftCheckpoints.releaseAll()
+  }
 }
