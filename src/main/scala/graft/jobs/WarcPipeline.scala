@@ -26,6 +26,23 @@ import graft.io.WarcIO
   * never a correctness break downstream. */
 object WarcPipeline {
 
+  /** The entity body of a response payload, as a decoded string. Real
+    * Common-Crawl response records carry `Content-Type: application/http;
+    * msgtype=response` — the payload embeds the HTTP status line and
+    * headers BEFORE the html body, split at the first blank line
+    * (`\r\n\r\n`). Extracting from the raw payload would fold header
+    * bytes (Server, Set-Cookie, dates…) into quality scores and dedup
+    * identities. Bare-content records (`text/html` etc.) pass through;
+    * so does a blank-line-less `application/http` payload (headers-only
+    * or non-conformant — better the whole payload than a dropped doc). */
+  def httpBody(payload: org.apache.spark.sql.Column,
+               contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = decode(payload, "UTF-8")
+    val pos = locate("\r\n\r\n", s)
+    when(contentType.startsWith("application/http") && pos > 0,
+      s.substr(pos + lit(4), length(s))).otherwise(s)
+  }
+
   /** (doc_id, url, warc_epoch, text) from every response record under
     * `warcDir` — one task per archive, map-side only. */
   def ingest(spark: SparkSession, warcDir: String): DataFrame =
@@ -36,7 +53,8 @@ object WarcPipeline {
         col("target_uri").as("url"),
         unix_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
           .as("warc_epoch"),
-        graft.ops.ExtractText.extract(col("payload")).as("text"))
+        graft.ops.ExtractText.extractText(
+          httpBody(col("payload"), col("content_type"))).as("text"))
 
   /** every ~[[graft.queries.QualityQueries.EvalMod]]-th ingested doc by id
     * (a deterministic held-out slice standing in for the caller's

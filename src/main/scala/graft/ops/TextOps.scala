@@ -405,8 +405,12 @@ object ExtractText {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
-  def extract(html: Column): Column = {
-    val s0 = decode(html, "UTF-8")
+  def extract(html: Column): Column = extractText(decode(html, "UTF-8"))
+
+  /** the tag-strip chain over an already-decoded string column (callers
+    * that must pre-slice the payload — e.g. stripping embedded HTTP
+    * headers — decode once and feed the slice here). */
+  def extractText(s0: Column): Column = {
     val s1 = regexp_replace(s0, "(?s)<script[^>]*>.*?</script>", "")
     val s2 = regexp_replace(s1, "(?s)<style[^>]*>.*?</style>", "")
     val s3 = regexp_replace(s2, "<[^>]*>", "")

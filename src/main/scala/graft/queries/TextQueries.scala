@@ -44,8 +44,12 @@ object TextQueries {
     // framing) — the staged .warc.gz bytes bake those values in, so a
     // mirrored-constant change must invalidate the stage (CLAUDE.md
     // stage-key invariant), not serve stale archives against a new oracle
+    // ct folded in: the payload is BARE html, so the record honestly says
+    // text/html — labeling it application/http (the real-CC convention)
+    // would promise embedded HTTP headers that aren't there, and the
+    // ingest pipeline now splits such payloads at the first blank line
     val dir = StageCache.dir(s"$sfDir/documents.parquet", "warc_fixture",
-      s"gzmember:${Pages.DocDerivationKey}:iso:f$WarcFiles:v1")
+      s"gzmember:${Pages.DocDerivationKey}:iso:f$WarcFiles:ct=text/html:v1")
     warcStageLock.synchronized {
       if (!StageCache.isPublished(dir)) {
         val tmp = new java.io.File(dir.getParentFile,
@@ -67,7 +71,7 @@ object TextQueries {
                 val docId = r.getLong(0)
                 ("response", s"<urn:graft:$docId>", r.getString(1),
                   fmt.format(java.time.Instant.ofEpochSecond(r.getLong(2))),
-                  "application/http; msgtype=response",
+                  "text/html",
                   r.getAs[Array[Byte]](3))
               }, f)
             }

@@ -12,7 +12,18 @@ import graft.io.WarcIO
   * micro-batch (the same file-per-task unit as the batch reader, now with
   * the file-source ledger giving exactly-once per archive across
   * restarts). This is how a continuously-arriving crawl feeds the pages
-  * table: no shuffle in ingest, checkpoint-recoverable, append-only. */
+  * table: no shuffle in ingest, checkpoint-recoverable, append-only.
+  *
+  * LANDING CONVENTION (required of the producer): archives must land
+  * ATOMICALLY — write to a temp name the glob does not match (e.g.
+  * `crawl-000123.warc.gz.tmp` or a dotted `.crawl-000123.warc.gz`), then
+  * rename into place. The default `*.warc*` glob will otherwise pick up a
+  * partially-written file mid-copy; the parser then fails loudly on the
+  * truncated tail AND the file-source ledger may already have marked that
+  * path consumed — the archive would need a manual re-land under a new
+  * name. This is the same publish choreography the lake's StageCache uses
+  * (write → fsync → atomic rename): a name matching the glob must only
+  * ever appear with its complete content. */
 object WarcStreams {
 
   /** binaryFile's fixed schema — the streaming file source requires it
@@ -24,17 +35,31 @@ object WarcStreams {
     StructField("content", BinaryType)))
 
   /** Streaming DataFrame of parsed [[graft.io.WarcRecord]]s from archives
-    * landing under `dropDir`. */
+    * landing under `dropDir`. The file source is used for its ledger
+    * (exactly-once per path across restarts) but only `path` is projected
+    * — binaryFile prunes the `content` column, so the archive bytes are
+    * never materialized as a row; each task re-opens its archive's stream
+    * and parses records off it in O(record) memory, same as the batch
+    * reader (and binaryFile's Int.MaxValue content cap never applies). */
   def records(spark: SparkSession, dropDir: String,
               globFilter: String = "*.warc*"): DataFrame = {
     import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", globFilter)
       .schema(BinarySchema)
       .load(dropDir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => WarcIO.parseAll(path, bytes) }
+      .select(col("path"))
+      .as[String]
+      .flatMap { path =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val in = hp.getFileSystem(confBc.value.value).open(hp)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        WarcIO.parseStream(path, in)
+      }
       .toDF()
   }
 

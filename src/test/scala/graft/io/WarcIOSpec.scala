@@ -157,6 +157,54 @@ class WarcIOSpec extends SparkTestBase {
     }
   }
 
+  test("parseStream is O(record): early records stream out of a prefix whose tail does not exist yet") {
+    // A stream that serves only the first two records' bytes and THROWS on
+    // any read past them — a parser that materialized (or read ahead more
+    // than its 64 KiB buffer of) the archive would explode before yielding
+    // record 0. Payloads are ~50 KB each so the two-record prefix already
+    // exceeds the parser's buffer.
+    val recs = (0 until 4).map(i => WarcIO.recordBytes("response",
+      s"<urn:t:$i>", s"u$i", "d", "ct",
+      Array.tabulate[Byte](50000)(j => ((i * 31 + j) % 251).toByte)))
+    val landed = recs.take(2).flatten.toArray
+    val in = new java.io.InputStream {
+      private var pos = 0
+      private def guard(): Unit =
+        if (pos >= landed.length)
+          throw new java.io.IOException("read past the landed prefix")
+      def read(): Int = { guard(); val b = landed(pos) & 0xff; pos += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        guard()
+        val n = math.min(len, landed.length - pos)
+        System.arraycopy(landed, pos, b, off, n); pos += n; n
+      }
+    }
+    val it = WarcIO.parseStream("lazy.warc", in)
+    val r0 = it.next(); val r1 = it.next()
+    assert(r0.record_id == "<urn:t:0>" && r1.record_id == "<urn:t:1>")
+    assert(r1.payload.length == 50000)
+    assert(java.util.Arrays.equals(r0.payload,
+      Array.tabulate[Byte](50000)(j => (j % 251).toByte)))
+  }
+
+  test("spark read parses an archive far larger than the parse buffer (records, not the archive, bound memory)") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbig").toFile
+    val n = 24 // 24 × ~100 KB ≈ 2.4 MB uncompressed — 37× the 64 KiB buffer
+    WarcIO.writeLocal((0 until n).map(i =>
+      rec(i, Array.tabulate[Byte](100000)(j => ((i + j * 13) % 251).toByte))).iterator,
+      new java.io.File(dir, "big.warc.gz"))
+    val got = WarcIO.read(spark, dir.getAbsolutePath, "*.warc.gz")
+      .selectExpr("record_id", "content_length", "md5(payload) as m")
+      .collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 100000L))
+    // the batch reader never routes through binaryFile, so its Int.MaxValue
+    // whole-file cap and O(archive) row materialization cannot apply
+    val plan = WarcIO.read(spark, dir.getAbsolutePath, "*.warc.gz")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("binaryFile"), s"expected a stream-parse scan:\n$plan")
+  }
+
   test("spark read: file-per-task ingest, no shuffle before the output") {
     val dir = java.nio.file.Files.createTempDirectory("warcspark").toFile
     (0 until 3).foreach { fi =>

@@ -54,16 +54,44 @@ class WarcPipelineSpec extends SparkTestBase {
     GraftCheckpoints.releaseAll()
   }
 
+  test("httpBody: application/http payloads split at the first blank line; bare content passes through") {
+    import spark.implicits._
+    val body = "<html><p>keep: A&amp;B</p></html>"
+    val http = s"HTTP/1.1 200 OK\r\nServer: s\r\nSet-Cookie: secret=1\r\n\r\n$body"
+    val rows = Seq(
+      ("application/http; msgtype=response", http.getBytes("UTF-8")),
+      // conformant-but-headerless: no blank line → whole payload survives
+      ("application/http; msgtype=response", "no blank line".getBytes("UTF-8")),
+      ("text/html", body.getBytes("UTF-8")),
+      // a bare-html record whose BODY contains \r\n\r\n must NOT be split
+      ("text/html", s"<html>a\r\n\r\nb</html>".getBytes("UTF-8")))
+      .toDF("content_type", "payload")
+    val got = rows.select(
+      WarcPipeline.httpBody(col("payload"), col("content_type")).as("b"))
+      .as[String].collect()
+    assert(got(0) == body, "headers must be stripped from application/http")
+    assert(!got(0).contains("Set-Cookie"))
+    assert(got(1) == "no blank line")
+    assert(got(2) == body)
+    assert(got(3) == "<html>a\r\n\r\nb</html>")
+  }
+
   test("daily-crawl face: init from dump A, append dump B, replay appends nothing") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
     val fmt = "2024-03-01T12:00:00Z"
+    // real Common-Crawl response framing: the payload is a full HTTP
+    // message (status line + headers + blank line + body), so this spec
+    // also proves ingest's header split end-to-end — header bytes must
+    // never reach text extraction or dedup identity
     def dump(dir: java.io.File, rows: Seq[(Long, String)]): Unit = {
       dir.mkdirs()
       graft.io.WarcIO.writeLocal(rows.map { case (id, t) =>
         ("response", s"<urn:d:$id>", s"https://example.org/d/$id", fmt,
           "application/http; msgtype=response",
-          s"<html>$t</html>".getBytes("UTF-8"))
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+            s"Server: synthetic/1.0\r\nX-Doc: $id\r\n\r\n<html>$t</html>")
+            .getBytes("UTF-8"))
       }.iterator, new java.io.File(dir, "part-00000.warc.gz"))
     }
     val root = java.nio.file.Files.createTempDirectory("warcdaily").toFile

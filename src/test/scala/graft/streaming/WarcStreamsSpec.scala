@@ -48,6 +48,33 @@ class WarcStreamsSpec extends SparkTestBase {
     assert(urls.length == urls.distinct.length, "no archive ingested twice")
   }
 
+  test("streaming ingest never materializes archive bytes through binaryFile (content pruned)") {
+    // Cap binaryFile's content materialization at 64 bytes: any path that
+    // still read the `content` column would throw SparkException("exceeds
+    // the max length allowed") on these multi-KB archives. The ledger-only
+    // use (path column) must be immune, because each task re-opens the
+    // archive and parses off the stream.
+    val root = java.nio.file.Files.createTempDirectory("warcprune").toFile
+    val drop = new java.io.File(root, "drop"); drop.mkdirs()
+    writeArchive(drop, "a.warc.gz", 0 until 50)
+    assert(drop.listFiles().head.length() > 64)
+    val key = "spark.sql.sources.binaryFile.maxLength"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, 64L)
+    try {
+      WarcStreams.ingestAvailableNow(spark, drop.getAbsolutePath,
+        new java.io.File(root, "out").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath).awaitTermination()
+      assert(spark.read.parquet(
+        new java.io.File(root, "out").getAbsolutePath).count() == 50)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a malformed archive fails the micro-batch loudly, never silently skips") {
     val root = java.nio.file.Files.createTempDirectory("warcbad").toFile
     val drop = new java.io.File(root, "drop"); drop.mkdirs()
