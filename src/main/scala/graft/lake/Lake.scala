@@ -91,10 +91,16 @@ class LakeTable(val root: String) {
   def rollback(stage: String, version: Int): Unit = {
     val m = manifestAt(stage, version).getOrElse(
       throw new IllegalArgumentException(s"no snapshot v$version for stage $stage"))
-    val tmp = Paths.get(s"${stageDir(stage)}/_manifest.json.tmp")
-    Files.write(tmp, m.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // under the pointer lock: a rollback interleaving with a concurrent
+    // commit's CAS must serialize (the commit then fails its parent check
+    // instead of silently re-burying the rolled-back-to snapshot)
+    withPointerLock(stage) {
+      val tmp = Paths.get(s"${stageDir(stage)}/_manifest.json.tmp")
+      Files.write(tmp, m.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** Commit a stage — single-pass (VERDICT r1 #7 / ADVICE r1):
@@ -110,12 +116,34 @@ class LakeTable(val root: String) {
     *
     * Returns the version it actually wrote (ADVICE r3: callers must not
     * re-derive it from `versions(stage).last`, which can name a DIFFERENT
-    * concurrent commit). Version allocation itself (last+1) is
-    * non-atomic: the table assumes a SINGLE WRITER per stage — the lake's
-    * committers (StageRunner, CorpusDedupJob, compact) all run one job
-    * per stage; concurrent writers to one stage are out of contract. */
+    * concurrent commit).
+    *
+    * MULTI-WRITER SAFETY (VERDICT r4 #4 — optimistic concurrency, the
+    * Iceberg commit protocol): version numbers are CLAIMED atomically
+    * (`_claim_v<N>.json` via CREATE_NEW), so two writers can never write
+    * the same snapshot files; the current pointer then advances by
+    * COMPARE-AND-SWAP — it lands only if the pointer still sits on the
+    * snapshot this commit was built against. A writer that loses the race
+    * gets [[ConcurrentCommitException]] (its snapshot files stay on disk,
+    * nothing is clobbered) and re-runs its commit against the new current
+    * snapshot; [[commitAppend]] retries internally, metadata-only. */
   def commit(stage: String, data: DataFrame, meta: Map[String, String]): Int =
-    commitData(stage, data, meta, parentRels = Nil, parentRows = 0L)
+    commitFrom(stage, data, meta, currentVersion(stage).getOrElse(0))
+
+  /** The commit body with the base snapshot explicit — `expectedParent` is
+    * what the CAS checks against (spec hook: a stale parent simulates a
+    * writer that lost the race mid-flight). */
+  private[lake] def commitFrom(stage: String, data: DataFrame,
+                               meta: Map[String, String],
+                               expectedParent: Int): Int = {
+    val sf = writeSnapshotFiles(stage, data)
+    val json = manifestJson(stage, sf.version, sf, meta,
+      parentRels = Nil, parentRows = 0L)
+    if (!advancePointer(stage, sf.version, json, expectedParent))
+      throw new ConcurrentCommitException(stage, sf.version,
+        currentVersion(stage).getOrElse(0))
+    sf.version
+  }
 
   /** Fast append (Iceberg `append` snapshot): commit ONLY the delta's
     * parquet files; the new snapshot's manifest references the parent
@@ -129,20 +157,62 @@ class LakeTable(val root: String) {
     * clustered directory; [[vacuum]] never deletes a data directory a
     * retained snapshot still references. */
   def commitAppend(stage: String, delta: DataFrame, meta: Map[String, String]): Int = {
-    val m = manifest(stage).getOrElse(throw new IllegalStateException(
-      s"stage $stage has no committed snapshot to append to — use commit"))
-    val parentRows = manifestField(m, "row_count").map(_.toLong).getOrElse(0L)
-    commitData(stage, delta,
-      meta + ("append_of" -> currentVersion(stage).fold("?")(_.toString)),
-      parentRels = dataRelPaths(m), parentRows = parentRows)
+    if (!isCommitted(stage)) throw new IllegalStateException(
+      s"stage $stage has no committed snapshot to append to — use commit")
+    val sf = writeSnapshotFiles(stage, delta)
+    var attemptVersion = sf.version
+    // CAS retry loop: on a concurrent advance the delta's data/lineage
+    // files are REUSED — only a fresh version claim + manifest + pointer
+    // attempt run again (Iceberg fast-append conflict resolution is the
+    // same metadata-only retry; the expensive write never repeats). The
+    // loop terminates because each round's claim is strictly newer and a
+    // finite set of concurrent writers each advance the pointer at most
+    // once per own-retry.
+    while (true) {
+      val m = manifest(stage).getOrElse(throw new IllegalStateException(
+        s"stage $stage lost its snapshot mid-append"))
+      val parentV = currentVersion(stage).getOrElse(0)
+      val parentRows = manifestField(m, "row_count").map(_.toLong).getOrElse(0L)
+      val json = manifestJson(stage, attemptVersion, sf,
+        meta + ("append_of" -> parentV.toString),
+        parentRels = dataRelPaths(m), parentRows = parentRows)
+      if (advancePointer(stage, attemptVersion, json, parentV))
+        return attemptVersion
+      attemptVersion = claimVersion(stage)
+    }
+    -1 // unreachable
   }
 
-  private def commitData(stage: String, data: DataFrame,
-                         meta: Map[String, String],
-                         parentRels: Seq[String], parentRows: Long): Int = {
+  /** snapshot payload files on disk, not yet referenced by any pointer. */
+  private case class SnapshotFiles(version: Int, dataRel: String,
+                                   lineageRel: String, rows: Long)
+
+  /** Atomically claim the next free version number: CREATE_NEW on
+    * `_claim_v<N>.json` — two concurrent writers can never both own N, so
+    * snapshot file paths (keyed by claimed version) never collide. */
+  private def claimVersion(stage: String): Int = {
+    val dir = Paths.get(stageDir(stage))
+    Files.createDirectories(dir)
+    val re = "_(?:manifest|claim)_v(\\d+)\\.json".r
+    val taken = withStream(Files.list(dir))(_
+      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+      .toSeq)
+    var v = (0 +: taken).max + 1
+    while (true) {
+      try {
+        Files.createFile(Paths.get(s"${stageDir(stage)}/_claim_v$v.json"))
+        return v
+      } catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
+    -1 // unreachable
+  }
+
+  /** Write the snapshot's data + lineage parquet under a freshly-claimed
+    * version. Invisible to readers until a pointer references it. */
+  private def writeSnapshotFiles(stage: String, data: DataFrame): SnapshotFiles = {
     val t0 = System.nanoTime()
     val dir = stageDir(stage)
-    val version = versions(stage).lastOption.getOrElse(0) + 1
+    val version = claimVersion(stage)
     data.write.mode("overwrite").parquet(s"$dir/data_v$version")
 
     val spark = data.sparkSession
@@ -155,32 +225,69 @@ class LakeTable(val root: String) {
     val withWall: Seq[Row] = lin.toSeq.map(r => Row.fromSeq(r.toSeq :+ wallMs))
     spark.createDataFrame(spark.sparkContext.parallelize(withWall, 1), schema)
       .write.mode("overwrite").parquet(s"$dir/lineage_v$version")
+    SnapshotFiles(version, s"data_v$version", s"lineage_v$version", rows)
+  }
 
-    val json = {
-      val rels = parentRels :+ s"data_v$version"
-      val fields = meta ++ Map(
-        "stage" -> stage,
-        "version" -> version.toString,
-        "data_path" -> s"data_v$version",
-        "data_paths" -> rels.mkString(","),
-        "lineage_path" -> s"lineage_v$version",
-        "row_count" -> (parentRows + rows).toString,
-        "committed_at" -> java.time.Instant.now().toString)
-      fields.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
-      }.mkString("{", ",", "}")
-    }
-    // the immutable snapshot manifest first (readers never consult it until
-    // the current pointer lands), then the pointer via ATOMIC_MOVE
+  /** `version` names the manifest; the payload paths come from `sf` (they
+    * differ on an append retry, which reuses earlier-written files). */
+  private def manifestJson(stage: String, version: Int, sf: SnapshotFiles,
+                           meta: Map[String, String],
+                           parentRels: Seq[String], parentRows: Long): String = {
+    val rels = parentRels :+ sf.dataRel
+    val fields = meta ++ Map(
+      "stage" -> stage,
+      "version" -> version.toString,
+      "data_path" -> sf.dataRel,
+      "data_paths" -> rels.mkString(","),
+      "lineage_path" -> sf.lineageRel,
+      "row_count" -> (parentRows + sf.rows).toString,
+      "committed_at" -> java.time.Instant.now().toString)
+    fields.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
+    }.mkString("{", ",", "}")
+  }
+
+  /** CAS pointer advance: write the immutable `_manifest_v<version>.json`
+    * (readers never consult it until a pointer references it), then — under
+    * the cross-process pointer lock — move the current pointer IF AND ONLY
+    * IF it still sits on `expectedParent`. Returns false when a concurrent
+    * writer advanced first; the attempted snapshot stays on disk either
+    * way, so no writer can silently clobber another's commit. */
+  private def advancePointer(stage: String, version: Int, json: String,
+                             expectedParent: Int): Boolean = {
+    val dir = stageDir(stage)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/_manifest_v$version.json"),
       json.getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(s"$dir/_manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    version
+    withPointerLock(stage) {
+      val cur = currentVersion(stage).getOrElse(0)
+      if (cur != expectedParent) false
+      else {
+        val tmp = Paths.get(s"$dir/_manifest.json.tmp")
+        Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+    }
   }
+
+  /** Cross-process mutual exclusion on the stage's pointer: an OS file
+    * lock, serialized in-JVM first (FileChannel.lock throws
+    * OverlappingFileLockException for same-JVM contenders — the JVM
+    * monitor makes in-process writers queue instead). Held for
+    * microseconds (one read + one rename). */
+  private def withPointerLock[A](stage: String)(body: => A): A =
+    LakeTable.PointerMonitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(s"${stageDir(stage)}/_pointer.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
 
   def manifest(stage: String): Option[String] =
     if (isCommitted(stage)) Some(new String(
@@ -270,6 +377,7 @@ class LakeTable(val root: String) {
         rmTree(Paths.get(s"${stageDir(stage)}/data_v$v"))
       rmTree(Paths.get(s"${stageDir(stage)}/lineage_v$v"))
       Files.deleteIfExists(Paths.get(s"${stageDir(stage)}/_manifest_v$v.json"))
+      Files.deleteIfExists(Paths.get(s"${stageDir(stage)}/_claim_v$v.json"))
     }
     // orphaned crash leftovers (never referenced by any manifest). An
     // age cutoff keeps the sweep from racing a CONCURRENT commit/rollback
@@ -295,7 +403,23 @@ object LakeTable {
     * concurrent commit/rollback between write and ATOMIC_MOVE, not a crash
     * leftover (Iceberg remove_orphan_files ships the same guard). */
   val DefaultOrphanMinAgeMs: Long = 60L * 60 * 1000
+
+  /** In-JVM serialization ahead of the OS pointer lock (same-JVM
+    * contenders on one file lock throw OverlappingFileLockException). */
+  private[lake] val PointerMonitor = new Object
 }
+
+/** A concurrent writer advanced the stage pointer past the snapshot this
+  * commit was built against. Nothing was lost: the attempted snapshot's
+  * files are on disk under the version in `attempted`, and the winner's
+  * commit is `current`. Re-run the commit against the new current
+  * snapshot (appends retry automatically, metadata-only). */
+final class ConcurrentCommitException(val stage: String, val attempted: Int,
+                                      val current: Int)
+  extends RuntimeException(
+    s"stage $stage: commit built against a stale snapshot — a concurrent " +
+      s"writer advanced the pointer to v$current while this writer " +
+      s"prepared v$attempted; retry against the current snapshot")
 
 /** Deterministic stage DAG runner with per-partition lineage
   * (stage, partition_id, output_rows, checksum) — SURVEY.md §2.11. */

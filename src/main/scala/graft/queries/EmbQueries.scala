@@ -201,12 +201,16 @@ object EmbQueries {
     * everything). Per seed cell: volume, corpus share, and the
     * integer-exact equalizing keep rate
     * `min(10⁴, ceil(N/cells)·10⁴ div n)`. Scale shape: the census is ONE
-    * groupBy over the (write-time bucketed) cell assignment — cells-row
-    * output; totals are a one-row broadcast; applying the factors later
-    * is a map-side join against this cells-row table. */
+    * groupBy over the STAGED write-time-bucketed assignment ([[ivfStore]]
+    * — not a recompute of the corpus-wide window), and the cells-row
+    * result is checkpointed so the totals branch rolls up the ≤cells-row
+    * frame instead of re-evaluating the scan (ADVICE r4 #2: the previous
+    * shape called seedAssigned and evaluated it on both DAG branches);
+    * totals are a one-row broadcast; applying the factors later is a
+    * map-side join against this cells-row table. */
   def clusterBalance(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = seedAssigned(spark, sfDir)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
+    val cells = clusterCensusOf(spark, sfDir).trackedCheckpoint
     val tot = cells.agg(sum(col("n")).as("n_total"),
       count(lit(1)).as("n_cells"))
     cells.crossJoin(broadcast(tot))
@@ -217,6 +221,14 @@ object EmbQueries {
       .select(col("cell"), col("n"), col("share_bp"), col("keep_bp"))
       .orderBy(col("cell"))
   }
+
+  /** q93's expensive pass, pre-checkpoint — spec hook (the eager
+    * trackedCheckpoint in [[clusterBalance]] hides this plan from the
+    * final frame, CLAUDE.md checkpoint invariant): one groupBy over the
+    * staged store scan, no window/generate recompute. */
+  private[graft] def clusterCensusOf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfStore(spark, sfDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
 
   /** q96 ANN rank fidelity — q87's companion metric: recall says WHETHER
     * the true neighbors surface; the Spearman-footrule drift

@@ -796,13 +796,15 @@ object TextQueries {
     * calibration report a pipeline runs before trusting either signal
     * alone — low agreement means the MinHash and embedding views of
     * "duplicate" measure different things and thresholds need re-tuning.
-    * Scale shape: the pair table is the staged q18 output, cells are the
-    * write-time-bucketed assignment — two id-equi joins against
-    * pair-count-sized frames and a one-row rollup; the corpus-sized
-    * passes are the staged inputs themselves. */
+    * Scale shape: the pair table is the staged q18 output, cells are READ
+    * from the staged write-time-bucketed assignment ([[EmbQueries
+    * .ivfStore]] — ADVICE r4 #2: recomputing seedAssigned here was a
+    * corpus-wide window pass the doc claimed was staged) — two id-equi
+    * joins against pair-count-sized frames and a one-row rollup; the
+    * corpus-sized passes are the staged inputs themselves. */
   def modalAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select(col("a"), col("b"))
-    val cells = EmbQueries.seedAssigned(spark, sfDir)
+    val cells = EmbQueries.ivfStore(spark, sfDir)
       .select(col("vec_id"), col("cell"))
     pairs
       .join(cells.select(col("vec_id").as("a"), col("cell").as("cell_a")), Seq("a"))

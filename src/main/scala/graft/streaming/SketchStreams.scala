@@ -35,24 +35,51 @@ object SketchStreams {
     dir.mkdirs()
     private val file = new java.io.File(dir, "sketch.bin")
 
+    /** exact expected file size: 8-byte batch id + the grid. */
+    private val ExpectedBytes = 8 + CmSketch.Depth * CmSketch.Width * 8
+
     def load(): (Long, Array[Long]) =
       if (!file.exists()) (-1L, new Array[Long](CmSketch.Depth * CmSketch.Width))
       else {
-        val bb = ByteBuffer.wrap(java.nio.file.Files.readAllBytes(file.toPath))
-          .order(ByteOrder.LITTLE_ENDIAN)
+        val raw = java.nio.file.Files.readAllBytes(file.toPath)
+        // a torn/stale file (power loss before the data hit disk) must be
+        // an OPERABLE error naming the file, not a BufferUnderflowException
+        if (raw.length != ExpectedBytes)
+          throw new java.io.IOException(
+            s"corrupt sketch store ${file.getAbsolutePath}: ${raw.length} bytes, " +
+              s"expected $ExpectedBytes — torn write (power loss?); delete the " +
+              "store AND its checkpoint to rebuild from the source")
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         val id = bb.getLong
         (id, Array.fill(CmSketch.Depth * CmSketch.Width)(bb.getLong))
       }
 
+    /** Durable commit: write tmp, force file bytes to disk, ATOMIC_MOVE,
+      * then fsync the DIRECTORY so the rename itself is durable — "crash-
+      * safe" covers power loss, not just process death (a rename that only
+      * lives in the dirent cache can resurface the OLD file after a power
+      * cut, which the batch-id guard tolerates, but a torn NEW file would
+      * not be). */
     def commit(batchId: Long, grid: Array[Long]): Unit = {
       val bb = ByteBuffer.allocate(8 + grid.length * 8)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.putLong(batchId); grid.foreach(bb.putLong)
       val tmp = new java.io.File(dir, "sketch.bin.tmp")
-      java.nio.file.Files.write(tmp.toPath, bb.array())
+      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(ByteBuffer.wrap(bb.array())); ch.force(true) }
+      finally ch.close()
       java.nio.file.Files.move(tmp.toPath, file.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // directory fsync (no-op where unsupported, e.g. some non-POSIX FS)
+      try {
+        val dch = java.nio.channels.FileChannel.open(dir.toPath,
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: java.io.IOException => }
     }
 
     /** never-undercounting estimate from the current committed grid. */

@@ -30,6 +30,50 @@ class LakeSpec extends SparkTestBase {
     assert(lake.manifest("s1").get.contains("\"row_count\":\"100\""))
   }
 
+  test("interleaved committers: exactly one wins the CAS, the loser fails loudly and retries onto a fresh version") {
+    val root = freshRoot("cas")
+    val lake = new LakeTable(root)
+    assert(lake.commit("s", spark.range(10).toDF("id"), Map.empty) === 1)
+    // writer A starts from v1… and writer B lands v2 while A is in flight
+    assert(lake.commit("s", spark.range(20).toDF("id"), Map.empty) === 2)
+    val e = intercept[ConcurrentCommitException] {
+      lake.commitFrom("s", spark.range(30).toDF("id"), Map.empty,
+        expectedParent = 1) // A's stale view of the pointer
+    }
+    assert(e.stage == "s" && e.current == 2 && e.attempted == 3)
+    // the winner was not clobbered: pointer still serves B's snapshot…
+    assert(lake.currentVersion("s").contains(2))
+    assert(lake.read(spark, "s").count() === 20)
+    // …and the loser's snapshot files are intact for inspection/retry
+    assert(lake.readAt(spark, "s", e.attempted).count() === 30)
+    // the loser retries against the CURRENT snapshot and wins a new version
+    val v = lake.commit("s", spark.range(30).toDF("id"), Map.empty)
+    assert(v > e.attempted)
+    assert(lake.currentVersion("s").contains(v))
+    assert(lake.read(spark, "s").count() === 30)
+  }
+
+  test("two concurrent appends both land: the loser's metadata-only retry folds onto the winner") {
+    val root = freshRoot("casappend")
+    val lake = new LakeTable(root)
+    lake.commit("s", spark.range(0, 10).toDF("id"), Map.empty)
+    val gun = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def appender(lo: Int, hi: Int) = new Thread(() => {
+      try { gun.await(); lake.commitAppend("s", spark.range(lo, hi).toDF("id"), Map.empty); () }
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    val ts = Seq(appender(100, 140), appender(200, 260))
+    ts.foreach(_.start()); gun.countDown(); ts.foreach(_.join())
+    assert(errs.isEmpty, s"appends must both succeed: ${errs.toArray.mkString}")
+    // NEITHER delta was lost — the contract VERDICT r4 #4 demanded
+    val ids = lake.read(spark, "s").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 110, s"10 base + 40 + 60 rows, got ${ids.length}")
+    assert(ids.count(i => i >= 100 && i < 140) === 40)
+    assert(ids.count(i => i >= 200 && i < 260) === 60)
+    assert(lake.rowCount("s").contains(110L))
+  }
+
   test("partial write without manifest is invisible and retried") {
     val root = freshRoot("partial")
     val lake = new LakeTable(root)

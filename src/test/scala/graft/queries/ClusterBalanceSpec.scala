@@ -29,4 +29,15 @@ class ClusterBalanceSpec extends SparkTestBase {
     }
     GraftCheckpoints.releaseAll()
   }
+
+  test("q93 census reads the staged store — no window/generate recompute (plan-gated)") {
+    // the pre-checkpoint builder hook (the eager checkpoint hides the
+    // census plan from the final frame): its scan must be the staged
+    // hive-partitioned ivf_store parquet, never a seedAssigned recompute
+    val plan = EmbQueries.clusterCensusOf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"census must not recompute the assignment window:\n$plan")
+    assert(!plan.contains("Generate"), s"census must not re-explode seed dots:\n$plan")
+    assert(plan.contains("ivf_store"), s"census must scan the staged store:\n$plan")
+  }
 }

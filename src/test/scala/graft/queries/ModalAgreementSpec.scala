@@ -21,4 +21,24 @@ class ModalAgreementSpec extends SparkTestBase {
     assert(row.getLong(0) > 0, "gate must be non-vacuous")
     GraftCheckpoints.releaseAll()
   }
+
+  test("q95 reads the staged cell assignment, not a corpus-wide recompute (plan-gated)") {
+    val df = TextQueries.modalAgreement(spark, sf)
+    // the cell frames must scan the staged hive-partitioned store…
+    val locs = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+    assert(locs.exists(_.contains("ivf_store")),
+      s"cells must come from the staged store, scans: $locs")
+    // …and nothing in the report recomputes the assignment window (the
+    // band-explode Generate of the staged-signature pair leg is expected)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no assignment-window recompute:\n$plan")
+    GraftCheckpoints.releaseAll()
+  }
 }

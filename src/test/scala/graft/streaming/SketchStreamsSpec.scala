@@ -50,4 +50,16 @@ class SketchStreamsSpec extends SparkTestBase {
         s"undercount for '${r.getString(0)}'")
     }
   }
+
+  test("a torn sketch.bin surfaces as an operable error naming the file, not a buffer underflow") {
+    val dir = java.nio.file.Files.createTempDirectory("cmtorn").toFile
+    val store = new SketchStreams.SketchStore(dir)
+    store.commit(0L, new Array[Long](CmSketch.Depth * CmSketch.Width))
+    val f = new java.io.File(dir, "sketch.bin")
+    val full = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, full.take(full.length / 2)) // torn
+    val e = intercept[java.io.IOException] { store.load() }
+    assert(e.getMessage.contains("sketch.bin") &&
+      e.getMessage.contains("torn"), e.getMessage)
+  }
 }
