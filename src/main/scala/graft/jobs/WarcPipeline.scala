@@ -15,16 +15,42 @@ import graft.io.WarcIO
   * existing resumable [[TrainingDataJob]] stages (quality → exact dedup →
   * near-dup → decontaminate → sharded store).
   *
-  * Identity: `doc_id = xxhash64(url) & Long.MaxValue`. A RECRAWL of the
-  * same url maps to the same id by construction — exactly the stability
-  * the q79 contamination wall and exact-dedup keeper rule rely on (a
-  * url's content update dedups against its older self instead of leaking
-  * across the eval wall). The stated trade: two DIFFERENT urls colliding
-  * in the 63-bit space (birthday bound ≈ N²/2⁶⁴ — ~0.005 expected
-  * collisions at 10⁹ urls, ~5000 at 10¹² where a production run widens
-  * the identity to a 128-bit url digest) cost one of two unrelated docs,
-  * never a correctness break downstream. */
+  * Identity (narrow, the default): `doc_id = xxhash64(url) &
+  * Long.MaxValue`. A RECRAWL of the same url maps to the same id by
+  * construction — exactly the stability the q79 contamination wall and
+  * exact-dedup keeper rule rely on (a url's content update dedups against
+  * its older self instead of leaking across the eval wall). The stated
+  * trade: two DIFFERENT urls colliding in the 63-bit space (birthday
+  * bound ≈ N²/2⁶⁴ — ~0.005 expected collisions at 10⁹ urls, ~5000 at
+  * 10¹²) cost one of two unrelated docs, never a correctness break
+  * downstream.
+  *
+  * Identity (wide, `wideIdentity = true` — the 10¹²-url production
+  * setting): `doc_id = md5(url)` as a 32-hex-char string, a 128-bit
+  * identity (expected collisions at 10¹² urls ≈ N²/2¹²⁹ ≈ 10⁻¹⁵ —
+  * effectively zero, so no doc is ever lost to id aliasing). Every
+  * downstream identity operation — dedup stores' first-write-wins guard,
+  * min-keeper rules, LSH pair canonicalization, label min-propagation —
+  * is ordering/equality-based and therefore type-agnostic; the two
+  * NUMERIC sites derive their keys from the id instead of being the id
+  * ([[graft.queries.QualityQueries.withShardAssignment]] shards from the
+  * split hash's hex digits; [[wallBucket]] hashes the digest for the
+  * eval wall — both stay recrawl-stable because they remain pure
+  * functions of the url). Cost: a 32-byte shuffle/store key instead of
+  * 8 bytes. The driver-gate oracles all run narrow ids — unchanged. */
 object WarcPipeline {
+
+  /** The eval-wall bucket of a docs frame: `doc_id mod EvalMod` for the
+    * narrow Long identity, `xxhash64(doc_id) & Max mod EvalMod` for the
+    * wide string identity — in both cases a pure function of the url, so
+    * a doc sits on the same wall side in EVERY batch that delivers it. */
+  def wallBucket(df: DataFrame): org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val n =
+      if (df.schema("doc_id").dataType == org.apache.spark.sql.types.LongType) id
+      else xxhash64(id).bitwiseAND(lit(Long.MaxValue))
+    pmod(n, lit(graft.queries.QualityQueries.EvalMod))
+  }
 
   /** The entity body of a response payload, as a decoded string. Real
     * Common-Crawl response records carry `Content-Type: application/http;
@@ -44,12 +70,16 @@ object WarcPipeline {
   }
 
   /** (doc_id, url, warc_epoch, text) from every response record under
-    * `warcDir` — one task per archive, map-side only. */
-  def ingest(spark: SparkSession, warcDir: String): DataFrame =
+    * `warcDir` — one task per archive, map-side only. `wideIdentity`
+    * selects the 128-bit string identity (object doc above). */
+  def ingest(spark: SparkSession, warcDir: String,
+             wideIdentity: Boolean = false): DataFrame =
     WarcIO.read(spark, warcDir, "*.warc*")
       .where(col("warc_type") === "response")
       .select(
-        xxhash64(col("target_uri")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+        (if (wideIdentity) md5(col("target_uri"))
+         else xxhash64(col("target_uri")).bitwiseAND(lit(Long.MaxValue)))
+          .as("doc_id"),
         col("target_uri").as("url"),
         unix_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
           .as("warc_epoch"),
@@ -60,8 +90,7 @@ object WarcPipeline {
     * (a deterministic held-out slice standing in for the caller's
     * benchmark suite when none is supplied). */
   def defaultEvalSlice(ingested: DataFrame): DataFrame =
-    ingested.where(pmod(col("doc_id"),
-        lit(graft.queries.QualityQueries.EvalMod)) === 0)
+    ingested.where(wallBucket(ingested) === 0)
       .select(col("doc_id"), col("text"))
 
   /** Daily-crawl faces: initialize the incremental pipeline from the
@@ -74,8 +103,9 @@ object WarcPipeline {
     * [[defaultEvalSlice]] is globally consistent by construction. */
   def initFromDump(spark: SparkSession, warcDir: String,
                    lakeRoot: String, storeDir: String,
-                   broadcastEval: Boolean = true): DataFrame = {
-    val ing = ingest(spark, warcDir)
+                   broadcastEval: Boolean = true,
+                   wideIdentity: Boolean = false): DataFrame = {
+    val ing = ingest(spark, warcDir, wideIdentity)
       .select(col("doc_id"), col("text")).trackedCheckpoint
     try TrainingDataJob.initIncremental(spark, ing, defaultEvalSlice(ing),
       lakeRoot, storeDir, broadcastEval)
@@ -85,8 +115,9 @@ object WarcPipeline {
   def appendDump(spark: SparkSession, warcDir: String,
                  lakeRoot: String, storeDir: String,
                  batchId: Option[Long] = None,
-                 broadcastEval: Boolean = true): DataFrame = {
-    val ing = ingest(spark, warcDir)
+                 broadcastEval: Boolean = true,
+                 wideIdentity: Boolean = false): DataFrame = {
+    val ing = ingest(spark, warcDir, wideIdentity)
       .select(col("doc_id"), col("text")).trackedCheckpoint
     try TrainingDataJob.appendBatch(spark, ing, defaultEvalSlice(ing),
       lakeRoot, storeDir, batchId, broadcastEval)
@@ -104,8 +135,9 @@ object WarcPipeline {
   def runFromDump(spark: SparkSession, warcDir: String,
                   lakeRoot: String, storeDir: String,
                   evalDocs: Option[DataFrame] = None,
-                  broadcastEval: Boolean = true): DataFrame = {
-    val ingested = ingest(spark, warcDir)
+                  broadcastEval: Boolean = true,
+                  wideIdentity: Boolean = false): DataFrame = {
+    val ingested = ingest(spark, warcDir, wideIdentity)
       .select(col("doc_id"), col("text")).trackedCheckpoint
     try {
       val eval = evalDocs.getOrElse(defaultEvalSlice(ingested))

@@ -520,7 +520,14 @@ object QualityQueries {
        |     WHEN substr($hExpr, 1, 2) < '$ValCut' THEN 'val'
        |     ELSE 'train' END""".stripMargin
 
-  def withShardAssignment(df: DataFrame): DataFrame =
+  def withShardAssignment(df: DataFrame): DataFrame = {
+    // wide (string, 128-bit) identities have no numeric form — shard from
+    // 15 hex digits (60 bits) of the split hash instead; still a pure
+    // function of the id, so placement is recrawl-stable either way
+    val idNum =
+      if (df.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType) col("doc_id")
+      else conv(substring(col("h"), 3, 15), 16, 10).cast("long")
     df.withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("split", splitFromHash(col("h")))
       // mod-before-multiply: ((id mod P)·m) mod P ≡ (id·m) mod P for any
@@ -528,8 +535,9 @@ object QualityQueries {
       // under ANSI for 63-bit url-hash ids (WarcPipeline), value-identical
       // to the oracle's (doc_id·m) % P on its parquet-range inputs
       .withColumn("shard",
-        pmod(pmod(col("doc_id"), lit(ShardMod)) * lit(ShardMul),
+        pmod(pmod(idNum, lit(ShardMod)) * lit(ShardMul),
           lit(ShardMod)) % NumShards)
+  }
 
   def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
     val d = withShardAssignment(

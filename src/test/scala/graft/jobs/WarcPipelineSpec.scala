@@ -54,6 +54,85 @@ class WarcPipelineSpec extends SparkTestBase {
     GraftCheckpoints.releaseAll()
   }
 
+  test("wide (128-bit) identity: wall, dedup and idempotence contracts hold with string doc ids") {
+    val warcDir = graft.queries.TextQueries.warcFixture(spark, sf)
+    // ingest under the wide identity: doc_id is the 32-hex md5(url) digest,
+    // injective over the corpus (no 63-bit aliasing possible)
+    val ing = WarcPipeline.ingest(spark, warcDir.getAbsolutePath,
+      wideIdentity = true).trackedCheckpoint
+    assert(ing.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val ids = ing.select("doc_id").collect().map(_.getString(0))
+    assert(ids.forall(id => id.length == 32 && id.matches("[0-9a-f]+")))
+    assert(ids.distinct.length == ids.length, "wide ids must be collision-free")
+    GraftCheckpoints.releaseAll()
+
+    val root = java.nio.file.Files.createTempDirectory("warcwide").toFile
+    val lakeRoot = new java.io.File(root, "lake").getAbsolutePath
+    val storeDir = new java.io.File(root, "store").getAbsolutePath
+    val sharded = WarcPipeline.runFromDump(spark, warcDir.getAbsolutePath,
+      lakeRoot, storeDir, wideIdentity = true)
+    val n1 = sharded.count()
+    assert(n1 > 0, "wide-identity pipeline must keep survivors")
+    val store = spark.read.parquet(storeDir)
+    assert(store.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(store.count() == n1)
+    // WALL: the eval slice (wallBucket == 0 — the wide-id wall rule, a
+    // pure function of the url digest) never reaches the training store
+    assert(store.where(WarcPipeline.wallBucket(store) === 0).count() == 0,
+      "eval-slice docs must be decontaminated out under wide ids too")
+    // shard/split assignment is well-formed from the string identity
+    assert(store.where(col("shard") < 0 ||
+      col("shard") >= graft.queries.QualityQueries.NumShards).count() == 0)
+    assert(store.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+
+    // IDEMPOTENCE: a rerun resumes; the store is not rewritten
+    val before = new java.io.File(storeDir, "_SUCCESS").lastModified()
+    val n2 = WarcPipeline.runFromDump(spark, warcDir.getAbsolutePath,
+      lakeRoot, storeDir, wideIdentity = true).count()
+    assert(n2 == n1)
+    assert(new java.io.File(storeDir, "_SUCCESS").lastModified() == before)
+    GraftCheckpoints.releaseAll()
+  }
+
+  test("wide identity daily face: append + replay idempotence with string ids") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    val fmt = "2024-03-01T12:00:00Z"
+    def dump(dir: java.io.File, rows: Seq[(Long, String)]): Unit = {
+      dir.mkdirs()
+      graft.io.WarcIO.writeLocal(rows.map { case (id, t) =>
+        ("response", s"<urn:d:$id>", s"https://example.org/d/$id", fmt,
+          "text/html", s"<html>$t</html>".getBytes("UTF-8"))
+      }.iterator, new java.io.File(dir, "part-00000.warc.gz"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("warcwided").toFile
+    val a = new java.io.File(root, "dumpA"); val b = new java.io.File(root, "dumpB")
+    val rows = docs.map(r => r.getLong(0) -> r.getString(1)).toSeq
+    dump(a, rows.filter(_._1 < 250)); dump(b, rows.filter(_._1 >= 250))
+    val lakeRoot = new java.io.File(root, "lake").getAbsolutePath
+    val storeDir = new java.io.File(root, "store").getAbsolutePath
+
+    WarcPipeline.initFromDump(spark, a.getAbsolutePath, lakeRoot, storeDir,
+      wideIdentity = true)
+    val n0 = spark.read.parquet(storeDir).count()
+    assert(n0 > 0)
+    WarcPipeline.appendDump(spark, b.getAbsolutePath, lakeRoot, storeDir,
+      batchId = Some(7L), wideIdentity = true)
+    val st1 = spark.read.parquet(storeDir)
+    val n1 = st1.count()
+    assert(n1 > n0, "the second dump must contribute survivors")
+    WarcPipeline.appendDump(spark, b.getAbsolutePath, lakeRoot, storeDir,
+      batchId = Some(7L), wideIdentity = true)
+    assert(spark.read.parquet(storeDir).count() == n1,
+      "a replayed dump must append nothing under wide ids")
+    assert(st1.where(WarcPipeline.wallBucket(st1) === 0).count() == 0,
+      "the id-hash wall holds across wide-id batches")
+    GraftCheckpoints.releaseAll()
+  }
+
   test("httpBody: application/http payloads split at the first blank line; bare content passes through") {
     import spark.implicits._
     val body = "<html><p>keep: A&amp;B</p></html>"
