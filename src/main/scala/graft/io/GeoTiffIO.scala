@@ -129,6 +129,30 @@ object GeoTiffIO {
 
   // ------------------------------------------------------------- internals
 
+  /** Geo-referencing tags only, from a TIFF that may carry no image data at
+    * all — the GeoJP2 convention (a JP2 `uuid` box holding a DEGENERATE
+    * GeoTIFF whose sole purpose is ModelPixelScale/ModelTiepoint/GeoKeys;
+    * the image tags describe a 1×1 dummy). [[Jp2Decoder]] feeds that
+    * embedded TIFF here; `readImpl` would choke on the missing strips. */
+  private[io] def geoFromTiffBytes(tiff: Array[Byte]): (Option[Affine], Option[Int]) = {
+    val order =
+      if (tiff(0) == 'I' && tiff(1) == 'I') ByteOrder.LITTLE_ENDIAN
+      else if (tiff(0) == 'M' && tiff(1) == 'M') ByteOrder.BIG_ENDIAN
+      else throw new IllegalArgumentException(
+        "embedded GeoJP2 payload is not a TIFF (bad byte-order mark)")
+    val buf = ByteBuffer.wrap(tiff).order(order)
+    require(buf.getShort(2) == 42, "embedded GeoJP2 payload is not a TIFF (bad magic)")
+    val tags = readIfd(buf, buf.getInt(4))
+    val affine = (tags.get(33550), tags.get(33922)) match {
+      case (Some(sc), Some(tp)) =>
+        val s = doubleValues(buf, sc)
+        val t = doubleValues(buf, tp)
+        Some(Affine(s(0), 0.0, t(3) - t(0) * s(0), 0.0, -s(1), t(4) + t(1) * s(1)))
+      case _ => None
+    }
+    (affine, epsgFromGeoKeys(buf, tags))
+  }
+
   private def nextIfdOffset(buf: ByteBuffer, off: Int): Int = {
     val n = buf.getShort(off) & 0xFFFF
     buf.getInt(off + 2 + 12 * n)

@@ -236,10 +236,10 @@ class GeoTiffSpec extends AnyFunSuite {
     // dispatch to the tif codec under the same entry point
     val t = RasterOpen.open(s"$refRaster/rgb.tif")
     assert(t.width === 100 && t.crs === 3857)
-    // .jp2 now dispatches to the parsing error contract (Jp2Spec owns the
-    // message assertions): an UnsupportedOperationException, not a generic
-    // unknown-format IllegalArgumentException
-    intercept[UnsupportedOperationException](RasterOpen.open(s"$refRaster/rgb.jp2"))
+    // .jp2 dispatches to the round-5 decoder (Jp2DecodeSpec owns the
+    // pixel/georef assertions): same scene, same grid, same CRS
+    val j = RasterOpen.open(s"$refRaster/rgb.jp2")
+    assert(j.width === 100 && j.height === 100 && j.crs === 3857)
   }
 
   test("opened fixture feeds the engine: footprint + get_tile path") {
