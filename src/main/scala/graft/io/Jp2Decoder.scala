@@ -372,7 +372,7 @@ object Jp2Decoder {
   /** Decoded code-block: magnitudes, sign bits, significance, and the
     * plane index of each coefficient's last decoded bit (for mid-point
     * reconstruction of rate-truncated streams, E.1.1.2). */
-  private def t1Decode(data: Array[Byte], w: Int, h: Int, numbps: Int,
+  private[io] def t1Decode(data: Array[Byte], w: Int, h: Int, numbps: Int,
                        band: Int, maxPasses: Int, segsym: Boolean,
                        causal: Boolean): (Array[Int], Array[Boolean], Array[Int], Array[Boolean]) = {
     val sig = new Array[Boolean](w * h)
@@ -941,8 +941,16 @@ object Jp2Decoder {
                       val i = yy * cb.w + xx
                       if (sig(i)) {
                         // mid-point reconstruction: the undecoded planes
-                        // below lp contribute half their span (E.1.1.2)
-                        val v = (mag(i) + 0.5 * (1L << lp(i))) * delta
+                        // below lp contribute half their span (E.1.1.2).
+                        // Reversible coefficients are EXACT integers — the
+                        // bias applies only when the stream was truncated
+                        // (lp > 0); the irreversible path keeps the
+                        // dead-zone half-step even at full depth (the
+                        // quantizer cell's midpoint)
+                        val bias =
+                          if (qq.style == 0) { if (lp(i) > 0) (1L << (lp(i) - 1)).toDouble else 0.0 }
+                          else 0.5 * (1L << lp(i))
+                        val v = (mag(i) + bias) * delta
                         val bo = (cb.by0 + yy - b.by0) * b.w + (cb.bx0 + xx - b.bx0)
                         b.coeff(bo) = if (sgn(i)) -v else v
                       }

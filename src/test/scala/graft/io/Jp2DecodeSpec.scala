@@ -198,10 +198,12 @@ class Jp2DecodeSpec extends AnyFunSuite {
     }
 
     def flush(): Array[Byte] = {
-      // SETBITS
-      var tempC = c + a - 1
-      tempC &= 0xffff8000L
-      if (c < tempC) c = tempC
+      // SETBITS (C.2.9): fill the unsent low bits with ONES — the decoder
+      // synthesizes 0xFF bytes past the stream end, so the chosen code
+      // value's discarded tail must be all-1s, not a 0x8000 multiple
+      val tempC = c + a
+      c |= 0xffffL
+      if (c >= tempC) c -= 0x8000L
       c <<= ct; byteOut()
       c <<= ct; byteOut()
       if (bVal != 0xff) { bp += 1; out += 0xff.toByte }
