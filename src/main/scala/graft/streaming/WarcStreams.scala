@@ -16,7 +16,9 @@ import graft.io.WarcIO
   *
   * LANDING CONVENTION (required of the producer): archives must land
   * ATOMICALLY — write to a temp name the glob does not match (e.g.
-  * `crawl-000123.warc.gz.tmp` or a dotted `.crawl-000123.warc.gz`), then
+  * `crawl-000123.tmp`, or a dotted `.crawl-000123.warc.gz`, which Spark's
+  * file source additionally treats as hidden — note `*.warc*` has a
+  * trailing wildcard, so a `.warc.gz.tmp` suffix would STILL match), then
   * rename into place. The default `*.warc*` glob will otherwise pick up a
   * partially-written file mid-copy; the parser then fails loudly on the
   * truncated tail AND the file-source ledger may already have marked that
