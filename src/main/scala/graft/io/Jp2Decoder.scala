@@ -58,7 +58,10 @@ object Jp2Decoder {
     val cs = findBox(bytes, "jp2c").getOrElse(throw new IllegalArgumentException(
       s"'$path' is a valid JP2 container but has no jp2c codestream box"))
     val d = decode(bytes.slice(cs._1, cs._2))
-    val (affine, crs) = findBox(bytes, "uuid").collect {
+    // GeoJP2 is the uuid box WHOSE 16-byte id matches — not necessarily the
+    // first uuid box in the file (GDAL/ExifTool commonly emit an XMP uuid
+    // box ahead of it; taking the first would silently drop georeferencing)
+    val (affine, crs) = findBoxes(bytes, "uuid").collectFirst {
       case (a, b) if b - a > 16 && bytes.slice(a, a + 16).sameElements(GeoJp2Uuid) =>
         GeoTiffIO.geoFromTiffBytes(bytes.slice(a + 16, b))
     }.getOrElse((None, None))
@@ -74,19 +77,28 @@ object Jp2Decoder {
   /** Walk top-level [len][type][payload] boxes; payload bounds of the first
     * `want`. Bounds discipline mirrors Jp2Probe (which already validated
     * the container before this is called). */
-  private def findBox(bytes: Array[Byte], want: String): Option[(Int, Int)] = {
+  private def findBox(bytes: Array[Byte], want: String): Option[(Int, Int)] =
+    findBoxes(bytes, want).headOption
+
+  /** Payload bounds of EVERY top-level box of type `want`, in file order —
+    * box types like `uuid` legally repeat (XMP, GeoJP2, …). */
+  private def findBoxes(bytes: Array[Byte], want: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
     var off = 0
-    while (off + 8 <= bytes.length) {
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
       val len0 = u32(bytes, off)
       val t = new String(bytes, off + 4, 4, "ISO-8859-1")
       val (hdr, len) =
         if (len0 == 1) (16L, u64(bytes, off + 8)) else (8L, len0)
-      if (len != 0 && (len < hdr || len > bytes.length - off)) return None
-      val end = if (len == 0) bytes.length else (off + len).toInt
-      if (t == want) return Some(((off + hdr).toInt, end))
-      off = end
+      if (len != 0 && (len < hdr || len > bytes.length - off)) ok = false
+      else {
+        val end = if (len == 0) bytes.length else (off + len).toInt
+        if (t == want) out += (((off + hdr).toInt, end))
+        off = end
+      }
     }
-    None
+    out.result()
   }
 
   private def u16(b: Array[Byte], o: Int): Int =

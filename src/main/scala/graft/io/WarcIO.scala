@@ -53,10 +53,21 @@ object WarcIO {
                                path: String, globFilter: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf)
+    // Hadoop's glob `*` matches leading-dot/underscore names, but those are
+    // hidden files by Spark FileIndex convention — and the atomic-landing
+    // contract (WarcStreams scaladoc) designates dotted names as the safe
+    // in-flight form. Skip them when globbing a directory (a path naming a
+    // file EXPLICITLY is honored as given), matching what a binaryFile
+    // scan would do, so a batch ingest over a LIVE drop directory never
+    // opens a partially-copied archive.
+    def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
     val stats =
       if (fs.getFileStatus(base).isFile) Array(fs.getFileStatus(base))
       else Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, globFilter)))
-        .getOrElse(Array.empty)
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).filter(visible)
     stats.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
   }
 
@@ -74,15 +85,24 @@ object WarcIO {
     val confBc = sc.broadcast(
       new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
     spark.createDataset(
-      sc.parallelize(files, math.max(1, files.length)).flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val in = hp.getFileSystem(confBc.value.value).open(hp)
-        // the stream lives as long as the iterator; the task-completion
-        // listener closes it on both exhaustion and task failure
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        parseStream(p, in)
-      }).toDF()
+      sc.parallelize(files, math.max(1, files.length))
+        .flatMap(p => openAndParse(p, confBc.value.value))).toDF()
+  }
+
+  /** Task-side: open `path`'s Hadoop stream and parse records off it in
+    * O(record) memory. The ONE close/leak discipline both the batch reader
+    * and the streaming tailer use: the stream lives as long as the
+    * iterator; the task-completion listener closes it on both exhaustion
+    * and task failure (outside a task — driver-side use — the caller's
+    * iterator exhaustion leaves the stream to the finalizer, so tests
+    * should run inside tasks or accept the leak-per-call). */
+  private[graft] def openAndParse(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[WarcRecord] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val in = hp.getFileSystem(conf).open(hp)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    parseStream(path, in)
   }
 
   /** Parse one archive's bytes (gzip-member stream or plain) into records.
@@ -113,14 +133,23 @@ object WarcIO {
       private var done = false
       private def advance(): Unit = {
         if (nextRec != null || done) return
-        // skip inter-record CRLFs (two after each block, tolerant to more)
-        var c = in.read(); var skipped = 0
-        while (c == '\r' || c == '\n') { skipped += 1; c = in.read() }
-        offset += skipped
-        if (c < 0) { done = true; return }
-        val recStart = offset
-        nextRec = parseOne(sourceFile, recStart, in, c.toByte, n => offset += n)
-        offset += 1 // the first byte read above
+        try {
+          // skip inter-record CRLFs (two after each block, tolerant to more)
+          var c = in.read(); var skipped = 0
+          while (c == '\r' || c == '\n') { skipped += 1; c = in.read() }
+          offset += skipped
+          if (c < 0) { done = true; return }
+          val recStart = offset
+          nextRec = parseOne(sourceFile, recStart, in, c.toByte, n => offset += n)
+          offset += 1 // the first byte read above
+        } catch {
+          // a torn gzip member surfaces as a bare EOF/ZipException from the
+          // inflater — rethrow with the same file+offset coordinates the
+          // framing errors carry (loud-contract: no anonymous stream death)
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"truncated or corrupt WARC stream in $sourceFile near " +
+              s"uncompressed offset $offset: ${e.getMessage}", e)
+        }
       }
       def hasNext: Boolean = { advance(); nextRec != null }
       def next(): WarcRecord = {

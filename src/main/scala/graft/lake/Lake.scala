@@ -171,8 +171,14 @@ class LakeTable(val root: String) {
     while (true) {
       val m = manifest(stage).getOrElse(throw new IllegalStateException(
         s"stage $stage lost its snapshot mid-append"))
-      val parentV = currentVersion(stage).getOrElse(0)
+      // parent version comes from the SAME manifest read as the parent data
+      // paths — a second currentVersion() read would open a TOCTOU window
+      // where a commit landing between the two reads passes the CAS while
+      // this manifest (and so data_paths/row_count) predates it, silently
+      // dropping the intervening snapshot's data from the append.
+      val parentV = manifestField(m, "version").map(_.toInt).getOrElse(0)
       val parentRows = manifestField(m, "row_count").map(_.toLong).getOrElse(0L)
+      onAppendBeforeCas()
       val json = manifestJson(stage, attemptVersion, sf,
         meta + ("append_of" -> parentV.toString),
         parentRels = dataRelPaths(m), parentRows = parentRows)
@@ -182,6 +188,12 @@ class LakeTable(val root: String) {
     }
     -1 // unreachable
   }
+
+  /** Test seam: runs after [[commitAppend]] reads the parent manifest and
+    * before its CAS attempt — a spec overrides this to inject a concurrent
+    * commit deterministically into the read→CAS window (the lost-update
+    * TOCTOU the single-manifest-read parentV closes). No-op in production. */
+  protected def onAppendBeforeCas(): Unit = ()
 
   /** snapshot payload files on disk, not yet referenced by any pointer. */
   private case class SnapshotFiles(version: Int, dataRel: String,
@@ -247,22 +259,33 @@ class LakeTable(val root: String) {
     }.mkString("{", ",", "}")
   }
 
-  /** CAS pointer advance: write the immutable `_manifest_v<version>.json`
-    * (readers never consult it until a pointer references it), then — under
-    * the cross-process pointer lock — move the current pointer IF AND ONLY
-    * IF it still sits on `expectedParent`. Returns false when a concurrent
-    * writer advanced first; the attempted snapshot stays on disk either
-    * way, so no writer can silently clobber another's commit. */
+  /** CAS pointer advance: under the cross-process pointer lock, move the
+    * current pointer IF AND ONLY IF it still sits on `expectedParent`, and
+    * only THEN write the immutable `_manifest_v<version>.json` (tmp +
+    * atomic rename, immediately before the pointer move). Returns false
+    * when a concurrent writer advanced first; the attempted snapshot's
+    * DATA stays on disk for inspection/retry, but no versioned manifest is
+    * written for it — a CAS loser must never leave a `_manifest_v<N>.json`
+    * below the winner's currentVersion, or rollback/readAt/versions/vacuum
+    * would treat a never-committed snapshot as commit evidence (the
+    * pointer-reachability invariant). The only residual orphan source is a
+    * crash inside this lock between the two renames — a version ABOVE
+    * current at that instant, i.e. exactly the crash-orphan class the
+    * replay rules already exclude. */
   private def advancePointer(stage: String, version: Int, json: String,
                              expectedParent: Int): Boolean = {
     val dir = stageDir(stage)
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/_manifest_v$version.json"),
-      json.getBytes(StandardCharsets.UTF_8))
     withPointerLock(stage) {
       val cur = currentVersion(stage).getOrElse(0)
       if (cur != expectedParent) false
       else {
+        // tmp name must NOT contain "_manifest_v<N>.json" — versions()'s
+        // regex is unanchored and would count a crash-leftover tmp
+        val vtmp = Paths.get(s"$dir/_vtmp_$version.tmp")
+        Files.write(vtmp, json.getBytes(StandardCharsets.UTF_8))
+        Files.move(vtmp, Paths.get(s"$dir/_manifest_v$version.json"),
+          StandardCopyOption.ATOMIC_MOVE)
         val tmp = Paths.get(s"$dir/_manifest.json.tmp")
         Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE,

@@ -70,6 +70,32 @@ class Jp2DecodeSpec extends AnyFunSuite {
       s"origin (${a.c},${a.f}) vs (${g.c},${g.f})")
   }
 
+  test("GeoJP2 is found even when another uuid box (e.g. XMP) precedes it") {
+    // splice a foreign uuid box in front of the whole box sequence after
+    // the 12-byte signature box — GDAL/ExifTool commonly emit an XMP uuid
+    // box before the GeoJP2 one; matching the FIRST uuid box would then
+    // silently drop georeferencing
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(jp2))
+    val xmpUuid = Array(0xbe, 0x7a, 0xcf, 0xcb, 0x97, 0xa9, 0x42, 0xe8,
+      0x9c, 0x71, 0x99, 0x94, 0x91, 0xe3, 0xaf, 0xac).map(_.toByte)
+    val payload = "<x:xmpmeta/>".getBytes("UTF-8")
+    val boxLen = 8 + 16 + payload.length
+    val box = java.nio.ByteBuffer.allocate(boxLen)
+      .putInt(boxLen).put("uuid".getBytes("ISO-8859-1"))
+      .put(xmpUuid).put(payload).array()
+    // insert after the ftyp box so the signature+ftyp prefix Jp2Probe
+    // validates stays first (sig box is 12 bytes; ftyp length is its u32)
+    val ftypEnd = 12 + java.nio.ByteBuffer.wrap(orig, 12, 4).getInt
+    val spliced = orig.take(ftypEnd) ++ box ++ orig.drop(ftypEnd)
+    val f = java.io.File.createTempFile("xmpfirst", ".jp2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, spliced)
+    val r = RasterOpen.open(f.getAbsolutePath)
+    assert(r.crs === golden.crs)
+    assert(math.abs(r.affine.c - golden.affine.c) < 1e-3 &&
+      math.abs(r.affine.f - golden.affine.f) < 1e-3)
+  }
+
   test("crop-boundless mask parity with the GeoTIFF twin (test_georaster.py:905-928)") {
     import graft.raster.{TileServe, Windows}
     // the reference's three ROI cases: intersecting / inside / disjoint

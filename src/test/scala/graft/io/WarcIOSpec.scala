@@ -221,4 +221,31 @@ class WarcIOSpec extends SparkTestBase {
     assert(uris == (0 until 3).flatMap(fi => (0 until 4).map(i =>
       s"https://example.org/p/${fi * 10 + i}")).toSet)
   }
+
+  test("directory reads skip hidden (dot/underscore) names: an in-flight dotted archive is never opened") {
+    val dir = java.nio.file.Files.createTempDirectory("warchidden").toFile
+    WarcIO.writeLocal(Iterator(rec(1, "landed".getBytes("UTF-8"))),
+      new java.io.File(dir, "a.warc.gz"))
+    // a producer mid-copy under the atomic-landing convention: dotted name,
+    // TRUNCATED content — globStatus's `*` would match it, a FileIndex
+    // would not; opening it would fail the whole ingest loudly
+    val full = new java.io.File(dir, "tmpsrc.bin")
+    WarcIO.writeLocal(Iterator(rec(2, "inflight".getBytes("UTF-8"))), full)
+    val bytes = java.nio.file.Files.readAllBytes(full.toPath)
+    java.nio.file.Files.write(new java.io.File(dir, ".b.warc.gz").toPath,
+      bytes.take(bytes.length / 2))
+    java.nio.file.Files.write(new java.io.File(dir, "_c.warc.gz").toPath,
+      bytes.take(3))
+    assert(full.delete())
+    val rows = WarcIO.read(spark, dir.getAbsolutePath).collect()
+    assert(rows.map(_.getAs[String]("target_uri")).toSeq ===
+      Seq("https://example.org/p/1"))
+    // naming a hidden file EXPLICITLY still honors the caller; the torn
+    // content then fails with coordinates, proving it was actually opened
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIO.read(spark,
+        new java.io.File(dir, ".b.warc.gz").getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains(".b.warc.gz"))
+  }
 }

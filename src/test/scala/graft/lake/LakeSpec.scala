@@ -44,13 +44,63 @@ class LakeSpec extends SparkTestBase {
     // the winner was not clobbered: pointer still serves B's snapshot…
     assert(lake.currentVersion("s").contains(2))
     assert(lake.read(spark, "s").count() === 20)
-    // …and the loser's snapshot files are intact for inspection/retry
-    assert(lake.readAt(spark, "s", e.attempted).count() === 30)
+    // …and the loser's DATA files are intact for inspection/retry — but it
+    // gets no versioned manifest (readAt/time-travel only sees committed
+    // snapshots; a phantom manifest would poison rollback/versions/vacuum)
+    assert(spark.read.parquet(s"$root/s/data_v${e.attempted}").count() === 30)
+    intercept[IllegalArgumentException] {
+      lake.readAt(spark, "s", e.attempted)
+    }
     // the loser retries against the CURRENT snapshot and wins a new version
     val v = lake.commit("s", spark.range(30).toDF("id"), Map.empty)
     assert(v > e.attempted)
     assert(lake.currentVersion("s").contains(v))
     assert(lake.read(spark, "s").count() === 30)
+  }
+
+  test("a CAS loser leaves NO versioned manifest: versions/readAt/rollback never treat a never-committed snapshot as evidence") {
+    val root = freshRoot("casphantom")
+    val lake = new LakeTable(root)
+    assert(lake.commit("s", spark.range(10).toDF("id"), Map.empty) === 1)
+    assert(lake.commit("s", spark.range(20).toDF("id"), Map.empty) === 2)
+    val e = intercept[ConcurrentCommitException] {
+      lake.commitFrom("s", spark.range(30).toDF("id"), Map.empty,
+        expectedParent = 1)
+    }
+    // the loser-claims-lower shape of this hazard: had the loser claimed a
+    // version BELOW a later winner's and still written _manifest_v<N>.json,
+    // rollback("s", N) would re-point the table at a snapshot that was
+    // never committed and vacuum's retention window would count it. The
+    // invariant: the committed version list is exactly what commit() won.
+    assert(lake.versions("s") === Seq(1, 2), "no phantom manifest")
+    intercept[IllegalArgumentException] { lake.rollback("s", e.attempted) }
+    assert(lake.currentVersion("s").contains(2))
+  }
+
+  test("commitAppend folds in a commit landing between its manifest read and its CAS (no lost update)") {
+    val root = freshRoot("castoctou")
+    @volatile var fired = false
+    val lake: LakeTable = new LakeTable(root) {
+      override protected def onAppendBeforeCas(): Unit =
+        if (!fired) {
+          fired = true
+          // a concurrent writer REPLACES the table inside the append's
+          // manifest-read → CAS window; under the old two-read shape
+          // (manifest, then currentVersion) the append's CAS passed
+          // against the new pointer while its data_paths/row_count came
+          // from the stale manifest — the interloper's rows vanished.
+          new LakeTable(root)
+            .commit("s", spark.range(500, 520).toDF("id"), Map.empty)
+          ()
+        }
+    }
+    assert(lake.commit("s", spark.range(0, 10).toDF("id"), Map.empty) === 1)
+    lake.commitAppend("s", spark.range(100, 140).toDF("id"), Map.empty)
+    val ids = lake.read(spark, "s").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 60, s"20 interloper + 40 delta rows, got ${ids.length}")
+    assert(ids.count(i => i >= 500 && i < 520) === 20, "interloper commit survived")
+    assert(ids.count(i => i >= 100 && i < 140) === 40, "append delta landed")
+    assert(lake.rowCount("s").contains(60L))
   }
 
   test("two concurrent appends both land: the loser's metadata-only retry folds onto the winner") {
