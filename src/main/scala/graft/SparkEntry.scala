@@ -113,6 +113,7 @@ object SparkEntry {
     "q94_tile_lang_mix" -> (Queries.tileLangMix _),
     "q95_modal_agreement" -> (graft.queries.TextQueries.modalAgreement _),
     "q96_ann_rank_drift" -> (graft.queries.EmbQueries.annRankDrift _),
+    "q97_wide_shards" -> (graft.queries.QualityQueries.wideShards _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -214,6 +215,7 @@ object SparkEntry {
     "q94_tile_lang_mix" -> Oracles.tileLangMix,
     "q95_modal_agreement" -> graft.queries.TextOracles.modalAgreement,
     "q96_ann_rank_drift" -> graft.queries.EmbOracles.annRankDrift,
+    "q97_wide_shards" -> graft.queries.QualityOracles.wideShards,
   )
 }
 

@@ -553,6 +553,38 @@ object QualityQueries {
       .orderBy(col("split"), col("shard"))
   }
 
+  /** q97: the q79 shuffle-shard rollup under the WIDE (128-bit) document
+    * identity — `doc_id = md5(url)` as 32 hex chars, the
+    * [[graft.jobs.WarcPipeline]] `wideIdentity` production setting for
+    * 10^12-url corpora. This puts the string-identity branch of
+    * [[withShardAssignment]] (shard derived from 60 bits of the split
+    * hash's hex digits, since a string id has no numeric form) under the
+    * driver's DuckDB oracle: split/shard placement, the fixed-hash shuffle
+    * order, and an order-sensitive checksum must all agree with the oracle
+    * computing the same md5 chain in SQL. `order_sum` multiplies each
+    * position by a small modular residue of the hex-derived key
+    * (pos · (idNum mod 1000003)) so the checksum pins the exact order yet
+    * can never overflow under ANSI at any corpus size. Plan shape is
+    * q79's: map-side identity derivation, one (group, order) range
+    * exchange for the grouped ordinal, one (split, shard) rollup. */
+  def wideShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(md5(col("url")).as("doc_id"), col("n_chars"))
+    val d = withShardAssignment(base)
+      .withColumn("id_num",
+        pmod(conv(substring(col("h"), 3, 15), 16, 10).cast("long"),
+          lit(1000003L)))
+    val ranked = graft.ops.Ordinals.withGroupedOrdinal(
+      d, "pos", concat_ws(":", col("split"), col("shard")),
+      col("h"), col("doc_id"))
+    ranked.groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pos") * col("id_num")).as("order_sum"),
+        min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+      .orderBy(col("split"), col("shard"))
+  }
+
   val ShardBudget = 20000L
 
   /** Sequence packing: documents in doc_id order packed into fixed
@@ -1353,6 +1385,31 @@ object QualityOracles {
        |       CAST(sum(pos * doc_id) AS BIGINT) AS order_sum,
        |       min(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
        |FROM r GROUP BY split, shard ORDER BY split, shard""".stripMargin
+
+  /** q97: the oracle derives the same wide identity chain in SQL —
+    * url from the documents derivation, doc_id = md5(url), h = md5(doc_id)
+    * — and parses the 15 hex digits of the shard key with a '0x' string
+    * cast (value-identical to Spark's `conv(…, 16, 10)`). */
+  val wideShards: String = {
+    val hexKey = "CAST(('0x' || substr(h, 3, 15)) AS BIGINT)"
+    s"""WITH b AS (SELECT md5('${graft.model.Pages.DocUrlPrefix}' || CAST(doc_id AS VARCHAR)) AS doc_id,
+       |                  n_chars FROM documents),
+       |d AS (SELECT doc_id, n_chars, md5(doc_id) AS h FROM b),
+       |s AS (SELECT doc_id, n_chars, h,
+       |        ${QualityQueries.splitCaseSql("h")} AS split,
+       |        (($hexKey % ${QualityQueries.ShardMod}) * ${QualityQueries.ShardMul})
+       |          % ${QualityQueries.ShardMod} % ${QualityQueries.NumShards} AS shard,
+       |        $hexKey % 1000003 AS id_num
+       |      FROM d),
+       |r AS (SELECT doc_id, n_chars, split, shard, id_num,
+       |        ROW_NUMBER() OVER (PARTITION BY split, shard
+       |          ORDER BY h, doc_id) AS pos FROM s)
+       |SELECT split, shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(pos * id_num) AS BIGINT) AS order_sum,
+       |       min(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+       |FROM r GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
 
   val sequencePack: String =
     s"""WITH c AS (
