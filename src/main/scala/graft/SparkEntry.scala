@@ -114,6 +114,8 @@ object SparkEntry {
     "q95_modal_agreement" -> (graft.queries.TextQueries.modalAgreement _),
     "q96_ann_rank_drift" -> (graft.queries.EmbQueries.annRankDrift _),
     "q97_wide_shards" -> (graft.queries.QualityQueries.wideShards _),
+    "q98_anchor_text" -> (graft.queries.GraphQueries.anchorText _),
+    "q99_jl_project" -> (graft.queries.EmbQueries.jlProject _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -216,6 +218,8 @@ object SparkEntry {
     "q95_modal_agreement" -> graft.queries.TextOracles.modalAgreement,
     "q96_ann_rank_drift" -> graft.queries.EmbOracles.annRankDrift,
     "q97_wide_shards" -> graft.queries.QualityOracles.wideShards,
+    "q98_anchor_text" -> graft.queries.GraphOracles.anchorText,
+    "q99_jl_project" -> graft.queries.EmbOracles.jlProject,
   )
 }
 

@@ -549,6 +549,85 @@ object EmbQueries {
         min(col("code")).as("min_q"), max(col("code")).as("max_q"))
       .orderBy(col("vec_id"))
   }
+
+  /** q99 Johnson–Lindenstrauss random projection: 64 float dims → 16
+    * BIGINT dims (Achlioptas 2003 — database-friendly random projections:
+    * JL holds for bounded iid entries, not just Gaussians). */
+  val JlDim = 16
+  /** symmetric-quantization levels: codes land in [-63, 63], zero maps to
+    * zero (no affine shift — a translation would distort projected-space
+    * cosine for every vector). */
+  val JlLevels = 63.0
+  /** projection-matrix offset in the planeWeights index space — disjoint
+    * from the LSH planes (j < 64) and the IVF centroids (7000). */
+  val JlSeedOffset = 23000L
+
+  /** symmetric int codes from a per-dim max-|value| scale array. */
+  private def jlCodes(emb: Column, s: Column): Column =
+    transform(sequence(lit(1), lit(Dim)), i =>
+      floor(element_at(emb, i).cast("double") * JlLevels / element_at(s, i)
+        + lit(0.5)).cast("long"))
+
+  /** 16 integer projections; weight(i, j) is the planeWeights integer
+    * chain on plane index JlSeedOffset + j — every product and sum stays
+    * in BIGINT (|y_j| ≤ 64·63·1000 ≈ 4.0e6, norm2 ≤ 2.6e14 < 2^53, so
+    * the final double cast is exact). */
+  private def jlProj(codes: Column): Column =
+    transform(sequence(lit(0), lit(JlDim - 1)), j =>
+      aggregate(sequence(lit(1), lit(Dim)), lit(0L), (acc, i) =>
+        acc + (((lit(JlSeedOffset) + j.cast("long")) * Dim.toLong
+          + i.cast("long") - 1L) * Pages.M1 % Pages.P % 2001L - 1000L)
+          * element_at(codes, i)))
+
+  /** projected frame (vec_id, proj, norm2) for any embeddings input —
+    * the spec hook ([[jlTopK]] runs it on planted fixtures). */
+  private[graft] def jlProjected(emb: DataFrame): DataFrame = {
+    val stats = emb.agg(array((1 to Dim).map(i =>
+      greatest(
+        abs(min(element_at(col("embedding"), lit(i)).cast("double"))),
+        abs(max(element_at(col("embedding"), lit(i)).cast("double"))),
+        lit(1e-12))): _*).as("s")).trackedCheckpoint
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), jlProj(jlCodes(col("embedding"), col("s"))).as("proj"))
+      .withColumn("norm2", aggregate(col("proj"), lit(0L), (acc, y) => acc + y * y))
+      .where(col("norm2") > 0)
+  }
+
+  /** top-K in PROJECTED space for the probe rows; the integer dot is
+    * order-free (associative BIGINT sum under any partitioning) and the
+    * only float op is the final dot/sqrt(norm2) — one IEEE division of
+    * two exactly-representable integers, bit-identical cross-engine. */
+  private[graft] def jlTopK(emb: DataFrame, probe: Column): DataFrame = {
+    val coded = jlProjected(emb)
+    val probes = coded.where(probe)
+      .select(col("vec_id").as("qid"), col("proj").as("qproj"))
+    val dot = aggregate(zip_with(col("proj"), col("qproj"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    coded.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("norm2").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** q99: the embedding-COMPRESSION path of the ANN stack — where q53
+    * shrinks storage per dim (int8), JL shrinks the DIMENSION COUNT
+    * (64 floats → 16 ints, 16× smaller, distances approximately
+    * preserved), which is what makes a 10^12-vector index fit its
+    * serving tier. The projection is a stateless map-side expression
+    * (codegen'd HOFs — no shuffle, no UDF, no model to train beyond the
+    * ≤64-double scale row, frozen via a 1-row broadcast like the q80
+    * weight table); brute top-K in projected space is the correctness
+    * baseline exactly as q20 is for exact cosine — at scale the projected
+    * vectors feed the same IVF store layout (q42). */
+  def jlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    jlTopK(emb, col("vec_id") < NumProbes).orderBy(col("qid"), col("rank"))
+  }
 }
 
 object EmbOracles {
@@ -771,6 +850,44 @@ object EmbOracles {
        |SELECT vec_id, count(*) AS n_dims, CAST(sum(code) AS BIGINT) AS sum_q,
        |       min(code) AS min_q, max(code) AS max_q
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** q99 mirror: same symmetric-code / integer-weight / integer-dot chain
+    * (BIGINT list_sums cast down per CLAUDE.md), same single final
+    * dot/sqrt(norm2) double op. */
+  val jlProject: String = {
+    import EmbQueries.{Dim, JlDim, JlSeedOffset, K, NumProbes}
+    s"""WITH st AS (
+       |  SELECT i AS d,
+       |    greatest(abs(min(CAST(embedding[i] AS DOUBLE))),
+       |             abs(max(CAST(embedding[i] AS DOUBLE))),
+       |             0.000000000001) AS s
+       |  FROM embeddings, generate_series(1, $Dim) AS t(i) GROUP BY i),
+       |sa AS (SELECT list(s ORDER BY d) AS s FROM st),
+       |cd AS (SELECT vec_id,
+       |  list_transform(generate_series(1, $Dim), i ->
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * ${EmbQueries.JlLevels} / s[i] + 0.5) AS BIGINT)) AS codes
+       |  FROM embeddings, sa),
+       |pj AS (SELECT vec_id,
+       |  list_transform(generate_series(0, ${JlDim - 1}), j ->
+       |    CAST(list_sum(list_transform(generate_series(1, $Dim), i ->
+       |      ((($JlSeedOffset + j) * $Dim + i - 1) * ${graft.model.Pages.M1}
+       |        % ${graft.model.Pages.P} % 2001 - 1000) * codes[i])) AS BIGINT)) AS proj
+       |  FROM cd),
+       |e3 AS (SELECT vec_id, proj,
+       |  CAST(list_sum(list_transform(generate_series(1, $JlDim), j -> proj[j] * proj[j])) AS BIGINT) AS norm2
+       |  FROM pj),
+       |e4 AS (SELECT * FROM e3 WHERE norm2 > 0),
+       |p AS (SELECT vec_id AS qid, proj AS qproj FROM e4 WHERE vec_id < $NumProbes),
+       |sc AS (SELECT p.qid, e4.vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, $JlDim), j -> e4.proj[j] * p.qproj[j])) AS BIGINT) AS dot,
+       |  e4.norm2 FROM e4, p WHERE e4.vec_id <> p.qid),
+       |r AS (SELECT qid, vec_id,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS score FROM sc),
+       |rr AS (SELECT qid, vec_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM r)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, score FROM rr
+       |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  }
 }
 
 /** Relational/TPC-H-shaped coverage: window top-k, multi-join agg,

@@ -108,6 +108,70 @@ object GraphQueries {
         col("dst_url"))
       .orderBy(col("src"), col("dst"))
   }
+
+  /** Distinct anchor-text vocabulary size (src % [[AnchorMod]]). */
+  val AnchorMod = 7L
+
+  /** The q88/q98 shared page synthesis: q88's deterministic anchors, each
+    * now carrying an anchor TEXT `t{src%7}` so per-target aggregation is
+    * non-degenerate. Returns (src, html2). */
+  private def anchorPages(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id").as("src"))
+    def anchor(urlPrefix: String, off: Long) = concat(
+      lit(s"<a href='$urlPrefix"),
+      pmod(col("src") + off, lit(n)).cast("string"),
+      lit("'>t"), pmod(col("src"), lit(AnchorMod)).cast("string"), lit("</a>"))
+    d.withColumn("html2", concat(
+      lit("<html><body>"),
+      anchor("https://example.org/d/", Offsets(0)),
+      when(pmod(col("src"), lit(3)) >= 1, anchor("/d/", Offsets(1)))
+        .otherwise(lit("")),
+      when(pmod(col("src"), lit(3)) === 2, anchor("/d/", Offsets(2)))
+        .otherwise(lit("")),
+      lit("</body></html>")))
+  }
+
+  /** q98 anchor-text aggregation — the classic off-page relevance signal
+    * (in-link anchor text describes the target better than its own
+    * content; every web-search stack aggregates it per target). Per dst
+    * page: in-link count, distinct anchor-text count, and the modal
+    * anchor text with a deterministic tie-break (count desc, text asc).
+    *
+    * Scale shape (10^12 pages): anchor extraction is the q88 map-side
+    * Generate (zero joins); the aggregation is TWO keyed exchanges —
+    * (dst, text) partial-agg counts, then the per-dst rollup where the
+    * modal pick is a row_number window PARTITIONED BY dst over the
+    * already-aggregated counts (billions of tiny groups — the window
+    * shape that scales, per q75). The corpus-sized anchor stream rides
+    * only the first exchange, combiner-compressed. */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val pairs = anchorPages(spark, sfDir, n)
+      .select(explode(regexp_extract_all(col("html2"),
+        lit("<a href='[^']+'>[^<]+</a>"), lit(0))).as("m"))
+      .select(
+        regexp_extract(col("m"), "href='([^']+)'", 1).as("href"),
+        regexp_extract(col("m"), ">([^<]+)<", 1).as("anchor"))
+      .withColumn("dst_url",
+        when(col("href").startsWith("/"),
+          concat(lit("https://example.org"), col("href")))
+          .otherwise(col("href")))
+      .select(regexp_extract(col("dst_url"), "/d/([0-9]+)$", 1)
+        .cast("long").as("dst"), col("anchor"))
+    val counts = pairs.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("anchor"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("in_links", sum(col("cnt")).over(Window.partitionBy(col("dst"))))
+      .withColumn("n_texts", count(lit(1)).over(Window.partitionBy(col("dst"))))
+      .where(col("rn") === 1)
+      .select(col("dst"), col("in_links"), col("n_texts"),
+        col("anchor").as("top_text"), col("cnt").as("top_cnt"))
+      .orderBy(col("dst"))
+  }
 }
 
 object GraphOracles {
@@ -155,5 +219,43 @@ object GraphOracles {
        |  FROM h)
        |SELECT src, CAST(regexp_extract(dst_url, '/d/([0-9]+)$$', 1) AS BIGINT) AS dst, dst_url
        |FROM r ORDER BY src, dst""".stripMargin
+  }
+
+  /** q98 mirror: DuckDB synthesizes the same anchor-text pages, extracts
+    * with ITS regex engine, and aggregates with the same tie-break. */
+  val anchorText: String = {
+    val offs = GraphQueries.Offsets
+    val am = GraphQueries.AnchorMod
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |l AS (SELECT doc_id AS src,
+       |  '<html><body><a href=''https://example.org/d/'
+       |    || CAST((doc_id + ${offs(0)}) % nn.n AS VARCHAR)
+       |    || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>'
+       |  || CASE WHEN doc_id % 3 >= 1 THEN '<a href=''/d/'
+       |       || CAST((doc_id + ${offs(1)}) % nn.n AS VARCHAR)
+       |       || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>' ELSE '' END
+       |  || CASE WHEN doc_id % 3 = 2 THEN '<a href=''/d/'
+       |       || CAST((doc_id + ${offs(2)}) % nn.n AS VARCHAR)
+       |       || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>' ELSE '' END
+       |  || '</body></html>' AS html2
+       |  FROM documents, nn),
+       |m AS (SELECT unnest(regexp_extract_all(html2,
+       |        '<a href=''[^'']+''>[^<]+</a>', 0)) AS m FROM l),
+       |p AS (SELECT
+       |  CASE WHEN regexp_extract(m, 'href=''([^'']+)''', 1) LIKE '/%'
+       |       THEN 'https://example.org' || regexp_extract(m, 'href=''([^'']+)''', 1)
+       |       ELSE regexp_extract(m, 'href=''([^'']+)''', 1) END AS dst_url,
+       |  regexp_extract(m, '>([^<]+)<', 1) AS anchor
+       |  FROM m),
+       |c AS (SELECT CAST(regexp_extract(dst_url, '/d/([0-9]+)$$', 1) AS BIGINT) AS dst,
+       |             anchor, count(*) AS cnt
+       |      FROM p GROUP BY 1, 2),
+       |r AS (SELECT dst, anchor, cnt,
+       |  row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn,
+       |  CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS in_links,
+       |  count(*) OVER (PARTITION BY dst) AS n_texts
+       |  FROM c)
+       |SELECT dst, in_links, n_texts, anchor AS top_text, cnt AS top_cnt
+       |FROM r WHERE rn = 1 ORDER BY dst""".stripMargin
   }
 }
