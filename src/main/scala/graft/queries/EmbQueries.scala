@@ -580,17 +580,33 @@ object EmbQueries {
           * element_at(codes, i)))
 
   /** projected frame (vec_id, proj, norm2) for any embeddings input —
-    * the spec hook ([[jlTopK]] runs it on planted fixtures). */
+    * the spec hook ([[jlTopK]] runs it on planted fixtures).
+    *
+    * The two `trackedCheckpoint`s are load-bearing (the q22 lesson, at
+    * expression granularity): HOF lambdas are interpreted and Catalyst
+    * inlines a projected expression into every consumer, so an
+    * UN-materialized `codes` would be re-evaluated (full 64-element
+    * transform) inside each of the 16×64 `element_at` reads of
+    * [[jlProj]], and an un-materialized `proj` re-evaluated inside
+    * `norm2`, the probe leg, AND the corpus side of the self-join —
+    * a multiplicative blowup measured at 46 s for 5k vectors. With the
+    * codes row then the (vec_id, proj, norm2) row stored, every
+    * downstream read is an O(1) array access and the self-join reuses
+    * one materialization for both legs. */
   private[graft] def jlProjected(emb: DataFrame): DataFrame = {
     val stats = emb.agg(array((1 to Dim).map(i =>
       greatest(
         abs(min(element_at(col("embedding"), lit(i)).cast("double"))),
         abs(max(element_at(col("embedding"), lit(i)).cast("double"))),
         lit(1e-12))): _*).as("s")).trackedCheckpoint
-    emb.crossJoin(broadcast(stats))
-      .select(col("vec_id"), jlProj(jlCodes(col("embedding"), col("s"))).as("proj"))
+    val coded = emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), jlCodes(col("embedding"), col("s")).as("codes"))
+      .trackedCheckpoint
+    coded
+      .select(col("vec_id"), jlProj(col("codes")).as("proj"))
       .withColumn("norm2", aggregate(col("proj"), lit(0L), (acc, y) => acc + y * y))
       .where(col("norm2") > 0)
+      .trackedCheckpoint
   }
 
   /** top-K in PROJECTED space for the probe rows; the integer dot is
@@ -619,7 +635,7 @@ object EmbQueries {
     * (64 floats → 16 ints, 16× smaller, distances approximately
     * preserved), which is what makes a 10^12-vector index fit its
     * serving tier. The projection is a stateless map-side expression
-    * (codegen'd HOFs — no shuffle, no UDF, no model to train beyond the
+    * (built-in HOFs — no shuffle, no UDF, no model to train beyond the
     * ≤64-double scale row, frozen via a 1-row broadcast like the q80
     * weight table); brute top-K in projected space is the correctness
     * baseline exactly as q20 is for exact cosine — at scale the projected
