@@ -116,6 +116,8 @@ object SparkEntry {
     "q97_wide_shards" -> (graft.queries.QualityQueries.wideShards _),
     "q98_anchor_text" -> (graft.queries.GraphQueries.anchorText _),
     "q99_jl_project" -> (graft.queries.EmbQueries.jlProject _),
+    "q100_degree_census" -> (graft.queries.GraphQueries.degreeCensus _),
+    "q101_distinctive_terms" -> (graft.queries.TextQueries.distinctiveTerms _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -220,6 +222,8 @@ object SparkEntry {
     "q97_wide_shards" -> graft.queries.QualityOracles.wideShards,
     "q98_anchor_text" -> graft.queries.GraphOracles.anchorText,
     "q99_jl_project" -> graft.queries.EmbOracles.jlProject,
+    "q100_degree_census" -> graft.queries.GraphOracles.degreeCensus,
+    "q101_distinctive_terms" -> graft.queries.TextOracles.distinctiveTerms,
   )
 }
 

@@ -172,6 +172,32 @@ object GraphQueries {
         col("anchor").as("top_text"), col("cnt").as("top_cnt"))
       .orderBy(col("dst"))
   }
+
+  /** q100 degree census — the graph-shape report run before trusting any
+    * authority signal derived from a crawl (power-law sanity, dangling
+    * check, and the max-degree skew probe that decides whether the q74
+    * contribution shuffle needs salting). Per side (in/out): how many
+    * nodes have each degree, with the smallest node id as a value pin.
+    *
+    * Scale shape (10^12 edges): the edge table materializes once
+    * (trackedCheckpoint — two consumers, one derivation, per the
+    * single-pass discipline); each side rides ONE keyed partial-agg
+    * exchange over the edge stream ((dst) resp. (src) — map-side
+    * combined), and the histogram rollup then aggregates NODE-sized
+    * degree frames into a ≤max-degree-row output. Nothing after the
+    * first exchanges touches corpus-sized data. */
+  def degreeCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val e = edges(spark, sfDir, n).trackedCheckpoint
+    def census(key: String, name: String) = e
+      .groupBy(col(key).as("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .select(lit(name).as("side"), col("degree"), col("n_nodes"),
+        col("min_node"))
+    census("dst", "in").unionAll(census("src", "out"))
+      .orderBy(col("side"), col("degree"))
+  }
 }
 
 object GraphOracles {
@@ -257,5 +283,28 @@ object GraphOracles {
        |  FROM c)
        |SELECT dst, in_links, n_texts, anchor AS top_text, cnt AS top_cnt
        |FROM r WHERE rn = 1 ORDER BY dst""".stripMargin
+  }
+
+  /** q100 mirror: same arithmetic edge table (the q74 CTE), same
+    * per-side degree → histogram chain. */
+  val degreeCensus: String = {
+    val offs = GraphQueries.Offsets
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id + o) % nn.n AS dst
+       |  FROM documents, nn, unnest([${offs.mkString(", ")}]) AS t(o)
+       |  WHERE o = ${offs(0)}
+       |     OR (o = ${offs(1)} AND doc_id % 3 >= 1)
+       |     OR (o = ${offs(2)} AND doc_id % 3 = 2)),
+       |di AS (SELECT dst AS node, count(*) AS degree FROM e GROUP BY dst),
+       |dout AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+       |hi AS (SELECT 'in' AS side, degree, count(*) AS n_nodes,
+       |              min(node) AS min_node FROM di GROUP BY degree),
+       |ho AS (SELECT 'out' AS side, degree, count(*) AS n_nodes,
+       |              min(node) AS min_node FROM dout GROUP BY degree)
+       |SELECT side, degree, n_nodes, min_node FROM hi
+       |UNION ALL
+       |SELECT side, degree, n_nodes, min_node FROM ho
+       |ORDER BY side, degree""".stripMargin
   }
 }

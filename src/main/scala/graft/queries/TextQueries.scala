@@ -867,6 +867,60 @@ object TextQueries {
         max(col("packed")).as("max_fp"), sum(col("packed")).as("sum_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** q101 per-language term-count floor and output size. */
+  val TermTopK = 10
+  val TermMinDf = 5L
+  val LiftScale = 1000000L
+
+  /** q101 distinctive terms per language — the corpus-exploration report
+    * (Monroe et al.'s "fightin' words" idea, integer-surrogate form)
+    * behind every per-slice data card: which terms characterize a
+    * language slice relative to the whole corpus. Lift in ppm =
+    * `df_lang·10⁶ div df_global` — 10⁶ exactly when a term appears ONLY
+    * in that language, lower the more it is shared; a min-df floor kills
+    * singleton noise. All integer: `df_lang ≤ 10¹²` keeps the product
+    * under 2⁶³ at the full target scale.
+    *
+    * Scale shape (10^12 docs): the token stream explodes ONCE into the
+    * (lang, term, doc) pair-dedup groupBy — the stream's only exchange
+    * (the q60 two-stage template; df is a DISTINCT-doc count, so dedup
+    * first, then count pairs). df_lang and df_global are rollups over
+    * the deduped-pair resp. vocabulary-sized frames; the lang⊳global
+    * join is vocab×vocab (AQE-broadcast when it fits); the per-lang
+    * top-K is `row_number ≤ K` adjacent to its Window — Spark 4 plans a
+    * WindowGroupLimit partial top-k before the exchange, so 5 languages
+    * never become 5 reducers (the q52 pattern). */
+  def distinctiveTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the df table ONCE: dfGlobal and the join's left leg are
+    // both its consumers, and an unmaterialized lineage would re-run the
+    // corpus explode per consumer (spec-gated: the final plan re-explodes
+    // nothing).
+    val dfLang = termDfOf(docs(spark, sfDir)).trackedCheckpoint
+    val dfGlobal = dfLang.groupBy(col("term"))
+      .agg(sum(col("df_lang")).as("df_global"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lift_ppm").desc, col("df_lang").desc, col("term"))
+    dfLang.where(col("df_lang") >= TermMinDf)
+      .join(dfGlobal, Seq("term"))
+      .withColumn("lift_ppm", expr(s"(df_lang * $LiftScale) DIV df_global"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TermTopK)
+      .select(col("lang"), col("rank"), col("term"), col("df_lang"),
+        col("df_global"), col("lift_ppm"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** The expensive pass of [[distinctiveTerms]] PRE-checkpoint (the plan
+    * hook, per the bloomRollupOf convention): token stream → ONE explode →
+    * (lang, term, doc) pair-dedup (the stream's first exchange) →
+    * (lang, term) df rollup over the deduped pairs. */
+  private[graft] def termDfOf(d: DataFrame): DataFrame =
+    d.select(col("lang"), explode(split(col("text"), " ")).as("term"),
+        col("doc_id"))
+      .distinct()
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("df_lang"))
 }
 
 object TextOracles {
@@ -1265,4 +1319,26 @@ object TextOracles {
        |FROM (SELECT doc_id, text, $ext AS extracted FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q101 mirror: same dedup-first df chain, same integer lift, same
+    * (lift desc, df desc, term) tie-break. */
+  val distinctiveTerms: String =
+    s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term, doc_id
+       |           FROM documents),
+       |p AS (SELECT DISTINCT lang, term, doc_id FROM t),
+       |dl AS (SELECT lang, term, count(*) AS df_lang FROM p GROUP BY 1, 2),
+       |dg AS (SELECT term, CAST(sum(df_lang) AS BIGINT) AS df_global
+       |       FROM dl GROUP BY term),
+       |sc AS (SELECT lang, dl.term, df_lang, df_global,
+       |         (df_lang * ${TextQueries.LiftScale}) // df_global AS lift_ppm
+       |       FROM dl JOIN dg ON dl.term = dg.term
+       |       WHERE df_lang >= ${TextQueries.TermMinDf}),
+       |r AS (SELECT lang, term, df_lang, df_global, lift_ppm,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY lift_ppm DESC, df_lang DESC, term) AS rank
+       |      FROM sc)
+       |SELECT lang, CAST(rank AS INTEGER) AS rank, term, df_lang, df_global,
+       |       lift_ppm
+       |FROM r WHERE rank <= ${TextQueries.TermTopK}
+       |ORDER BY lang, rank""".stripMargin
 }
