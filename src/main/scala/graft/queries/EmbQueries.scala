@@ -598,7 +598,7 @@ object EmbQueries {
       greatest(
         abs(min(element_at(col("embedding"), lit(i)).cast("double"))),
         abs(max(element_at(col("embedding"), lit(i)).cast("double"))),
-        lit(1e-12))): _*).as("s")).trackedCheckpoint
+        lit(1e-12))): _*).as("s"))
     val coded = emb.crossJoin(broadcast(stats))
       .select(col("vec_id"), jlCodes(col("embedding"), col("s")).as("codes"))
       .trackedCheckpoint
@@ -611,8 +611,11 @@ object EmbQueries {
 
   /** top-K in PROJECTED space for the probe rows; the integer dot is
     * order-free (associative BIGINT sum under any partitioning) and the
-    * only float op is the final dot/sqrt(norm2) — one IEEE division of
-    * two exactly-representable integers, bit-identical cross-engine. */
+    * only float op is the final dot/sqrt(norm2) ORDER key — one IEEE
+    * division of two exactly-representable integers, bit-identical
+    * cross-engine. The OUTPUT is all-integer (rank/ids plus the dot and
+    * norm² value pins, per the ranks-not-floats oracle convention): the
+    * float decides the order, it never faces the byte compare. */
   private[graft] def jlTopK(emb: DataFrame, probe: Column): DataFrame = {
     val coded = jlProjected(emb)
     val probes = coded.where(probe)
@@ -627,7 +630,8 @@ object EmbQueries {
         col("dot").cast("double") / sqrt(col("norm2").cast("double")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot"),
+        col("norm2"))
   }
 
   /** q99: the embedding-COMPRESSION path of the ANN stack — where q53
@@ -868,8 +872,9 @@ object EmbOracles {
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** q99 mirror: same symmetric-code / integer-weight / integer-dot chain
-    * (BIGINT list_sums cast down per CLAUDE.md), same single final
-    * dot/sqrt(norm2) double op. */
+    * (BIGINT list_sums cast down per CLAUDE.md), same single
+    * dot/sqrt(norm2) double ORDER key — the output itself is all-integer
+    * (ranks-not-floats convention). */
   val jlProject: String = {
     import EmbQueries.{Dim, JlDim, JlSeedOffset, K, NumProbes}
     s"""WITH st AS (
@@ -897,11 +902,11 @@ object EmbOracles {
        |sc AS (SELECT p.qid, e4.vec_id,
        |  CAST(list_sum(list_transform(generate_series(1, $JlDim), j -> e4.proj[j] * p.qproj[j])) AS BIGINT) AS dot,
        |  e4.norm2 FROM e4, p WHERE e4.vec_id <> p.qid),
-       |r AS (SELECT qid, vec_id,
+       |r AS (SELECT qid, vec_id, dot, norm2,
        |  CAST(dot AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS score FROM sc),
-       |rr AS (SELECT qid, vec_id, score,
+       |rr AS (SELECT qid, vec_id, dot, norm2,
        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM r)
-       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, score FROM rr
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, dot, norm2 FROM rr
        |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
   }
 }

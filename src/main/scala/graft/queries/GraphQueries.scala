@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftCheckpoints.TrackedDataFrame
 import org.apache.spark.sql.functions._
 import graft.model.Pages
@@ -83,19 +83,7 @@ object GraphQueries {
     * keeps it that way (the final sort exists only for the gate). */
   def linkExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val n = docs(spark, sfDir).count() // one scalar: the node count
-    val d = docs(spark, sfDir).select(col("doc_id").as("src"))
-    def anchor(urlPrefix: String, off: Long) = concat(
-      lit(s"<a href='$urlPrefix"),
-      pmod(col("src") + off, lit(n)).cast("string"), lit("'>x</a>"))
-    val linked = d.withColumn("html2", concat(
-      lit("<html><body>"),
-      anchor("https://example.org/d/", Offsets(0)),
-      when(pmod(col("src"), lit(3)) >= 1, anchor("/d/", Offsets(1)))
-        .otherwise(lit("")),
-      when(pmod(col("src"), lit(3)) === 2, anchor("/d/", Offsets(2)))
-        .otherwise(lit("")),
-      lit("</body></html>")))
-    linked
+    anchorPages(spark, sfDir, n, lit("x"))
       .select(col("src"), explode(regexp_extract_all(col("html2"),
         lit("<a href='([^']+)'"), lit(1))).as("href"))
       .withColumn("dst_url",
@@ -112,15 +100,19 @@ object GraphQueries {
   /** Distinct anchor-text vocabulary size (src % [[AnchorMod]]). */
   val AnchorMod = 7L
 
-  /** The q88/q98 shared page synthesis: q88's deterministic anchors, each
-    * now carrying an anchor TEXT `t{src%7}` so per-target aggregation is
-    * non-degenerate. Returns (src, html2). */
-  private def anchorPages(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+  /** The q88/q98 SHARED page synthesis (single definition — its DuckDB
+    * twin is [[GraphOracles.anchorPagesSql]]; change them together):
+    * deterministic anchors from the [[Offsets]] edge arithmetic, each
+    * carrying `anchorText` as its link text — q88 passes the constant
+    * `x`, q98 `t{src%7}` so per-target aggregation is non-degenerate.
+    * Returns (src, html2). */
+  private def anchorPages(spark: SparkSession, sfDir: String, n: Long,
+      anchorText: Column): DataFrame = {
     val d = docs(spark, sfDir).select(col("doc_id").as("src"))
     def anchor(urlPrefix: String, off: Long) = concat(
       lit(s"<a href='$urlPrefix"),
       pmod(col("src") + off, lit(n)).cast("string"),
-      lit("'>t"), pmod(col("src"), lit(AnchorMod)).cast("string"), lit("</a>"))
+      lit("'>"), anchorText, lit("</a>"))
     d.withColumn("html2", concat(
       lit("<html><body>"),
       anchor("https://example.org/d/", Offsets(0)),
@@ -147,7 +139,8 @@ object GraphQueries {
   def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs(spark, sfDir).count() // one scalar: the node count
-    val pairs = anchorPages(spark, sfDir, n)
+    val pairs = anchorPages(spark, sfDir, n,
+        concat(lit("t"), pmod(col("src"), lit(AnchorMod)).cast("string")))
       .select(explode(regexp_extract_all(col("html2"),
         lit("<a href='[^']+'>[^<]+</a>"), lit(0))).as("m"))
       .select(
@@ -226,18 +219,31 @@ object GraphOracles {
 
   /** q88 mirror: DuckDB builds the same anchor-bearing pages and must
     * extract the identical edge set with ITS regex engine. */
-  val linkExtract: String = {
+  /** The DuckDB twin of [[GraphQueries.anchorPages]] (single definition;
+    * change them together): the `nn` + `l` CTEs synthesizing the same
+    * pages with `textSql` (a SQL expression over doc_id) as the anchor
+    * text. Margin pipes are kept — callers interpolate this into their
+    * own margin string and stripMargin ONCE (stripping here too would let
+    * the caller's strip eat the `||` concat operators). */
+  private def anchorPagesSql(textSql: String): String = {
     val offs = GraphQueries.Offsets
-    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+    s"""nn AS (SELECT count(*) AS n FROM documents),
        |l AS (SELECT doc_id AS src,
        |  '<html><body><a href=''https://example.org/d/'
-       |    || CAST((doc_id + ${offs(0)}) % nn.n AS VARCHAR) || '''>x</a>'
+       |    || CAST((doc_id + ${offs(0)}) % nn.n AS VARCHAR)
+       |    || '''>' || $textSql || '</a>'
        |  || CASE WHEN doc_id % 3 >= 1 THEN '<a href=''/d/'
-       |       || CAST((doc_id + ${offs(1)}) % nn.n AS VARCHAR) || '''>x</a>' ELSE '' END
+       |       || CAST((doc_id + ${offs(1)}) % nn.n AS VARCHAR)
+       |       || '''>' || $textSql || '</a>' ELSE '' END
        |  || CASE WHEN doc_id % 3 = 2 THEN '<a href=''/d/'
-       |       || CAST((doc_id + ${offs(2)}) % nn.n AS VARCHAR) || '''>x</a>' ELSE '' END
+       |       || CAST((doc_id + ${offs(2)}) % nn.n AS VARCHAR)
+       |       || '''>' || $textSql || '</a>' ELSE '' END
        |  || '</body></html>' AS html2
-       |  FROM documents, nn),
+       |  FROM documents, nn)"""
+  }
+
+  val linkExtract: String = {
+    s"""WITH ${anchorPagesSql("'x'")},
        |h AS (SELECT src, unnest(regexp_extract_all(html2, '<a href=''([^'']+)''', 1)) AS href
        |      FROM l),
        |r AS (SELECT src,
@@ -250,21 +256,8 @@ object GraphOracles {
   /** q98 mirror: DuckDB synthesizes the same anchor-text pages, extracts
     * with ITS regex engine, and aggregates with the same tie-break. */
   val anchorText: String = {
-    val offs = GraphQueries.Offsets
     val am = GraphQueries.AnchorMod
-    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-       |l AS (SELECT doc_id AS src,
-       |  '<html><body><a href=''https://example.org/d/'
-       |    || CAST((doc_id + ${offs(0)}) % nn.n AS VARCHAR)
-       |    || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>'
-       |  || CASE WHEN doc_id % 3 >= 1 THEN '<a href=''/d/'
-       |       || CAST((doc_id + ${offs(1)}) % nn.n AS VARCHAR)
-       |       || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>' ELSE '' END
-       |  || CASE WHEN doc_id % 3 = 2 THEN '<a href=''/d/'
-       |       || CAST((doc_id + ${offs(2)}) % nn.n AS VARCHAR)
-       |       || '''>t' || CAST(doc_id % $am AS VARCHAR) || '</a>' ELSE '' END
-       |  || '</body></html>' AS html2
-       |  FROM documents, nn),
+    s"""WITH ${anchorPagesSql(s"'t' || CAST(doc_id % $am AS VARCHAR)")},
        |m AS (SELECT unnest(regexp_extract_all(html2,
        |        '<a href=''[^'']+''>[^<]+</a>', 0)) AS m FROM l),
        |p AS (SELECT

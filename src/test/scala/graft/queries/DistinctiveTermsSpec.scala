@@ -33,7 +33,19 @@ class DistinctiveTermsSpec extends SparkTestBase {
       }
       .groupBy(_._1)
       .flatMap { case (lang, xs) =>
-        xs.sortBy { case (_, w, dl, _, lift) => (-lift, -dl, w) }
+        // tie-break terms in UTF-8 BYTE order (what Spark and DuckDB
+        // compare), not Java's UTF-16 code-unit order — they diverge for
+        // supplementary-plane characters
+        def utf8Lt(a: String, b: String): Boolean = {
+          val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+          val c = java.util.Arrays.compareUnsigned(x, y)
+          c < 0
+        }
+        xs.sortWith { case ((_, w1, dl1, _, l1), (_, w2, dl2, _, l2)) =>
+            if (l1 != l2) l1 > l2
+            else if (dl1 != dl2) dl1 > dl2
+            else utf8Lt(w1, w2)
+          }
           .take(TextQueries.TermTopK).zipWithIndex
           .map { case ((_, w, dl, dg, lift), i) => (lang, i + 1, w, dl, dg, lift) }
       }.toSet
