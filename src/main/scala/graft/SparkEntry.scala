@@ -118,6 +118,9 @@ object SparkEntry {
     "q99_jl_project" -> (graft.queries.EmbQueries.jlProject _),
     "q100_degree_census" -> (graft.queries.GraphQueries.degreeCensus _),
     "q101_distinctive_terms" -> (graft.queries.TextQueries.distinctiveTerms _),
+    "q102_dup_domains" -> (graft.queries.TextQueries.dupDomains _),
+    "q103_vocab_spectrum" -> (graft.queries.TextQueries.vocabSpectrum _),
+    "q104_politeness" -> (graft.queries.QualityQueries.politenessSchedule _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -224,6 +227,9 @@ object SparkEntry {
     "q99_jl_project" -> graft.queries.EmbOracles.jlProject,
     "q100_degree_census" -> graft.queries.GraphOracles.degreeCensus,
     "q101_distinctive_terms" -> graft.queries.TextOracles.distinctiveTerms,
+    "q102_dup_domains" -> graft.queries.TextOracles.dupDomains,
+    "q103_vocab_spectrum" -> graft.queries.TextOracles.vocabSpectrum,
+    "q104_politeness" -> graft.queries.QualityOracles.politenessSchedule,
   )
 }
 

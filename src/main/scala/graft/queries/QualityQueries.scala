@@ -585,6 +585,51 @@ object QualityQueries {
       .orderBy(col("split"), col("shard"))
   }
 
+  /** q104 queue count: small enough that hosts collide at the gate SFs
+    * (≈13 docs/host at sf0.01), so slots/makespans are non-trivial. */
+  val PoliteQueues = 13L
+  val PoliteDelayMod = 5L
+
+  /** q104 per-host politeness schedule — the crawl-frontier operator
+    * between q75's robots admission and the fetch fleet: pages grouped
+    * into per-host FIFO queues (crawl order = warc_epoch, doc_id), each
+    * page assigned its 0-based fetch slot, each host its crawl delay
+    * (1 + host_id % 5 s — standing in for the robots crawl-delay
+    * directive q75 parses). The report is the dispatcher's makespan view:
+    * per host — queue length, delay, makespan (= (n−1)·delay, the time
+    * the last fetch starts), the first/last urls dispatched, and an
+    * order-sensitive checksum `sum(slot·(doc_id mod 1000003))` pinning
+    * the ENTIRE slot assignment against the oracle (the q79 idiom).
+    *
+    * Scale shape (10^12 pages): hosts are Zipf-skewed — a 10⁹-page host
+    * would make `row_number() OVER (PARTITION BY host)` a single
+    * reducer — so slots come from [[graft.ops.Ordinals.withGroupedOrdinal]]
+    * (range-partition on (host, epoch, id): a huge host SPANS partitions,
+    * offsets are a (P+G−1)-row driver collect); the rollup is one keyed
+    * partial-agg exchange. */
+  def politenessSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = docs(spark, sfDir).select(col("doc_id"), col("warc_epoch"),
+      concat(lit("h"), pmod(col("doc_id"), lit(PoliteQueues)).cast("string"),
+        lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net"))
+        .as("host"),
+      (lit(1L) + pmod(pmod(col("doc_id"), lit(PoliteQueues)),
+        lit(PoliteDelayMod))).as("delay_s"))
+    val slotted = graft.ops.Ordinals.withGroupedOrdinal(
+        pages, "ord", col("host"), col("warc_epoch"), col("doc_id"))
+      .withColumn("slot", col("ord") - 1L)
+    slotted.groupBy(col("host"), col("delay_s"))
+      .agg(count(lit(1)).as("n_pages"),
+        min_by(col("doc_id"), col("slot")).as("first_doc"),
+        max_by(col("doc_id"), col("slot")).as("last_doc"),
+        sum(col("slot") * pmod(col("doc_id"), lit(1000003L))).as("sched_sum"))
+      .withColumn("makespan_s", (col("n_pages") - 1L) * col("delay_s"))
+      .select(col("host"), col("n_pages"), col("delay_s"), col("makespan_s"),
+        col("first_doc"), col("last_doc"), col("sched_sum"))
+      .orderBy(col("host"))
+  }
+
   val ShardBudget = 20000L
 
   /** Sequence packing: documents in doc_id order packed into fixed
@@ -1409,6 +1454,28 @@ object QualityOracles {
        |       CAST(sum(pos * id_num) AS BIGINT) AS order_sum,
        |       min(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
        |FROM r GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
+
+  /** q104 mirror: same host/delay arithmetic (the q70 epoch chain), same
+    * (warc_epoch, doc_id) queue order, HUGEINT sums cast back. */
+  val politenessSchedule: String = {
+    import QualityQueries.{PoliteQueues, PoliteDelayMod}
+    s"""WITH p AS (SELECT doc_id,
+       |    1704067200 + (CAST(doc_id AS BIGINT) * 7919) % 31536000 AS warc_epoch,
+       |    'h' || CAST(doc_id % $PoliteQueues AS VARCHAR) || '.example.' ||
+       |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+       |    1 + (doc_id % $PoliteQueues) % $PoliteDelayMod AS delay_s
+       |  FROM documents),
+       |s AS (SELECT doc_id, host, delay_s,
+       |        row_number() OVER (PARTITION BY host
+       |          ORDER BY warc_epoch, doc_id) - 1 AS slot
+       |      FROM p)
+       |SELECT host, count(*) AS n_pages, delay_s,
+       |       (count(*) - 1) * delay_s AS makespan_s,
+       |       arg_min(doc_id, slot) AS first_doc,
+       |       arg_max(doc_id, slot) AS last_doc,
+       |       CAST(sum(slot * (doc_id % 1000003)) AS BIGINT) AS sched_sum
+       |FROM s GROUP BY host, delay_s ORDER BY host""".stripMargin
   }
 
   val sequencePack: String =

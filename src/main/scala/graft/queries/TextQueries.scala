@@ -921,6 +921,96 @@ object TextQueries {
       .distinct()
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("df_lang"))
+
+  /** q102 duplicate-mass-by-domain report — the crawl-ops twin of q77's
+    * cluster-size histogram: WHERE does the duplicate mass come from?
+    * Boilerplate mirrors, syndicated feeds and scraper farms concentrate
+    * near-dups in a few registrable domains, and this is the report a
+    * crawl planner reads before re-weighting or blocklisting sources
+    * (q71's blocklist is its downstream consumer). Per registrable
+    * domain: volume, docs in ≥2-member near-dup families (the STAGED
+    * q36/q55 label table — a doc carries a label iff it is in some
+    * family), family count, dup share in basis points, and the modal
+    * duplicating host under a deterministic (n_dup DESC, host) tie-break.
+    *
+    * Scale shape (10^12 docs): the label table is pair-graph-sized
+    * (≪ corpus) and staged once per input fingerprint, so the LEFT join
+    * is corpus × small (AQE broadcasts it); host/domain derive map-side
+    * from the url; the per-(domain, host) partial-agg is the corpus's
+    * only exchange, and the modal-host window runs over the ALREADY
+    * aggregated host-sized frame (q98's shape), never the corpus. */
+  def dupDomains(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = minhashLabels(spark, sfDir) // staged (u, label)
+    // ONE column-pruned corpus pass: the BROADCAST label join prunes the
+    // corpus down to the labeled docs, so every dup-side frame below is
+    // label-table-sized (host/domain would come from the url in
+    // production — the join exists for exactly that reason; the pruned
+    // output carries them).
+    val lab = docs(spark, sfDir)
+      .select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(".example."), tld3(col("doc_id"))).as("host"),
+        concat(lit("example."), tld3(col("doc_id"))).as("domain"))
+      .join(broadcast(labels), col("doc_id") === labels("u"))
+      // label-table-sized, but TWO consumers below — materialize so the
+      // corpus scan behind it runs exactly once (the q101 lesson)
+      .trackedCheckpoint
+    val wm = Window.partitionBy(col("domain"))
+      .orderBy(col("h_dup").desc, col("host"))
+    val modal = lab.groupBy(col("domain"), col("host"))
+      .agg(count(lit(1)).as("h_dup"))
+      .withColumn("rk", row_number().over(wm))
+      .where(col("rk") === 1)
+      .select(col("domain"), col("host").as("top_dup_host"),
+        col("h_dup").as("top_host_dup"))
+    val dupStats = lab.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_dup"),
+        countDistinct(col("label")).as("n_groups"),
+        min(col("doc_id")).as("min_dup_doc"))
+    // the second corpus pass is the denominator census: map-side domain
+    // projection, one partial-agg exchange, output |domains| rows
+    docs(spark, sfDir)
+      .groupBy(concat(lit("example."), tld3(col("doc_id"))).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(dupStats, Seq("domain"), "left")
+      .join(modal, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("coalesce(n_dup, 0L) * 10000 DIV n_docs").as("dup_bp"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        col("min_dup_doc"), col("top_dup_host"), col("top_host_dup"))
+      .orderBy(col("domain"))
+  }
+
+  /** The q71/q75 host-dimension TLD arm (doc_id mod 3 → com/org/net). */
+  private[graft] def tld3(docId: Column): Column =
+    when(pmod(docId, lit(3)) === 0, "com")
+      .when(pmod(docId, lit(3)) === 1, "org").otherwise("net")
+
+  /** q103 vocabulary frequency spectrum — the Zipf census a corpus runs
+    * before sizing a tokenizer vocabulary or a frequency-based filter
+    * (q61's consumer view): for each power-of-two term-frequency bucket
+    * (bucket = ⌊log₂ cnt⌋+1 via `length(bin(cnt))`, the q61 integer
+    * idiom — no float log), how many distinct terms live there and how
+    * much token mass they carry, with exact min/max counts and the
+    * lexicographic min term as value pins. The singleton bucket measures
+    * hapax mass (Heaps-law head), the top buckets the stopword mass the
+    * BPE trainer will merge first.
+    *
+    * Scale shape (10^12 docs): the token stream explodes ONCE into the
+    * term-count partial agg — the corpus's only exchange (map-side
+    * combine collapses the Zipf head before the shuffle); the spectrum
+    * rollup aggregates the vocabulary-sized count table into ≤64 rows. */
+  def vocabSpectrum(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", length(bin(col("cnt"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("tokens"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"),
+        min(col("term")).as("min_term"))
+      .orderBy(col("bucket"))
 }
 
 object TextOracles {
@@ -1341,4 +1431,52 @@ object TextOracles {
        |       lift_ppm
        |FROM r WHERE rank <= ${TextQueries.TermTopK}
        |ORDER BY lang, rank""".stripMargin
+
+  /** q102 mirror: same recursive closure as q77, same q71/q75 host
+    * dimension, same LEFT-join zero fills and modal tie-break. */
+  val dupDomains: String =
+    s"""WITH RECURSIVE ${pairsCte},
+       |sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |lbl AS (SELECT u, LEAST(u, min(v)) AS label FROM reach GROUP BY u),
+       |hosts AS (SELECT doc_id,
+       |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+       |    'example.' ||
+       |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS domain
+       |  FROM documents),
+       |lab AS (SELECT h.doc_id, h.host, h.domain, l.label
+       |        FROM hosts h JOIN lbl l ON l.u = h.doc_id),
+       |hh AS (SELECT domain, host, count(*) AS h_dup FROM lab GROUP BY 1, 2),
+       |mo AS (SELECT domain, host, h_dup,
+       |         row_number() OVER (PARTITION BY domain
+       |           ORDER BY h_dup DESC, host) AS rk FROM hh),
+       |ds AS (SELECT domain, count(*) AS n_dup,
+       |         count(DISTINCT label) AS n_groups,
+       |         min(doc_id) AS min_dup_doc FROM lab GROUP BY domain),
+       |tot AS (SELECT domain, count(*) AS n_docs FROM hosts GROUP BY domain)
+       |SELECT t.domain, t.n_docs,
+       |       COALESCE(ds.n_dup, 0) AS n_dup,
+       |       COALESCE(ds.n_dup, 0) * 10000 // t.n_docs AS dup_bp,
+       |       COALESCE(ds.n_groups, 0) AS n_groups, ds.min_dup_doc,
+       |       m.host AS top_dup_host, m.h_dup AS top_host_dup
+       |FROM tot t
+       |LEFT JOIN ds ON ds.domain = t.domain
+       |LEFT JOIN (SELECT domain, host, h_dup FROM mo WHERE rk = 1) m
+       |  ON m.domain = t.domain
+       |ORDER BY t.domain""".stripMargin
+
+  /** q103 mirror: same single term-count pass, same `length(bin(cnt))`
+    * power-of-two bucket (the q61 idiom). */
+  val vocabSpectrum: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |v AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+      |b AS (SELECT term, cnt,
+      |        CAST(length(format('{:b}', cnt)) AS INTEGER) AS bucket FROM v)
+      |SELECT bucket, count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS tokens,
+      |       min(cnt) AS min_cnt, max(cnt) AS max_cnt, min(term) AS min_term
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 }
