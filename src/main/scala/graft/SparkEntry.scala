@@ -121,6 +121,8 @@ object SparkEntry {
     "q102_dup_domains" -> (graft.queries.TextQueries.dupDomains _),
     "q103_vocab_spectrum" -> (graft.queries.TextQueries.vocabSpectrum _),
     "q104_politeness" -> (graft.queries.QualityQueries.politenessSchedule _),
+    "q105_hits" -> (graft.queries.GraphQueries.hits _),
+    "q106_boilerplate" -> (graft.queries.QualityQueries.boilerplateCensus _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -230,6 +232,8 @@ object SparkEntry {
     "q102_dup_domains" -> graft.queries.TextOracles.dupDomains,
     "q103_vocab_spectrum" -> graft.queries.TextOracles.vocabSpectrum,
     "q104_politeness" -> graft.queries.QualityOracles.politenessSchedule,
+    "q105_hits" -> graft.queries.GraphOracles.hits,
+    "q106_boilerplate" -> graft.queries.QualityOracles.boilerplateCensus,
   )
 }
 

@@ -166,6 +166,58 @@ object GraphQueries {
       .orderBy(col("dst"))
   }
 
+  val HitsIters = 6
+  val HitsTopK = 200
+
+  /** q105 HITS hubs & authorities — the OTHER classic link-authority
+    * signal (Kleinberg; what q74's PageRank is to global prestige, HITS is
+    * to the hub/authority split a crawl scheduler uses to find index pages
+    * vs content pages). [[HitsIters]] mutual-reinforcement rounds over the
+    * q74 edge table: a_i(v) = Σ_{u→v} h_{i-1}(u), h_i(u) = Σ_{u→v} a_i(v).
+    *
+    * Integer-exact by construction: scores are UNNORMALIZED longs (init
+    * 10^6). Per-round L2 normalization is a positive scalar multiple, so
+    * the unnormalized iterate is rank-equivalent to textbook HITS at every
+    * round — and with max degree 3 the growth is ≤ 9×/round, so 6 rounds
+    * peak at 9^6·10^6 ≈ 5.3·10^11 ≪ Long.Max: every value faces the
+    * DuckDB oracle exactly, and the long sums are associative under any
+    * partitioning.
+    *
+    * Scale shape (10^12 edges): the edge table materializes ONCE
+    * (trackedCheckpoint, like q74); each half-round is one join (edges ×
+    * node-sized score frame) + one keyed partial-agg exchange. Lineage is
+    * bounded by checkpointing the hub frame every 2 rounds with
+    * superseded-block release (peak residency: one round). The ring
+    * offset guarantees in-degree ≥ 1 AND out-degree ≥ 1, so the inner
+    * joins lose no node and both frames stay exactly N rows. */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val e = edges(spark, sfDir, n).trackedCheckpoint
+    var hub = docs(spark, sfDir)
+      .select(col("doc_id").as("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to HitsIters) {
+      auth = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+      // final round: auth feeds BOTH the closing join and hub's lineage —
+      // materialize once so the last authority pass doesn't run twice.
+      if (i == HitsIters) auth = auth.trackedCheckpoint
+      hub = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
+      if (i % 2 == 0 && i < HitsIters) {
+        hub = hub.trackedCheckpoint
+        prevCp.foreach(org.apache.spark.sql.GraftCheckpoints.release)
+        prevCp = Some(hub)
+      }
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), col("a"), col("h"))
+      .orderBy(col("a").desc, col("node")).limit(HitsTopK)
+  }
+
   /** q100 degree census — the graph-shape report run before trusting any
     * authority signal derived from a crawl (power-law sanity, dangling
     * check, and the max-degree skew probe that decides whether the q74
@@ -215,6 +267,33 @@ object GraphOracles {
        |$rounds
        |SELECT node, r FROM p${GraphQueries.Iters}
        |ORDER BY r DESC, node LIMIT ${GraphQueries.TopK}""".stripMargin
+  }
+
+  /** q105 mirror: the q74 edge CTE + unrolled mutual-reinforcement rounds
+    * (HUGEINT sums cast back to BIGINT per the oracle-parity rule). */
+  val hits: String = {
+    val offs = GraphQueries.Offsets
+    val rounds = (1 to GraphQueries.HitsIters).map { i =>
+      s"""a$i AS (
+         |  SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+         |  FROM h${i - 1} JOIN e ON node = src GROUP BY dst),
+         |h$i AS (
+         |  SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+         |  FROM a$i JOIN e ON node = dst GROUP BY src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id + o) % nn.n AS dst
+       |  FROM documents, nn, unnest([${offs.mkString(", ")}]) AS t(o)
+       |  WHERE o = ${offs(0)}
+       |     OR (o = ${offs(1)} AND doc_id % 3 >= 1)
+       |     OR (o = ${offs(2)} AND doc_id % 3 = 2)),
+       |h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS h FROM documents),
+       |$rounds
+       |SELECT node, a, h
+       |FROM a${GraphQueries.HitsIters} JOIN h${GraphQueries.HitsIters} USING (node)
+       |ORDER BY a DESC, node LIMIT ${GraphQueries.HitsTopK}""".stripMargin
   }
 
   /** q88 mirror: DuckDB builds the same anchor-bearing pages and must

@@ -757,6 +757,78 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q106 boilerplate words appended after the host token (15 words; with
+    * the host itself that is exactly [[BlockW]] = 16 — block 1 of every
+    * synthesized page is the host's boilerplate block, so detection has a
+    * known-positive per host while the body blocks keep their q82
+    * alignment). Mirrored verbatim in [[QualityOracles.boilerplateCensus]]. */
+  val BoilerTail: String = " home about contact login search help terms" +
+    " privacy cookies footer copyright sitemap feedback banner menu"
+
+  /** q106 per-host boilerplate census — the CCNet/C4-style HOST-frequency
+    * line filter (a line that recurs on most of a host's pages is chrome,
+    * not content; production pipelines strip it before dedup/quality so
+    * nav bars don't dominate n-gram stats). q82 is the corpus-wide
+    * first-wins twin; this is the per-host doc-frequency census a pipeline
+    * runs to BUILD the strip list. Pages synthesize a host (the q71
+    * derivation) and a host-keyed 16-word boilerplate header ahead of the
+    * body, so every host has a known-positive; a block is boilerplate on
+    * its host iff df ≥ 2 AND df·2 ≥ n_pages (integer ≥50%, no floats).
+    * Per host: page count, distinct blocks, boilerplate blocks, their
+    * doc-mass, and the top block pin (df desc, blk asc).
+    *
+    * Scale shape (10^12 pages): the block stream rides exactly TWO keyed
+    * exchanges — (host, doc_id, blk) pair-dedup (the q60 discipline:
+    * within-doc repeats collapse map-side), then the (host, blk)
+    * doc-frequency agg over the already-deduped pairs. Host page counts
+    * are a ≤hosts-row broadcast; everything after the df agg (threshold
+    * filter, rollups, the top-block window) runs over host- or
+    * df-table-sized frames. */
+  def boilerplateCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = BlockW
+    val pages = docs(spark, sfDir).select(col("doc_id"), concat(
+        lit("h"), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net"))
+        .as("host"),
+      col("text"))
+      .withColumn("t2",
+        concat(col("host"), lit(BoilerTail), lit(" "), col("text")))
+    val blocks = pages
+      .select(col("host"), col("doc_id"), split(col("t2"), " ").as("a"))
+      .select(col("host"), col("doc_id"),
+        explode(expr(s"sequence(1, (size(a) + ${w - 1}) div $w)")).as("p"),
+        col("a"))
+      .select(col("host"), col("doc_id"),
+        expr(s"array_join(slice(a, (p - 1) * $w + 1, $w), ' ')").as("blk"))
+    val perDoc = blocks.groupBy(col("host"), col("doc_id"), col("blk"))
+      .agg(count(lit(1)).as("_r")).drop("_r")
+    val dfreq = perDoc.groupBy(col("host"), col("blk"))
+      .agg(count(lit(1)).as("df"))
+    val npages = pages.groupBy(col("host")).agg(count(lit(1)).as("n_pages"))
+    val joined = dfreq.join(broadcast(npages), Seq("host"))
+    val boiler = joined
+      .where(col("df") >= 2 && col("df") * 2 >= col("n_pages"))
+    val stats = joined.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val broll = boiler.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_boiler"), sum(col("df")).as("boiler_docmass"))
+    val tw = Window.partitionBy(col("host"))
+      .orderBy(col("df").desc, col("blk"))
+    val btop = boiler.withColumn("rn", row_number().over(tw))
+      .where(col("rn") === 1).select(col("host"), col("blk").as("top_block"))
+    npages.join(stats, Seq("host"))
+      .join(broll, Seq("host"), "left")
+      .join(btop, Seq("host"), "left")
+      .select(col("host"), col("n_pages"), col("n_blocks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("boiler_docmass"), lit(0L)).as("boiler_docmass"),
+        coalesce(col("top_block"), lit("")).as("top_block"))
+      .orderBy(col("host"))
+  }
+
   val DecontK = 5
   val EvalMod = 101
 
@@ -1540,6 +1612,44 @@ object QualityOracles {
        |  CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS n_chars_clean,
        |  COALESCE(r.clean_text, '') AS clean_text
        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q106 mirror: same host derivation (q71's), same 16-word blocks over
+    * the boilerplate-prefixed text, same integer ≥50% threshold and
+    * (df desc, blk asc) pin. */
+  val boilerplateCensus: String = {
+    val w = QualityQueries.BlockW
+    val tail = QualityQueries.BoilerTail
+    s"""WITH pg AS (SELECT doc_id,
+       |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+       |         WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END AS host,
+       |    text FROM documents),
+       |t AS (SELECT host, doc_id,
+       |        string_split(host || '$tail' || ' ' || text, ' ') AS a
+       |      FROM pg),
+       |b AS (SELECT host, doc_id,
+       |        array_to_string(a[CAST((i - 1) * $w + 1 AS INTEGER):CAST(i * $w AS INTEGER)], ' ') AS blk
+       |      FROM t, unnest(generate_series(1, (len(a) + ${w - 1}) // $w)) AS u(i)),
+       |d AS (SELECT DISTINCT host, doc_id, blk FROM b),
+       |f AS (SELECT host, blk, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY host, blk),
+       |np AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM pg GROUP BY host),
+       |j AS (SELECT f.host AS host, blk, df, n_pages FROM f JOIN np ON f.host = np.host),
+       |bo AS (SELECT * FROM j WHERE df >= 2 AND df * 2 >= n_pages),
+       |st AS (SELECT host, CAST(count(*) AS BIGINT) AS n_blocks FROM j GROUP BY host),
+       |br AS (SELECT host, CAST(count(*) AS BIGINT) AS n_boiler,
+       |         CAST(sum(df) AS BIGINT) AS boiler_docmass FROM bo GROUP BY host),
+       |tp AS (SELECT host, blk AS top_block FROM (
+       |         SELECT host, blk,
+       |           row_number() OVER (PARTITION BY host ORDER BY df DESC, blk) AS rn
+       |         FROM bo) WHERE rn = 1)
+       |SELECT host, n_pages, n_blocks,
+       |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  CAST(COALESCE(boiler_docmass, 0) AS BIGINT) AS boiler_docmass,
+       |  COALESCE(top_block, '') AS top_block
+       |FROM np JOIN st USING (host)
+       |LEFT JOIN br USING (host) LEFT JOIN tp USING (host)
+       |ORDER BY host""".stripMargin
   }
 
   /** q83 mirror: same smoothed-conditional integer score, same floor
