@@ -123,6 +123,8 @@ object SparkEntry {
     "q104_politeness" -> (graft.queries.QualityQueries.politenessSchedule _),
     "q105_hits" -> (graft.queries.GraphQueries.hits _),
     "q106_boilerplate" -> (graft.queries.QualityQueries.boilerplateCensus _),
+    "q107_doc_keywords" -> (graft.queries.TextQueries.docKeywords _),
+    "q108_crawl_novelty" -> (graft.queries.QualityQueries.crawlNovelty _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -234,6 +236,8 @@ object SparkEntry {
     "q104_politeness" -> graft.queries.QualityOracles.politenessSchedule,
     "q105_hits" -> graft.queries.GraphOracles.hits,
     "q106_boilerplate" -> graft.queries.QualityOracles.boilerplateCensus,
+    "q107_doc_keywords" -> graft.queries.TextOracles.docKeywords,
+    "q108_crawl_novelty" -> graft.queries.QualityOracles.crawlNovelty,
   )
 }
 

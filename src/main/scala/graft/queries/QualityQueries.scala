@@ -829,6 +829,65 @@ object QualityQueries {
       .orderBy(col("host"))
   }
 
+  val NoveltyEpochs = 8L
+  /** Epoch-bucket width: the derivation's year range in 8 slices. */
+  val NoveltyBucketS: Long = graft.model.Pages.DocEpochMod / NoveltyEpochs
+
+  /** q108 crawl novelty curve — the content-growth report an incremental
+    * crawl operation reads per crawl cycle: of the distinct 16-word
+    * blocks ([[BlockW]], the q82 unit) appearing in each crawl-epoch
+    * bucket, how many are FIRST seen there vs carried over from earlier
+    * crawls. A flattening curve means the crawl is re-fetching known
+    * content (budget should shift to discovery); the per-bucket novelty
+    * share in basis points is integer-exact. Epoch buckets slice the
+    * warc_epoch derivation's year range into [[NoveltyEpochs]] equal
+    * windows.
+    *
+    * Scale shape (10^12 pages): the block stream explodes ONCE into the
+    * (h, eb) pair-dedup (q60 discipline — within-bucket repeats collapse
+    * map-side; md5 block ids keep the key fixed-width, the q82 choice).
+    * The deduped pair table is `trackedCheckpoint`-materialized because
+    * BOTH the first-seen argmin and the per-bucket census consume it (the
+    * q101 lesson: unmaterialized lineage re-runs the corpus explode per
+    * consumer); everything downstream aggregates pair- or bucket-sized
+    * frames, and the doc census is a separate map-side projection + one
+    * ≤[[NoveltyEpochs]]-group exchange, no explode. In production the
+    * pair table is the staged store an incremental crawl appends to
+    * (the IncrementalDedup pattern); first-seen then needs no recompute
+    * over history. */
+  def crawlNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val withEb = docs(spark, sfDir).withColumn("eb",
+      expr(s"(warc_epoch - ${graft.model.Pages.DocEpochBase}) div $NoveltyBucketS"))
+    val pairs = noveltyPairsOf(withEb).trackedCheckpoint
+    val seen = pairs.groupBy(col("eb")).agg(count(lit(1)).as("n_blocks"))
+    val fresh = pairs.groupBy(col("h")).agg(min(col("eb")).as("feb"))
+      .groupBy(col("feb")).agg(count(lit(1)).as("n_new"))
+      .select(col("feb").as("eb"), col("n_new"))
+    val ndocs = withEb.groupBy(col("eb")).agg(count(lit(1)).as("n_docs"))
+    ndocs.join(seen, Seq("eb"), "left")
+      .join(fresh, Seq("eb"), "left")
+      .select(col("eb"), col("n_docs"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("coalesce(n_new, 0L) * 10000 DIV greatest(n_blocks, 1L)")
+          .as("novelty_bp"))
+      .orderBy(col("eb"))
+  }
+
+  /** The expensive pass of [[crawlNovelty]] PRE-checkpoint (plan hook):
+    * ONE explode → (block-hash, epoch-bucket) pair-dedup. */
+  private[graft] def noveltyPairsOf(withEb: DataFrame): DataFrame = {
+    val w = BlockW
+    withEb
+      .select(col("eb"), split(col("text"), " ").as("a"))
+      .select(col("eb"),
+        explode(expr(s"sequence(1, (size(a) + ${w - 1}) div $w)")).as("p"),
+        col("a"))
+      .select(col("eb"),
+        md5(expr(s"array_join(slice(a, (p - 1) * $w + 1, $w), ' ')")).as("h"))
+      .groupBy(col("h"), col("eb")).agg(count(lit(1)).as("_r")).drop("_r")
+  }
+
   val DecontK = 5
   val EvalMod = 101
 
@@ -1650,6 +1709,34 @@ object QualityOracles {
        |FROM np JOIN st USING (host)
        |LEFT JOIN br USING (host) LEFT JOIN tp USING (host)
        |ORDER BY host""".stripMargin
+  }
+
+  /** q108 mirror: same epoch-bucket arithmetic, same md5 block ids over
+    * the 16-word q82 blocks, same distinct-pair / first-seen algebra. */
+  val crawlNovelty: String = {
+    val w = QualityQueries.BlockW
+    val base = graft.model.Pages.DocEpochBase
+    val mul = graft.model.Pages.DocEpochMul
+    val mod = graft.model.Pages.DocEpochMod
+    val bs = QualityQueries.NoveltyBucketS
+    s"""WITH e AS (SELECT doc_id,
+       |    ((CAST(doc_id AS BIGINT) * $mul) % $mod) // $bs AS eb, text
+       |  FROM documents),
+       |t AS (SELECT eb, string_split(text, ' ') AS a FROM e),
+       |b AS (SELECT eb,
+       |        md5(array_to_string(a[CAST((i - 1) * $w + 1 AS INTEGER):CAST(i * $w AS INTEGER)], ' ')) AS h
+       |      FROM t, unnest(generate_series(1, (len(a) + ${w - 1}) // $w)) AS u(i)),
+       |p AS (SELECT DISTINCT h, eb FROM b),
+       |sn AS (SELECT eb, CAST(count(*) AS BIGINT) AS n_blocks FROM p GROUP BY eb),
+       |fr AS (SELECT feb AS eb, CAST(count(*) AS BIGINT) AS n_new FROM (
+       |         SELECT h, min(eb) AS feb FROM p GROUP BY h) GROUP BY feb),
+       |nd AS (SELECT eb, CAST(count(*) AS BIGINT) AS n_docs FROM e GROUP BY eb)
+       |SELECT nd.eb AS eb, n_docs,
+       |  CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks,
+       |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(n_new, 0) * 10000 // GREATEST(COALESCE(n_blocks, 0), 1) AS BIGINT) AS novelty_bp
+       |FROM nd LEFT JOIN sn ON nd.eb = sn.eb LEFT JOIN fr ON nd.eb = fr.eb
+       |ORDER BY eb""".stripMargin
   }
 
   /** q83 mirror: same smoothed-conditional integer score, same floor

@@ -1011,6 +1011,64 @@ object TextQueries {
         min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"),
         min(col("term")).as("min_term"))
       .orderBy(col("bucket"))
+
+  val KwTopK = 3
+
+  /** q107 per-doc keyword extraction — the doc-level feature every
+    * indexing / topical-labeling / routing stage derives (q101 is the
+    * per-SLICE distinctiveness report; this is its per-DOCUMENT twin):
+    * each document's top-[[KwTopK]] terms by integer score
+    * `tf·10⁶ div df`. Per fixed corpus size N that ordering IS the
+    * tf·idf ordering under linear idf (tf·(N/df) = N·(tf/df) — a
+    * positive scalar multiple per doc), so no float log and no
+    * N-dependent overflow: tf·10⁶ stays ≪ Long.Max at any corpus size
+    * (score is corpus-size-free, unlike tf·(N·10⁶ div df) which
+    * overflows at N = 10^12). Ties break (score desc, term asc); docs
+    * with < K distinct terms zero-fill.
+    *
+    * Scale shape (10^12 docs): the token stream explodes ONCE into the
+    * (doc, term) tf partial agg — materialized ([[docTfOf]] hook,
+    * trackedCheckpoint) because BOTH the df rollup and the score join
+    * consume it (the q101 lesson: an unmaterialized lineage re-runs the
+    * corpus explode per consumer). The df rollup and the term-keyed
+    * score join are exchanges over the already-paired table; the
+    * per-doc top-K is `row_number ≤ K` adjacent to its Window →
+    * WindowGroupLimit partial top-k (billions of tiny groups, q75's
+    * shape), and the closing pivot aggregates ≤K-row groups. */
+  def docKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = docTfOf(docs(spark, sfDir)).trackedCheckpoint
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    val top = tf.join(dfreq, Seq("term"))
+      .withColumn("score", expr(s"(tf * $LiftScale) DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KwTopK)
+    top.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("rank") === 1, col("term"))).as("k1"),
+        max(when(col("rank") === 1, col("score"))).as("v1"),
+        max(when(col("rank") === 2, col("term"))).as("k2"),
+        max(when(col("rank") === 2, col("score"))).as("v2"),
+        max(when(col("rank") === 3, col("term"))).as("k3"),
+        max(when(col("rank") === 3, col("score"))).as("v3"))
+      .select(col("doc_id"),
+        coalesce(col("k1"), lit("")).as("kw1"),
+        coalesce(col("v1"), lit(0L)).as("s1"),
+        coalesce(col("k2"), lit("")).as("kw2"),
+        coalesce(col("v2"), lit(0L)).as("s2"),
+        coalesce(col("k3"), lit("")).as("kw3"),
+        coalesce(col("v3"), lit(0L)).as("s3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The expensive pass of [[docKeywords]] PRE-checkpoint (plan hook, per
+    * the bloomRollupOf convention): ONE explode → (doc, term) tf partial
+    * agg — the corpus stream's only Generate and only corpus-sized
+    * exchange. */
+  private[graft] def docTfOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 }
 
 object TextOracles {
@@ -1479,4 +1537,28 @@ object TextOracles {
       |SELECT bucket, count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS tokens,
       |       min(cnt) AS min_cnt, max(cnt) AS max_cnt, min(term) AS min_term
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q107 mirror: same tf/df passes, same integer `tf·10⁶ // df` score,
+    * same (score desc, term asc) tie-break and rank-pivot. */
+  val docKeywords: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |s AS (SELECT doc_id, tf.term AS term,
+       |        CAST(tf * ${TextQueries.LiftScale} // df AS BIGINT) AS score
+       |      FROM tf JOIN df ON tf.term = df.term),
+       |r AS (SELECT doc_id, term, score,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, term) AS rn FROM s)
+       |SELECT doc_id,
+       |  COALESCE(max(CASE WHEN rn = 1 THEN term END), '') AS kw1,
+       |  CAST(COALESCE(max(CASE WHEN rn = 1 THEN score END), 0) AS BIGINT) AS s1,
+       |  COALESCE(max(CASE WHEN rn = 2 THEN term END), '') AS kw2,
+       |  CAST(COALESCE(max(CASE WHEN rn = 2 THEN score END), 0) AS BIGINT) AS s2,
+       |  COALESCE(max(CASE WHEN rn = 3 THEN term END), '') AS kw3,
+       |  CAST(COALESCE(max(CASE WHEN rn = 3 THEN score END), 0) AS BIGINT) AS s3
+       |FROM r WHERE rn <= ${TextQueries.KwTopK}
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
