@@ -125,6 +125,7 @@ object SparkEntry {
     "q106_boilerplate" -> (graft.queries.QualityQueries.boilerplateCensus _),
     "q107_doc_keywords" -> (graft.queries.TextQueries.docKeywords _),
     "q108_crawl_novelty" -> (graft.queries.QualityQueries.crawlNovelty _),
+    "q109_param_census" -> (graft.queries.QualityQueries.paramCensus _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -238,6 +239,7 @@ object SparkEntry {
     "q106_boilerplate" -> graft.queries.QualityOracles.boilerplateCensus,
     "q107_doc_keywords" -> graft.queries.TextOracles.docKeywords,
     "q108_crawl_novelty" -> graft.queries.QualityOracles.crawlNovelty,
+    "q109_param_census" -> graft.queries.QualityOracles.paramCensus,
   )
 }
 

@@ -829,6 +829,63 @@ object QualityQueries {
       .orderBy(col("host"))
   }
 
+  /** q109 session-value multiplier (odd, coprime to the prime modulus ⇒
+    * injective for doc_id < modulus: every session id is unique). */
+  val ParamSessionMul = 2654435761L
+  val ParamSessionMod = 1000000007L
+
+  /** q109 URL query-parameter census — the strip-rule BUILDER upstream of
+    * q69's canonicalization: before a crawl can normalize away tracking /
+    * session parameters, it must measure, per (domain, param), how many
+    * urls carry the param and how many distinct values it takes. A
+    * near-unique value per url (here: integer `n_vals·2 ≥ n_urls`) marks
+    * a session/tracking id — strip it or every recrawl looks like a new
+    * page; low-cardinality params (`id`, `utm_source` here) are content-
+    * or campaign-bearing and survive. Urls are synthesized from doc_id
+    * with three param shapes (always `id=%13`; `%4=0` adds a 3-valued
+    * `utm_source`; `%5=0` adds an injective `sessionid`), and Spark
+    * genuinely re-parses them with codegen'd `parse_url` (the q49
+    * discipline) — the oracle re-parses with DuckDB string functions and
+    * both must recover identical (param, value) pairs.
+    *
+    * Scale shape (10^12 urls): map-side url parse + a bounded ≤3-way
+    * param explode, then ONE (domain, param) group with `count` +
+    * `countDistinct(value)` — a SINGLE distinct group (± non-distinct
+    * aggs), which Spark plans Expand-free as a two-stage partial agg
+    * (the CLAUDE.md rule); the output is params-table-sized. No joins,
+    * no second corpus pass. */
+  def paramCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val urls = docs(spark, sfDir).select(col("doc_id"),
+      concat(lit("example."), graft.queries.TextQueries.tld3(col("doc_id")))
+        .as("domain"),
+      concat(
+        lit("https://h"), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit(".example."), graft.queries.TextQueries.tld3(col("doc_id")),
+        lit("/p/"), expr("doc_id div 7").cast("string"),
+        lit("?id="), pmod(col("doc_id"), lit(13)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("&utm_source=s"),
+            pmod(col("doc_id"), lit(3)).cast("string"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("&sessionid="),
+            pmod(col("doc_id") * ParamSessionMul, lit(ParamSessionMod))
+              .cast("string"))).otherwise("")).as("url"))
+    urls
+      .select(col("domain"),
+        explode(split(parse_url(col("url"), lit("QUERY")), "&")).as("kv"))
+      .select(col("domain"),
+        expr("split(kv, '=')[0]").as("param"),
+        expr("split(kv, '=')[1]").as("value"))
+      .groupBy(col("domain"), col("param"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("value")).as("n_vals"))
+      .select(col("domain"), col("param"), col("n_urls"), col("n_vals"),
+        expr("n_vals * 10000 DIV n_urls").as("card_bp"),
+        when(col("n_vals") * 2 >= col("n_urls"), 1L).otherwise(0L)
+          .as("strip"))
+      .orderBy(col("domain"), col("param"))
+  }
+
   val NoveltyEpochs = 8L
   /** Epoch-bucket width: the derivation's year range in 8 slices. */
   val NoveltyBucketS: Long = graft.model.Pages.DocEpochMod / NoveltyEpochs
@@ -1737,6 +1794,36 @@ object QualityOracles {
        |  CAST(COALESCE(n_new, 0) * 10000 // GREATEST(COALESCE(n_blocks, 0), 1) AS BIGINT) AS novelty_bp
        |FROM nd LEFT JOIN sn ON nd.eb = sn.eb LEFT JOIN fr ON nd.eb = fr.eb
        |ORDER BY eb""".stripMargin
+  }
+
+  /** q109 mirror: DuckDB builds the same urls and must re-parse the query
+    * string with ITS regexp/string engine into the identical (param,
+    * value) pairs before the census. */
+  val paramCensus: String = {
+    import QualityQueries.{ParamSessionMul, ParamSessionMod}
+    s"""WITH u AS (SELECT doc_id,
+       |    'example.' || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS domain,
+       |    'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+       |      '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+       |      '?id=' || CAST(doc_id % 13 AS VARCHAR) ||
+       |      CASE WHEN doc_id % 4 = 0
+       |        THEN '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END ||
+       |      CASE WHEN doc_id % 5 = 0
+       |        THEN '&sessionid=' ||
+       |          CAST((CAST(doc_id AS BIGINT) * $ParamSessionMul) % $ParamSessionMod AS VARCHAR)
+       |        ELSE '' END AS url
+       |  FROM documents),
+       |k AS (SELECT domain,
+       |        unnest(string_split(regexp_extract(url, '\\?(.*)$$', 1), '&')) AS kv
+       |      FROM u),
+       |p AS (SELECT domain, string_split(kv, '=')[1] AS param,
+       |        string_split(kv, '=')[2] AS value FROM k)
+       |SELECT domain, param, CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
+       |  CAST(count(DISTINCT value) * 10000 // count(*) AS BIGINT) AS card_bp,
+       |  CAST(CASE WHEN count(DISTINCT value) * 2 >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS strip
+       |FROM p GROUP BY domain, param ORDER BY domain, param""".stripMargin
   }
 
   /** q83 mirror: same smoothed-conditional integer score, same floor
