@@ -126,6 +126,7 @@ object SparkEntry {
     "q107_doc_keywords" -> (graft.queries.TextQueries.docKeywords _),
     "q108_crawl_novelty" -> (graft.queries.QualityQueries.crawlNovelty _),
     "q109_param_census" -> (graft.queries.QualityQueries.paramCensus _),
+    "q110_lang_calibration" -> (graft.queries.QualityQueries.langCalibration _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -240,6 +241,7 @@ object SparkEntry {
     "q107_doc_keywords" -> graft.queries.TextOracles.docKeywords,
     "q108_crawl_novelty" -> graft.queries.QualityOracles.crawlNovelty,
     "q109_param_census" -> graft.queries.QualityOracles.paramCensus,
+    "q110_lang_calibration" -> graft.queries.QualityOracles.langCalibration,
   )
 }
 

@@ -829,6 +829,54 @@ object QualityQueries {
       .orderBy(col("host"))
   }
 
+  /** q110 per-language quality calibration — the threshold-bias audit run
+    * before applying any quality filter corpus-wide: one GLOBAL threshold
+    * (q73's [[KeepThresholdBp]]) filters languages unevenly (the
+    * anglocentric-filter problem — stopword lists and digit ratios are
+    * language-dependent), so a release measures, per language, the exact
+    * score distribution and what the global cut actually keeps. Per lang:
+    * doc count, keep share under the global threshold (bp), and the exact
+    * discrete 25th/50th/75th score percentiles — the per-lang thresholds
+    * a calibrated filter would use instead.
+    *
+    * Scale shape (10^12 docs): scoring is q73's map-side projection
+    * (shared [[scoreDocs]] — no explode, no join); the corpus faces ONE
+    * (lang, score) histogram exchange. The score domain is bounded
+    * (each term ≤ 10⁴·weight ⇒ |score| ≤ 5·10⁴), so the histogram is
+    * ≤ langs·10⁵ rows at any corpus size — percentiles come from
+    * per-lang cumulative windows over that AGGREGATED frame (the q83
+    * bounded-domain idiom, partitioned by lang so no single reducer),
+    * never a percentile buffer holding 10^12 scores. The histogram is
+    * `trackedCheckpoint`-materialized: the per-lang rollup AND the
+    * cumulative window both consume it. */
+  def langCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scoreDocs(docs(spark, sfDir), Seq("lang"))
+      .groupBy(col("lang"), col("score")).agg(count(lit(1)).as("cnt"))
+      .trackedCheckpoint
+    val stats = hist.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(when(col("score") >= KeepThresholdBp, col("cnt")).otherwise(0L))
+          .as("n_keep"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val pct = cum.join(broadcast(stats), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("(n_docs + 3) div 4"), col("score")))
+          .as("p25"),
+        min(when(col("cum") >= expr("(n_docs + 1) div 2"), col("score")))
+          .as("p50"),
+        min(when(col("cum") >= expr("(3 * n_docs + 3) div 4"), col("score")))
+          .as("p75"))
+    stats.join(pct, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        expr("n_keep * 10000 DIV n_docs").as("keep_bp"),
+        col("p25"), col("p50"), col("p75"))
+      .orderBy(col("lang"))
+  }
+
   /** q109 session-value multiplier (odd, coprime to the prime modulus ⇒
     * injective for doc_id < modulus: every session id is unique). */
   val ParamSessionMul = 2654435761L
@@ -1794,6 +1842,44 @@ object QualityOracles {
        |  CAST(COALESCE(n_new, 0) * 10000 // GREATEST(COALESCE(n_blocks, 0), 1) AS BIGINT) AS novelty_bp
        |FROM nd LEFT JOIN sn ON nd.eb = sn.eb LEFT JOIN fr ON nd.eb = fr.eb
        |ORDER BY eb""".stripMargin
+  }
+
+  /** q110 mirror: the q73 score arithmetic verbatim, then the SAME
+    * explicit histogram + per-lang cumulative construction (not
+    * quantile_disc — the cumulative definition is the contract both
+    * engines implement, so parity is by construction). */
+  val langCalibration: String = {
+    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
+    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
+       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS a
+       |           FROM documents),
+       |f AS (SELECT doc_id, text, lang,
+       |        len(a) AS n_words,
+       |        len(list_filter(a, x -> x IN ($stops))) AS n_stop,
+       |        len(list_distinct(a)) AS n_distinct,
+       |        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |      FROM t),
+       |sc AS (SELECT lang, CAST($score AS BIGINT) AS score FROM f),
+       |h AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM sc GROUP BY lang, score),
+       |st AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN score >= ${QualityQueries.KeepThresholdBp}
+       |           THEN cnt ELSE 0 END) AS BIGINT) AS n_keep
+       |       FROM h GROUP BY lang),
+       |c AS (SELECT lang, score,
+       |        CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+       |p AS (SELECT c.lang AS lang,
+       |        min(CASE WHEN cum >= (n_docs + 3) // 4 THEN score END) AS p25,
+       |        min(CASE WHEN cum >= (n_docs + 1) // 2 THEN score END) AS p50,
+       |        min(CASE WHEN cum >= (3 * n_docs + 3) // 4 THEN score END) AS p75
+       |      FROM c JOIN st ON c.lang = st.lang GROUP BY c.lang)
+       |SELECT st.lang AS lang, n_docs,
+       |  CAST(n_keep * 10000 // n_docs AS BIGINT) AS keep_bp,
+       |  CAST(p25 AS BIGINT) AS p25, CAST(p50 AS BIGINT) AS p50,
+       |  CAST(p75 AS BIGINT) AS p75
+       |FROM st JOIN p ON st.lang = p.lang ORDER BY lang""".stripMargin
   }
 
   /** q109 mirror: DuckDB builds the same urls and must re-parse the query
