@@ -127,6 +127,7 @@ object SparkEntry {
     "q108_crawl_novelty" -> (graft.queries.QualityQueries.crawlNovelty _),
     "q109_param_census" -> (graft.queries.QualityQueries.paramCensus _),
     "q110_lang_calibration" -> (graft.queries.QualityQueries.langCalibration _),
+    "q111_host_graph" -> (graft.queries.GraphQueries.hostGraph _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -242,6 +243,7 @@ object SparkEntry {
     "q108_crawl_novelty" -> graft.queries.QualityOracles.crawlNovelty,
     "q109_param_census" -> graft.queries.QualityOracles.paramCensus,
     "q110_lang_calibration" -> graft.queries.QualityOracles.langCalibration,
+    "q111_host_graph" -> graft.queries.GraphOracles.hostGraph,
   )
 }
 

@@ -218,6 +218,47 @@ object GraphQueries {
       .orderBy(col("a").desc, col("node")).limit(HitsTopK)
   }
 
+  val HostGraphTopK = 200
+
+  /** q111 host quotient graph — graph COARSENING: the page-level edge
+    * table rolled up to weighted host→host edges, with per-edge
+    * reciprocity (how many links run back). This is the granularity a
+    * crawl scheduler and a link-spam detector actually operate at — link
+    * farms show up as dense reciprocal host cliques long before any
+    * page-level signal, and host-level PageRank (q74 over THIS table) is
+    * the standard cheap approximation. Hosts derive map-side from the
+    * node id (the q71/q94 host arm); self-loops (intra-host links) are
+    * dropped — they are navigation, not endorsement.
+    *
+    * Scale shape (10^12 edges): ONE map-side host projection over the
+    * edge stream → ONE (hsrc, hdst) keyed partial-agg exchange (Zipf
+    * host pairs collapse map-side); the reciprocity self-join runs over
+    * the AGGREGATED host matrix (hosts² ≪ edges — `trackedCheckpoint`-
+    * materialized, both the output leg and the reversed leg consume it);
+    * top-K ends in TakeOrderedAndProject, never a global sort. */
+  def hostGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    def hostOf(c: Column): Column = concat(
+      lit("h"), pmod(c, lit(97)).cast("string"), lit(".example."),
+      when(pmod(c, lit(3)) === 0, "com")
+        .when(pmod(c, lit(3)) === 1, "org").otherwise("net"))
+    val m = edges(spark, sfDir, n)
+      .select(hostOf(col("src")).as("hsrc"), hostOf(col("dst")).as("hdst"))
+      .where(col("hsrc") =!= col("hdst"))
+      .groupBy(col("hsrc"), col("hdst"))
+      .agg(count(lit(1)).as("n_links"))
+      .trackedCheckpoint
+    val rev = m.select(col("hdst").as("hsrc"), col("hsrc").as("hdst"),
+      col("n_links").as("n_back"))
+    m.join(rev, Seq("hsrc", "hdst"), "left")
+      .select(col("hsrc"), col("hdst"), col("n_links"),
+        coalesce(col("n_back"), lit(0L)).as("n_back"),
+        when(coalesce(col("n_back"), lit(0L)) > 0L, 1L).otherwise(0L)
+          .as("reciprocal"))
+      .orderBy(col("n_links").desc, col("hsrc"), col("hdst"))
+      .limit(HostGraphTopK)
+  }
+
   /** q100 degree census — the graph-shape report run before trusting any
     * authority signal derived from a crawl (power-law sanity, dangling
     * check, and the max-degree skew probe that decides whether the q74
@@ -294,6 +335,32 @@ object GraphOracles {
        |SELECT node, a, h
        |FROM a${GraphQueries.HitsIters} JOIN h${GraphQueries.HitsIters} USING (node)
        |ORDER BY a DESC, node LIMIT ${GraphQueries.HitsTopK}""".stripMargin
+  }
+
+  /** q111 mirror: the q74 edge CTE + the same host derivation on both
+    * ends, the same self-loop drop, rollup, and reciprocity self-join. */
+  val hostGraph: String = {
+    val offs = GraphQueries.Offsets
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id + o) % nn.n AS dst
+       |  FROM documents, nn, unnest([${offs.mkString(", ")}]) AS t(o)
+       |  WHERE o = ${offs(0)}
+       |     OR (o = ${offs(1)} AND doc_id % 3 >= 1)
+       |     OR (o = ${offs(2)} AND doc_id % 3 = 2)),
+       |h AS (SELECT
+       |    'h' || CAST(src % 97 AS VARCHAR) || '.example.' ||
+       |      CASE src % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS hsrc,
+       |    'h' || CAST(dst % 97 AS VARCHAR) || '.example.' ||
+       |      CASE dst % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS hdst
+       |  FROM e),
+       |m AS (SELECT hsrc, hdst, CAST(count(*) AS BIGINT) AS n_links
+       |      FROM h WHERE hsrc <> hdst GROUP BY hsrc, hdst)
+       |SELECT m.hsrc AS hsrc, m.hdst AS hdst, m.n_links AS n_links,
+       |  CAST(COALESCE(r.n_links, 0) AS BIGINT) AS n_back,
+       |  CAST(CASE WHEN COALESCE(r.n_links, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS reciprocal
+       |FROM m LEFT JOIN m r ON m.hsrc = r.hdst AND m.hdst = r.hsrc
+       |ORDER BY m.n_links DESC, hsrc, hdst LIMIT ${GraphQueries.HostGraphTopK}""".stripMargin
   }
 
   /** q88 mirror: DuckDB builds the same anchor-bearing pages and must
