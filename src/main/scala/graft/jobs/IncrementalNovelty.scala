@@ -53,6 +53,24 @@ object IncrementalNovelty {
       spark, pairsOf(newDocs), lakeRoot, Stage, batchId, "pk",
       identity) { (_, _, all) => firstSeenCensusOf(all) }._1
 
+  /** Streaming face: every micro-batch of `docsStream` runs [[append]]
+    * (batch-id-idempotent via the foreachBatch id) and appends that
+    * batch's POST-MERGE census, stamped with its batch id, to
+    * `censusOut` — the per-cycle novelty series an incremental crawl
+    * dashboards (latest cycle = max batch_id). */
+  def appendStream(docsStream: DataFrame, lakeRoot: String,
+                   censusOut: String, checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    IncrementalAppend.stream(docsStream, censusOut, checkpointDir, trigger) {
+      (s, batch, id) =>
+        val (census, handle, replay) = IncrementalAppend.appendWithHandle(
+          s, pairsOf(batch), lakeRoot, Stage, Some(id), "pk",
+          identity) { (_, _, all) => firstSeenCensusOf(all) }
+        (census.withColumn("batch_id", lit(id)), handle, replay)
+    }
+
   /** The census over the committed store alone (reader face). */
   def census(spark: SparkSession, lakeRoot: String): DataFrame =
     firstSeenCensusOf(new LakeTable(lakeRoot).read(spark, Stage))

@@ -63,4 +63,38 @@ class IncrementalNoveltySpec extends SparkTestBase {
     censusOf(IncrementalNovelty.append(spark, early, root, Some(2L)))
     assert(lake.currentVersion(IncrementalNovelty.Stage) === vBefore)
   }
+
+  test("streaming face: per-cycle census series, append ≡ recompute each cycle") {
+    val root = Files.createTempDirectory("incnov_s").toString
+    val in = Files.createTempDirectory("incnov_in").toString
+    val out = Files.createTempDirectory("incnov_out").toString + "/census"
+    val ck = Files.createTempDirectory("incnov_ck").toString
+    val a = docs().where(pmod(col("doc_id"), lit(3)) === 0)
+    val b = docs().where(pmod(col("doc_id"), lit(3)) === 1)
+    IncrementalNovelty.init(spark, a, root)
+
+    def runAvailable(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = IncrementalNovelty.appendStream(
+        spark.readStream.schema(schema).parquet(in), root, out, ck)
+      q.awaitTermination()
+      org.apache.spark.sql.GraftCheckpoints.releaseAll()
+    }
+
+    b.select(col("doc_id"), col("warc_epoch"), col("text"))
+      .write.mode("append").parquet(in)
+    runAvailable()
+    // the streamed cycle census equals the committed store's census
+    val streamed = spark.read.parquet(out)
+      .select(col("eb"), col("n_new")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = censusOf(IncrementalNovelty.census(spark, root)).toSet
+    assert(streamed === stored)
+    // and ≡ a from-scratch recompute over everything observed so far
+    val freshRoot = Files.createTempDirectory("incnov_r").toString
+    IncrementalNovelty.init(spark, a.unionByName(b), freshRoot)
+    val recompute = censusOf(
+      IncrementalNovelty.census(spark, freshRoot)).toSet
+    assert(stored === recompute)
+  }
 }
