@@ -128,6 +128,7 @@ object SparkEntry {
     "q109_param_census" -> (graft.queries.QualityQueries.paramCensus _),
     "q110_lang_calibration" -> (graft.queries.QualityQueries.langCalibration _),
     "q111_host_graph" -> (graft.queries.GraphQueries.hostGraph _),
+    "q112_token_fertility" -> (graft.queries.TextQueries.tokenFertility _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -244,6 +245,7 @@ object SparkEntry {
     "q109_param_census" -> graft.queries.QualityOracles.paramCensus,
     "q110_lang_calibration" -> graft.queries.QualityOracles.langCalibration,
     "q111_host_graph" -> graft.queries.GraphOracles.hostGraph,
+    "q112_token_fertility" -> graft.queries.TextOracles.tokenFertility,
   )
 }
 

@@ -841,6 +841,39 @@ object TextQueries {
         TextOps.tokenCount(col("t")).as("n_ws"))
       .orderBy(col("doc_id"))
 
+  /** q112 tokenizer fertility by language — the tokenizer-parity metric a
+    * multilingual release reports (fertility = subword tokens per
+    * whitespace word; a tokenizer trained on English-heavy data splits
+    * other languages into MORE subwords, so the same context window holds
+    * less of their text and per-token pricing taxes them more). Per lang:
+    * doc count, subword-token / word / char mass, fertility in
+    * cent-tokens-per-word (`tokens·100 div words`, integer) and chars per
+    * subword token ×100. Token counting is q43's pair: the [[BpePattern]]
+    * GPT-2-style splitter (identical semantics in java.util.regex and
+    * RE2) next to the whitespace count, over the same punctuated-tail
+    * text so the subword split genuinely diverges from whitespace.
+    *
+    * Scale shape (10^12 docs): counting is a map-side codegen'd
+    * projection (regexp_count — no explode, the token ARRAY never
+    * materializes); the corpus faces ONE ≤langs-group partial-agg
+    * exchange. */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("t", concat(col("text"), lit(" it's v"),
+        col("doc_id").cast("string"), lit(".0, (beta)!")))
+      .select(col("lang"),
+        regexp_count(col("t"), lit(BpePattern)).cast("long").as("n_bpe"),
+        TextOps.tokenCount(col("t")).cast("long").as("n_ws"),
+        length(col("t")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("tokens"),
+        sum(col("n_ws")).as("words"), sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("words"),
+        col("chars"),
+        expr("tokens * 100 DIV words").as("fertility_c"),
+        expr("chars * 100 DIV tokens").as("chars_per_tok_c"))
+      .orderBy(col("lang"))
+
   /** html → extracted text, gated per url (BASELINE.json input_hint:
     * "per-row invariant vs the reference: byte-identical extracted text per
     * url"): run the extraction over the html BINARY column and prove both
@@ -1409,6 +1442,26 @@ object TextOracles {
        |        text || ' it''s v' || CAST(doc_id AS VARCHAR) || '.0, (beta)!' AS t
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q112 mirror: q43's token-count pair (DuckDB's RE2 must agree with
+    * java.util.regex on the restricted pattern) rolled up per language. */
+  val tokenFertility: String = {
+    val pat = TextQueries.BpePattern.replace("'", "''")
+    s"""WITH d AS (SELECT lang,
+       |    text || ' it''s v' || CAST(doc_id AS VARCHAR) || '.0, (beta)!' AS t
+       |  FROM documents),
+       |f AS (SELECT lang,
+       |    CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_bpe,
+       |    CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS n_ws,
+       |    CAST(length(t) AS BIGINT) AS n_chars FROM d)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bpe) AS BIGINT) AS tokens,
+       |  CAST(sum(n_ws) AS BIGINT) AS words,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(n_bpe) * 100 // sum(n_ws) AS BIGINT) AS fertility_c,
+       |  CAST(sum(n_chars) * 100 // sum(n_bpe) AS BIGINT) AS chars_per_tok_c
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   val winnowFingerprints: String =
