@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.lake.{LakeTable, StageRunner}
-import graft.model.Pages
 import graft.queries.QualityQueries
 
 /** INCREMENTAL crawl-novelty tracking — the production face q108's scale
@@ -25,16 +24,18 @@ import graft.queries.QualityQueries
   * (block, bucket) pairs appends nothing and causes no version spam. */
 object IncrementalNovelty {
 
-  val Stage = "novelty_pair_store"
-
-  private def withEb(docs: DataFrame): DataFrame =
-    docs.withColumn("eb", expr(
-      s"(warc_epoch - ${Pages.DocEpochBase}) div ${QualityQueries.NoveltyBucketS}"))
+  /** Stage name folds the derivation constants (block width, bucket
+    * seconds — the CLAUDE.md stage-key invariant): changing either
+    * invalidates the store instead of silently mixing derivations. */
+  val Stage: String =
+    s"novelty_pair_store_w${QualityQueries.BlockW}-b${QualityQueries.NoveltyBucketS}"
 
   /** (pk, h, eb) observed pairs over any (warc_epoch, text) frame — `pk`
-    * packs the pair for the shared protocol's disjointness guard. */
+    * packs the pair for the shared protocol's disjointness guard. The
+    * bucket derivation is [[QualityQueries.withEpochBucket]], the SAME
+    * definition q108 runs. */
   private[jobs] def pairsOf(docs: DataFrame): DataFrame =
-    QualityQueries.noveltyPairsOf(withEb(docs))
+    QualityQueries.noveltyPairsOf(QualityQueries.withEpochBucket(docs))
       .withColumn("pk", concat(col("h"), lit(":"), col("eb").cast("string")))
 
   /** Commit the observation store for the initial corpus; returns it. */

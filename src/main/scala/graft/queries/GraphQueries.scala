@@ -238,12 +238,9 @@ object GraphQueries {
     * top-K ends in TakeOrderedAndProject, never a global sort. */
   def hostGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val n = docs(spark, sfDir).count() // one scalar: the node count
-    def hostOf(c: Column): Column = concat(
-      lit("h"), pmod(c, lit(97)).cast("string"), lit(".example."),
-      when(pmod(c, lit(3)) === 0, "com")
-        .when(pmod(c, lit(3)) === 1, "org").otherwise("net"))
     val m = edges(spark, sfDir, n)
-      .select(hostOf(col("src")).as("hsrc"), hostOf(col("dst")).as("hdst"))
+      .select(TextQueries.hostCol(col("src")).as("hsrc"),
+        TextQueries.hostCol(col("dst")).as("hdst"))
       .where(col("hsrc") =!= col("hdst"))
       .groupBy(col("hsrc"), col("hdst"))
       .agg(count(lit(1)).as("n_links"))

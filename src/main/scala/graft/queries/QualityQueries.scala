@@ -787,12 +787,8 @@ object QualityQueries {
   def boilerplateCensus(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = BlockW
-    val pages = docs(spark, sfDir).select(col("doc_id"), concat(
-        lit("h"), pmod(col("doc_id"), lit(97)).cast("string"),
-        lit(".example."),
-        when(pmod(col("doc_id"), lit(3)) === 0, "com")
-          .when(pmod(col("doc_id"), lit(3)) === 1, "org").otherwise("net"))
-        .as("host"),
+    val pages = docs(spark, sfDir).select(col("doc_id"),
+      graft.queries.TextQueries.hostCol(col("doc_id")).as("host"),
       col("text"))
       .withColumn("t2",
         concat(col("host"), lit(BoilerTail), lit(" "), col("text")))
@@ -878,7 +874,10 @@ object QualityQueries {
   }
 
   /** q109 session-value multiplier (odd, coprime to the prime modulus ⇒
-    * injective for doc_id < modulus: every session id is unique). */
+    * injective for doc_id < modulus: every session id is unique). The
+    * doc_id is reduced mod the modulus BEFORE multiplying (both engines),
+    * so the product peaks below 2.66·10^18 < Long.Max — overflow-free
+    * under ANSI at any corpus size (the q79 mod-before-multiply rule). */
   val ParamSessionMul = 2654435761L
   val ParamSessionMod = 1000000007L
 
@@ -916,7 +915,8 @@ object QualityQueries {
             pmod(col("doc_id"), lit(3)).cast("string"))).otherwise(""),
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit("&sessionid="),
-            pmod(col("doc_id") * ParamSessionMul, lit(ParamSessionMod))
+            pmod(pmod(col("doc_id"), lit(ParamSessionMod)) * ParamSessionMul,
+              lit(ParamSessionMod))
               .cast("string"))).otherwise("")).as("url"))
     urls
       .select(col("domain"),
@@ -960,9 +960,16 @@ object QualityQueries {
     * pair table is the staged store an incremental crawl appends to
     * (the IncrementalDedup pattern); first-seen then needs no recompute
     * over history. */
+  /** The q108 epoch-bucket derivation — ONE definition shared with the
+    * [[graft.jobs.IncrementalNovelty]] production face (and the spec's
+    * plan hook), so the gate query and the incremental store cannot
+    * drift. */
+  private[graft] def withEpochBucket(docs: DataFrame): DataFrame =
+    docs.withColumn("eb", expr(
+      s"(warc_epoch - ${graft.model.Pages.DocEpochBase}) div $NoveltyBucketS"))
+
   def crawlNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val withEb = docs(spark, sfDir).withColumn("eb",
-      expr(s"(warc_epoch - ${graft.model.Pages.DocEpochBase}) div $NoveltyBucketS"))
+    val withEb = withEpochBucket(docs(spark, sfDir))
     val pairs = noveltyPairsOf(withEb).trackedCheckpoint
     val seen = pairs.groupBy(col("eb")).agg(count(lit(1)).as("n_blocks"))
     val fresh = pairs.groupBy(col("h")).agg(min(col("eb")).as("feb"))
@@ -1897,7 +1904,7 @@ object QualityOracles {
        |        THEN '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END ||
        |      CASE WHEN doc_id % 5 = 0
        |        THEN '&sessionid=' ||
-       |          CAST((CAST(doc_id AS BIGINT) * $ParamSessionMul) % $ParamSessionMod AS VARCHAR)
+       |          CAST(((CAST(doc_id AS BIGINT) % $ParamSessionMod) * $ParamSessionMul) % $ParamSessionMod AS VARCHAR)
        |        ELSE '' END AS url
        |  FROM documents),
        |k AS (SELECT domain,

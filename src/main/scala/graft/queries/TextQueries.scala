@@ -1020,6 +1020,13 @@ object TextQueries {
     when(pmod(docId, lit(3)) === 0, "com")
       .when(pmod(docId, lit(3)) === 1, "org").otherwise("net")
 
+  /** The full q71/q94 host synthesis (`h{id%97}.example.{tld}`) — one
+    * Spark-side definition for sites deriving a host from a doc/node id
+    * (q106, q111; the DuckDB mirrors spell it inline per oracle). */
+  private[graft] def hostCol(docId: Column): Column =
+    concat(lit("h"), pmod(docId, lit(97)).cast("string"),
+      lit(".example."), tld3(docId))
+
   /** q103 vocabulary frequency spectrum — the Zipf census a corpus runs
     * before sizing a tokenizer vocabulary or a frequency-based filter
     * (q61's consumer view): for each power-of-two term-frequency bucket

@@ -66,9 +66,8 @@ class CrawlNoveltySpec extends SparkTestBase {
   }
 
   test("q108 plan: one block explode in the pair pass, none after it") {
-    val withEb = graft.model.Pages.documentsPages(spark, sf)
-      .withColumn("eb", expr(
-        s"(warc_epoch - ${graft.model.Pages.DocEpochBase}) div ${QualityQueries.NoveltyBucketS}"))
+    val withEb = QualityQueries.withEpochBucket(
+      graft.model.Pages.documentsPages(spark, sf))
     val pre = QualityQueries.noveltyPairsOf(withEb)
     val preNodes = allPlanNodes(pre.queryExecution.executedPlan)
     assert(preNodes.count(_.isInstanceOf[GenerateExec]) === 1,

@@ -20,7 +20,8 @@ class ParamCensusSpec extends SparkTestBase {
       Seq((domain, "id", (id % 13).toString)) ++
         (if (id % 4 == 0) Seq((domain, "utm_source", s"s${id % 3}")) else Nil) ++
         (if (id % 5 == 0) Seq((domain, "sessionid",
-          ((id * QualityQueries.ParamSessionMul) %
+          ((id % QualityQueries.ParamSessionMod) *
+            QualityQueries.ParamSessionMul %
             QualityQueries.ParamSessionMod).toString)) else Nil)
     }
     rows.groupBy(r => (r._1, r._2)).toSeq
