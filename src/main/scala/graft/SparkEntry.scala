@@ -129,6 +129,7 @@ object SparkEntry {
     "q110_lang_calibration" -> (graft.queries.QualityQueries.langCalibration _),
     "q111_host_graph" -> (graft.queries.GraphQueries.hostGraph _),
     "q112_token_fertility" -> (graft.queries.TextQueries.tokenFertility _),
+    "q113_host_rank" -> (graft.queries.GraphQueries.hostRank _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -246,6 +247,7 @@ object SparkEntry {
     "q110_lang_calibration" -> graft.queries.QualityOracles.langCalibration,
     "q111_host_graph" -> graft.queries.GraphOracles.hostGraph,
     "q112_token_fertility" -> graft.queries.TextOracles.tokenFertility,
+    "q113_host_rank" -> graft.queries.GraphOracles.hostRank,
   )
 }
 

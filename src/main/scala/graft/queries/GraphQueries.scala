@@ -236,15 +236,20 @@ object GraphQueries {
     * the AGGREGATED host matrix (hosts² ≪ edges — `trackedCheckpoint`-
     * materialized, both the output leg and the reversed leg consume it);
     * top-K ends in TakeOrderedAndProject, never a global sort. */
-  def hostGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = docs(spark, sfDir).count() // one scalar: the node count
-    val m = edges(spark, sfDir, n)
+  /** The q111/q113 host→host weighted matrix (pre-checkpoint plan hook;
+    * ONE definition so the quotient graph and host-rank cannot drift). */
+  private[graft] def hostMatrixOf(spark: SparkSession, sfDir: String,
+                                  n: Long): DataFrame =
+    edges(spark, sfDir, n)
       .select(TextQueries.hostCol(col("src")).as("hsrc"),
         TextQueries.hostCol(col("dst")).as("hdst"))
       .where(col("hsrc") =!= col("hdst"))
       .groupBy(col("hsrc"), col("hdst"))
       .agg(count(lit(1)).as("n_links"))
-      .trackedCheckpoint
+
+  def hostGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    val m = hostMatrixOf(spark, sfDir, n).trackedCheckpoint
     val rev = m.select(col("hdst").as("hsrc"), col("hsrc").as("hdst"),
       col("n_links").as("n_back"))
     m.join(rev, Seq("hsrc", "hdst"), "left")
@@ -254,6 +259,51 @@ object GraphQueries {
           .as("reciprocal"))
       .orderBy(col("n_links").desc, col("hsrc"), col("hdst"))
       .limit(HostGraphTopK)
+  }
+
+  val HostRankIters = 6
+
+  /** q113 host-level PageRank — q74's damped integer iteration run over
+    * the q111 host quotient matrix, WEIGHTED by link counts: the standard
+    * cheap approximation every crawl scheduler actually ranks with
+    * (host-granularity authority; ~5 orders of magnitude fewer nodes
+    * than the page graph at 10^12 pages). Contribution of host h to
+    * host d per round: `r(h)·w(h,d) div w_out(h)` (integer, mirroring
+    * q74's `r div deg` generalized to weights), damped 85/100 with the
+    * q74 constants — every value faces DuckDB exactly.
+    *
+    * Scale shape: the page-edge stream is touched ONCE (the shared
+    * [[hostMatrixOf]] rollup — the corpus's only exchange); all
+    * [[HostRankIters]] rounds then iterate over HOST-matrix-sized frames
+    * (out-strength joined once, `trackedCheckpoint`-materialized;
+    * lineage checkpointed every 3rd round with superseded release, the
+    * q74 cadence). */
+  def hostRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = docs(spark, sfDir).count() // one scalar: the node count
+    // materialize the matrix BEFORE the self-join: the out-strength leg
+    // and the matrix leg both consume it, and an unmaterialized lineage
+    // would run the corpus edge rollup twice (the q101 lesson)
+    val m = hostMatrixOf(spark, sfDir, n).trackedCheckpoint
+    val e = m.join(
+        m.groupBy(col("hsrc")).agg(sum(col("n_links")).as("w_out")),
+        Seq("hsrc"))
+      .trackedCheckpoint
+    var ranks = e.select(col("hsrc").as("host")).distinct()
+      .select(col("host"), lit(1000000L).as("r"))
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to HostRankIters) {
+      ranks = e.join(ranks, e("hsrc") === ranks("host"))
+        .groupBy(col("hdst"))
+        .agg((sum(expr("r * n_links div w_out")) * 85L).as("s"))
+        .select(col("hdst").as("host"),
+          (lit(150000L) + expr("s div 100")).as("r"))
+      if (i % 3 == 0 && i < HostRankIters) {
+        ranks = ranks.trackedCheckpoint
+        prevCp.foreach(org.apache.spark.sql.GraftCheckpoints.release)
+        prevCp = Some(ranks)
+      }
+    }
+    ranks.orderBy(col("r").desc, col("host"))
   }
 
   /** q100 degree census — the graph-shape report run before trusting any
@@ -358,6 +408,43 @@ object GraphOracles {
        |  CAST(CASE WHEN COALESCE(r.n_links, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS reciprocal
        |FROM m LEFT JOIN m r ON m.hsrc = r.hdst AND m.hdst = r.hsrc
        |ORDER BY m.n_links DESC, hsrc, hdst LIMIT ${GraphQueries.HostGraphTopK}""".stripMargin
+  }
+
+  /** q113 mirror: the q111 matrix CTEs + unrolled weighted damped rounds
+    * (HUGEINT sums cast back to BIGINT, q74's operation order). */
+  val hostRank: String = {
+    val offs = GraphQueries.Offsets
+    val rounds = (1 to GraphQueries.HostRankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT hdst AS host,
+         |    CAST(150000 + (CAST(sum(r * n_links // w_out) AS BIGINT) * 85) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} JOIN e ON host = hsrc GROUP BY hdst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |ed AS (
+       |  SELECT doc_id AS src, (doc_id + o) % nn.n AS dst
+       |  FROM documents, nn, unnest([${offs.mkString(", ")}]) AS t(o)
+       |  WHERE o = ${offs(0)}
+       |     OR (o = ${offs(1)} AND doc_id % 3 >= 1)
+       |     OR (o = ${offs(2)} AND doc_id % 3 = 2)),
+       |h AS (SELECT
+       |    'h' || CAST(src % 97 AS VARCHAR) || '.example.' ||
+       |      CASE src % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS hsrc,
+       |    'h' || CAST(dst % 97 AS VARCHAR) || '.example.' ||
+       |      CASE dst % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS hdst
+       |  FROM ed),
+       |m AS (SELECT hsrc, hdst, CAST(count(*) AS BIGINT) AS n_links
+       |      FROM h WHERE hsrc <> hdst GROUP BY hsrc, hdst),
+       |w AS (SELECT hsrc, CAST(sum(n_links) AS BIGINT) AS w_out
+       |      FROM m GROUP BY hsrc),
+       |e AS (SELECT m.hsrc AS hsrc, hdst, n_links, w_out
+       |      FROM m JOIN w ON m.hsrc = w.hsrc),
+       |r0 AS (SELECT DISTINCT hsrc AS host, CAST(1000000 AS BIGINT) AS r
+       |       FROM e),
+       |$rounds
+       |SELECT host, r FROM r${GraphQueries.HostRankIters}
+       |ORDER BY r DESC, host""".stripMargin
   }
 
   /** q88 mirror: DuckDB builds the same anchor-bearing pages and must
