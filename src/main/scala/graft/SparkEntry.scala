@@ -130,6 +130,7 @@ object SparkEntry {
     "q111_host_graph" -> (graft.queries.GraphQueries.hostGraph _),
     "q112_token_fertility" -> (graft.queries.TextQueries.tokenFertility _),
     "q113_host_rank" -> (graft.queries.GraphQueries.hostRank _),
+    "q114_host_churn" -> (graft.queries.QualityQueries.hostChurn _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -248,6 +249,7 @@ object SparkEntry {
     "q111_host_graph" -> graft.queries.GraphOracles.hostGraph,
     "q112_token_fertility" -> graft.queries.TextOracles.tokenFertility,
     "q113_host_rank" -> graft.queries.GraphOracles.hostRank,
+    "q114_host_churn" -> graft.queries.QualityOracles.hostChurn,
   )
 }
 

@@ -873,6 +873,45 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** q114 host churn across crawl epochs — the crawl-COVERAGE drift
+    * census (q108 is the content analog): per epoch bucket, how many
+    * hosts are active, how many appear for the first time, and how many
+    * are seen for the last time (retrospectively — a host's `leb` is its
+    * final appearance in the observed range). Rising first-seen = the
+    * frontier is still discovering; rising last-seen = sources going
+    * dark or being dropped — the report a crawl reads before concluding
+    * its host list is saturated. Churn share in integer bp.
+    *
+    * Scale shape (10^12 pages): NO explode anywhere — host and bucket
+    * both derive map-side ([[graft.queries.TextQueries.hostCol]] /
+    * [[withEpochBucket]], the shared definitions); the corpus faces ONE
+    * (host, eb) pair-dedup exchange. The pair table (≤ hosts·buckets)
+    * is `trackedCheckpoint`-materialized (active census + span rollup
+    * both consume it), and the host-sized span table likewise (first-
+    * and last-seen rollups); everything downstream is bucket-sized. */
+  def hostChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = withEpochBucket(docs(spark, sfDir))
+      .select(graft.queries.TextQueries.hostCol(col("doc_id")).as("host"),
+        col("eb"))
+      .groupBy(col("host"), col("eb")).agg(count(lit(1)).as("_c")).drop("_c")
+      .trackedCheckpoint
+    val span = pairs.groupBy(col("host"))
+      .agg(min(col("eb")).as("feb"), max(col("eb")).as("leb"))
+      .trackedCheckpoint
+    val active = pairs.groupBy(col("eb")).agg(count(lit(1)).as("n_hosts"))
+    val firsts = span.groupBy(col("feb")).agg(count(lit(1)).as("n_new"))
+      .select(col("feb").as("eb"), col("n_new"))
+    val lasts = span.groupBy(col("leb")).agg(count(lit(1)).as("n_last"))
+      .select(col("leb").as("eb"), col("n_last"))
+    active.join(firsts, Seq("eb"), "left")
+      .join(lasts, Seq("eb"), "left")
+      .select(col("eb"), col("n_hosts"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        expr("coalesce(n_new, 0L) * 10000 DIV n_hosts").as("churn_bp"))
+      .orderBy(col("eb"))
+  }
+
   /** q109 session-value multiplier (odd, coprime to the prime modulus ⇒
     * injective for doc_id < modulus: every session id is unique). The
     * doc_id is reduced mod the modulus BEFORE multiplying (both engines),
@@ -1887,6 +1926,29 @@ object QualityOracles {
        |  CAST(p25 AS BIGINT) AS p25, CAST(p50 AS BIGINT) AS p50,
        |  CAST(p75 AS BIGINT) AS p75
        |FROM st JOIN p ON st.lang = p.lang ORDER BY lang""".stripMargin
+  }
+
+  /** q114 mirror: same host + epoch-bucket derivations, same distinct
+    * pair / span / rollup algebra. */
+  val hostChurn: String = {
+    val mul = graft.model.Pages.DocEpochMul
+    val mod = graft.model.Pages.DocEpochMod
+    val bs = QualityQueries.NoveltyBucketS
+    s"""WITH p AS (SELECT DISTINCT
+       |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.' ||
+       |      CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+       |    ((CAST(doc_id AS BIGINT) * $mul) % $mod) // $bs AS eb
+       |  FROM documents),
+       |sp AS (SELECT host, min(eb) AS feb, max(eb) AS leb FROM p GROUP BY host),
+       |ac AS (SELECT eb, CAST(count(*) AS BIGINT) AS n_hosts FROM p GROUP BY eb),
+       |fn AS (SELECT feb AS eb, CAST(count(*) AS BIGINT) AS n_new FROM sp GROUP BY feb),
+       |ln AS (SELECT leb AS eb, CAST(count(*) AS BIGINT) AS n_last FROM sp GROUP BY leb)
+       |SELECT ac.eb AS eb, n_hosts,
+       |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+       |  CAST(COALESCE(n_new, 0) * 10000 // n_hosts AS BIGINT) AS churn_bp
+       |FROM ac LEFT JOIN fn ON ac.eb = fn.eb LEFT JOIN ln ON ac.eb = ln.eb
+       |ORDER BY eb""".stripMargin
   }
 
   /** q109 mirror: DuckDB builds the same urls and must re-parse the query
