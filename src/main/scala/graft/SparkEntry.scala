@@ -131,6 +131,7 @@ object SparkEntry {
     "q112_token_fertility" -> (graft.queries.TextQueries.tokenFertility _),
     "q113_host_rank" -> (graft.queries.GraphQueries.hostRank _),
     "q114_host_churn" -> (graft.queries.QualityQueries.hostChurn _),
+    "q115_dedup_eval" -> (graft.queries.TextQueries.dedupEval _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -250,6 +251,7 @@ object SparkEntry {
     "q112_token_fertility" -> graft.queries.TextOracles.tokenFertility,
     "q113_host_rank" -> graft.queries.GraphOracles.hostRank,
     "q114_host_churn" -> graft.queries.QualityOracles.hostChurn,
+    "q115_dedup_eval" -> graft.queries.TextOracles.dedupEval,
   )
 }
 

@@ -841,6 +841,36 @@ object TextQueries {
         TextOps.tokenCount(col("t")).as("n_ws"))
       .orderBy(col("doc_id"))
 
+  /** q115 dedup refine-agreement eval — the near-dup twin of q87's ANN
+    * recall certificate: precision/recall of the q18 MinHash-signature
+    * refine against the q46 exact-Jaccard (J ≥ 0.5) refine, integer bp.
+    * Both legs refine the SAME banded candidate set (q18 thresholds sig
+    * agreement, q46 computes exact shingle Jaccard), so this evaluates
+    * exactly the question a pipeline tunes: how well does cheap signature
+    * agreement predict the exact-Jaccard verdict? (Band recall itself is
+    * the separate caveat documented at q46/q92 and discharged by the
+    * exhaustive spec.) A release runs this before trusting the
+    * signature-only path at full scale.
+    *
+    * Scale shape: both legs are STAGED pair tables (≪ corpus — the
+    * expensive passes are shared with q18/q46 via the stage cache); the
+    * full-outer join and the one-row rollup run over pair-table-sized
+    * frames only. */
+  def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = minhashPairs(spark, sfDir)
+      .select(col("a"), col("b"), lit(1L).as("in_lsh"))
+    val ex = ngramJaccard(spark, sfDir)
+      .select(col("a"), col("b"), lit(1L).as("in_ex"))
+    lsh.join(ex, Seq("a", "b"), "full_outer")
+      .agg(sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+        sum(when(col("in_lsh").isNotNull && col("in_ex").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_lsh"), col("n_exact"), col("n_both"),
+        expr("n_both * 10000 DIV n_lsh").as("precision_bp"),
+        expr("n_both * 10000 DIV n_exact").as("recall_bp"))
+  }
+
   /** q112 tokenizer fertility by language — the tokenizer-parity metric a
     * multilingual release reports (fertility = subword tokens per
     * whitespace word; a tokenizer trained on English-heavy data splits
@@ -1597,6 +1627,22 @@ object TextOracles {
       |SELECT bucket, count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS tokens,
       |       min(cnt) AS min_cnt, max(cnt) AS max_cnt, min(term) AS min_term
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q115 mirror: both leg statements embedded verbatim as scoped derived
+    * tables (each carries its own WITH chain — the q87 idiom), full-outer
+    * joined and rolled up to the same one-row agreement report. */
+  val dedupEval: String =
+    s"""WITH l AS (SELECT a, b, 1 AS il FROM ($minhashPairs) tl),
+       |e AS (SELECT a, b, 1 AS ie FROM ($ngramJaccard) te),
+       |j AS (SELECT il, ie FROM l FULL JOIN e ON l.a = e.a AND l.b = e.b)
+       |SELECT CAST(sum(COALESCE(il, 0)) AS BIGINT) AS n_lsh,
+       |  CAST(sum(COALESCE(ie, 0)) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN il IS NOT NULL AND ie IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(sum(CASE WHEN il IS NOT NULL AND ie IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |    // sum(COALESCE(il, 0)) AS BIGINT) AS precision_bp,
+       |  CAST(sum(CASE WHEN il IS NOT NULL AND ie IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |    // sum(COALESCE(ie, 0)) AS BIGINT) AS recall_bp
+       |FROM j""".stripMargin
 
   /** q107 mirror: same tf/df passes, same integer `tf·10⁶ // df` score,
     * same (score desc, term asc) tie-break and rank-pivot. */
