@@ -132,6 +132,7 @@ object SparkEntry {
     "q113_host_rank" -> (graft.queries.GraphQueries.hostRank _),
     "q114_host_churn" -> (graft.queries.QualityQueries.hostChurn _),
     "q115_dedup_eval" -> (graft.queries.TextQueries.dedupEval _),
+    "q116_quality_drift" -> (graft.queries.QualityQueries.qualityDrift _),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -252,6 +253,7 @@ object SparkEntry {
     "q113_host_rank" -> graft.queries.GraphOracles.hostRank,
     "q114_host_churn" -> graft.queries.QualityOracles.hostChurn,
     "q115_dedup_eval" -> graft.queries.TextOracles.dedupEval,
+    "q116_quality_drift" -> graft.queries.QualityOracles.qualityDrift,
   )
 }
 

@@ -873,6 +873,32 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** q116 quality drift across crawl epochs — the monitoring report a
+    * continuously-ingesting corpus runs per cycle (q114 watches
+    * coverage, q108 content novelty; this watches QUALITY): per epoch
+    * bucket, volume, total q73 score mass, keep share under the global
+    * threshold (bp), and the score extremes. A falling keep share means
+    * the crawl is drifting into spam/boilerplate sources — caught here
+    * before the training mix inherits it. Score mass ships as a SUM
+    * (possibly negative — never divided, the q89 rule).
+    *
+    * Scale shape (10^12 docs): q73's shared map-side scoring projection
+    * + the shared epoch-bucket derivation (no explode, no join anywhere);
+    * the corpus faces ONE ≤[[NoveltyEpochs]]-group partial-agg
+    * exchange. */
+  def qualityDrift(spark: SparkSession, sfDir: String): DataFrame =
+    withEpochBucket(scoreDocs(docs(spark, sfDir), Seq("warc_epoch")))
+      .groupBy(col("eb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("score_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .select(col("eb"), col("n_docs"),
+        expr("n_keep * 10000 DIV n_docs").as("keep_bp"),
+        col("score_sum"), col("min_score"), col("max_score"))
+      .orderBy(col("eb"))
+
   /** q114 host churn across crawl epochs — the crawl-COVERAGE drift
     * census (q108 is the content analog): per epoch bucket, how many
     * hosts are active, how many appear for the first time, and how many
@@ -1926,6 +1952,33 @@ object QualityOracles {
        |  CAST(p25 AS BIGINT) AS p25, CAST(p50 AS BIGINT) AS p50,
        |  CAST(p75 AS BIGINT) AS p75
        |FROM st JOIN p ON st.lang = p.lang ORDER BY lang""".stripMargin
+  }
+
+  /** q116 mirror: the q73 score arithmetic verbatim + the q108 epoch
+    * bucket arithmetic, one rollup. */
+  val qualityDrift: String = {
+    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
+    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
+       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    val mul = graft.model.Pages.DocEpochMul
+    val mod = graft.model.Pages.DocEpochMod
+    val bs = QualityQueries.NoveltyBucketS
+    s"""WITH t AS (SELECT doc_id, text,
+       |    ((CAST(doc_id AS BIGINT) * $mul) % $mod) // $bs AS eb,
+       |    string_split(text, ' ') AS a FROM documents),
+       |f AS (SELECT eb, text,
+       |        len(a) AS n_words,
+       |        len(list_filter(a, x -> x IN ($stops))) AS n_stop,
+       |        len(list_distinct(a)) AS n_distinct,
+       |        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |      FROM t),
+       |s AS (SELECT eb, CAST($score AS BIGINT) AS score FROM f)
+       |SELECT eb, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score >= ${QualityQueries.KeepThresholdBp}
+       |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS keep_bp,
+       |  CAST(sum(score) AS BIGINT) AS score_sum,
+       |  min(score) AS min_score, max(score) AS max_score
+       |FROM s GROUP BY eb ORDER BY eb""".stripMargin
   }
 
   /** q114 mirror: same host + epoch-bucket derivations, same distinct
