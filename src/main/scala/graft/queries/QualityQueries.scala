@@ -873,6 +873,15 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** The expensive pass of [[hostChurn]] PRE-checkpoint (plan hook, per
+    * the bloomRollupOf convention): map-side host + bucket projection →
+    * (host, eb) pair-dedup, zero Generates. */
+  private[graft] def churnPairsOf(withEb: DataFrame): DataFrame =
+    withEb
+      .select(graft.queries.TextQueries.hostCol(col("doc_id")).as("host"),
+        col("eb"))
+      .groupBy(col("host"), col("eb")).agg(count(lit(1)).as("_c")).drop("_c")
+
   /** q116 quality drift across crawl epochs — the monitoring report a
     * continuously-ingesting corpus runs per cycle (q114 watches
     * coverage, q108 content novelty; this watches QUALITY): per epoch
@@ -916,10 +925,7 @@ object QualityQueries {
     * both consume it), and the host-sized span table likewise (first-
     * and last-seen rollups); everything downstream is bucket-sized. */
   def hostChurn(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = withEpochBucket(docs(spark, sfDir))
-      .select(graft.queries.TextQueries.hostCol(col("doc_id")).as("host"),
-        col("eb"))
-      .groupBy(col("host"), col("eb")).agg(count(lit(1)).as("_c")).drop("_c")
+    val pairs = churnPairsOf(withEpochBucket(docs(spark, sfDir)))
       .trackedCheckpoint
     val span = pairs.groupBy(col("host"))
       .agg(min(col("eb")).as("feb"), max(col("eb")).as("leb"))
@@ -1431,6 +1437,16 @@ object QualityQueries {
 
 object QualityOracles {
 
+  /** The q73 integer score expression and stopword list — ONE SQL
+    * definition shared by the q73/q89/q110/q116 mirrors (operands
+    * non-negative, so `//` ≡ Spark's `div`); a scorer change edits
+    * [[QualityQueries.scoreDocs]] and THIS, nowhere else. */
+  private val StopsSql: String =
+    QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
+  private val ScoreSql: String =
+    s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
+       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+
   val repetitionQuality: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1572,9 +1588,8 @@ object QualityOracles {
   }
 
   val qualityClassifier: String = {
-    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
-    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
-       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    val stops = StopsSql
+    val score = ScoreSql
     s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
        |f AS (SELECT doc_id, text,
        |        len(a) AS n_words,
@@ -1617,9 +1632,8 @@ object QualityOracles {
   /** q89 mirror: same feature chain with the report dimensions carried,
     * rolled up per (lang, source). All `//` operands non-negative. */
   val corpusCard: String = {
-    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
-    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
-       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    val stops = StopsSql
+    val score = ScoreSql
     s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
        |             string_split(text, ' ') AS a FROM documents),
        |f AS (SELECT doc_id, text, lang, source, n_chars,
@@ -1921,9 +1935,8 @@ object QualityOracles {
     * quantile_disc — the cumulative definition is the contract both
     * engines implement, so parity is by construction). */
   val langCalibration: String = {
-    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
-    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
-       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    val stops = StopsSql
+    val score = ScoreSql
     s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS a
        |           FROM documents),
        |f AS (SELECT doc_id, text, lang,
@@ -1957,9 +1970,8 @@ object QualityOracles {
   /** q116 mirror: the q73 score arithmetic verbatim + the q108 epoch
     * bucket arithmetic, one rollup. */
   val qualityDrift: String = {
-    val stops = QualityQueries.StopWords.map(s => s"'$s'").mkString(",")
-    val score = s"""(n_stop*10000)//n_words*2 + (n_distinct*10000)//n_words*3
-       |            - (n_digit*10000)//greatest(length(text),1)*5""".stripMargin
+    val stops = StopsSql
+    val score = ScoreSql
     val mul = graft.model.Pages.DocEpochMul
     val mod = graft.model.Pages.DocEpochMod
     val bs = QualityQueries.NoveltyBucketS

@@ -725,19 +725,46 @@ object TextQueries {
     * join is an equi-join on (hash), both shuffle-partitioned. */
   /** (a, b, common, na, nb) shingle overlap over the LSH shortlist — the
     * shared engine of q46 (Jaccard) and q92 (containment). */
-  private def shingleOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The banded-LSH candidate pair frame over the staged signatures,
+    * `trackedCheckpoint`'d — the band explode + self-join is the heavy
+    * shared step: q46's exact engine starts from it, and q115 builds it
+    * ONCE and feeds both of its refines (review: the eval used to run
+    * this twice, once inside each leg). */
+  private def bandedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
-    // banded-LSH candidate pairs (no n_match threshold — Jaccard decides);
-    // one signature pass, not one per self-join branch
     val bands = sigsDf(spark, sfDir)
       .select(col("doc_id"),
         posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
       .trackedCheckpoint
-    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+    bands.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
       .trackedCheckpoint // read by the staging build AND the count joins
+  }
+
+  /** q18's signature-agreement refine over a PREBUILT candidate frame
+    * (same logic as [[pairsFromSigs]]'s tail — q115 shares the candidate
+    * build between this and the exact-Jaccard refine). */
+  private def sigRefine(spark: SparkSession, sfDir: String,
+                        cand: DataFrame): DataFrame = {
+    val sigs = sigsDf(spark, sfDir)
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
+      .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
+      .where(col("n_match") >= TextOps.MatchThreshold)
+      .select(col("a"), col("b"), col("n_match"))
+  }
+
+  private def shingleOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    shingleOverlapFrom(spark, sfDir, bandedCandidates(spark, sfDir))
+
+  /** q46's exact-Jaccard machinery over a prebuilt (checkpointed)
+    * candidate frame — candidates have NO n_match threshold applied
+    * (Jaccard decides). */
+  private def shingleOverlapFrom(spark: SparkSession, sfDir: String,
+                                 cand: DataFrame): DataFrame = {
     // shingle sets are computed ONLY for LSH-shortlisted docs: the
     // broadcast semi-join lands BEFORE the shingle explode, so the md5
     // pass runs over the few hundred candidates, not the whole corpus
@@ -852,14 +879,19 @@ object TextQueries {
     * exhaustive spec.) A release runs this before trusting the
     * signature-only path at full scale.
     *
-    * Scale shape: both legs are STAGED pair tables (≪ corpus — the
-    * expensive passes are shared with q18/q46 via the stage cache); the
-    * full-outer join and the one-row rollup run over pair-table-sized
+    * Scale shape: the banded candidate frame is built ONCE
+    * ([[bandedCandidates]], checkpointed) and feeds BOTH refines; the
+    * signature and shingle inputs are staged tables shared with q17/q46;
+    * the full-outer join and the one-row rollup run over pair-table-sized
     * frames only. */
   def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val lsh = minhashPairs(spark, sfDir)
+    // ONE candidate build feeds both refines (the shared heavy step —
+    // running each leg's public query would execute it twice)
+    val cand = bandedCandidates(spark, sfDir)
+    val lsh = sigRefine(spark, sfDir, cand)
       .select(col("a"), col("b"), lit(1L).as("in_lsh"))
-    val ex = ngramJaccard(spark, sfDir)
+    val ex = shingleOverlapFrom(spark, sfDir, cand)
+      .where(col("common") * 3 >= col("na") + col("nb"))
       .select(col("a"), col("b"), lit(1L).as("in_ex"))
     lsh.join(ex, Seq("a", "b"), "full_outer")
       .agg(sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),

@@ -60,10 +60,18 @@ class HostChurnSpec extends SparkTestBase {
     // the earliest bucket is all-new
     assert(got.head._5 === 10000L)
 
-    val nodes = allPlanNodes(
-      QualityQueries.hostChurn(spark, sf).queryExecution.executedPlan)
+    // assert on the PRE-checkpoint pair pass (eager checkpoints hide
+    // plans — the CLAUDE.md rule; the hook is the plan the corpus runs)
+    val pre = QualityQueries.churnPairsOf(QualityQueries.withEpochBucket(
+      graft.model.Pages.documentsPages(spark, sf)))
+    val nodes = allPlanNodes(pre.queryExecution.executedPlan)
     assert(nodes.count(_.isInstanceOf[GenerateExec]) === 0,
       "host and bucket derive map-side — nothing explodes")
+    assert(nodes.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("documents.parquet"))
+      case _ => false
+    } === 1, "one corpus scan")
     GraftCheckpoints.releaseAll()
   }
 }
