@@ -52,7 +52,13 @@ object GraphQueries {
       .select(col("doc_id").as("node"), lit(1000000L).as("r"))
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to Iters) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
+      // broadcast the RANK side (guide §3.1: pick the build side
+      // deliberately): unhinted, the planner built the EDGE side — the
+      // big, static table re-broadcast afresh every round (10 redundant
+      // driver collects of the corpus-sized side). The rank frame is the
+      // node-sized side that changes each round anyway; the checkpointed
+      // edge stream now never leaves its executors.
+      ranks = e.join(broadcast(ranks), e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((sum(expr("r div deg")) * 85L).as("s"))
         .select(col("dst").as("node"),
@@ -198,13 +204,16 @@ object GraphQueries {
     var auth: DataFrame = null
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to HitsIters) {
-      auth = e.join(hub, e("src") === hub("node"))
+      // broadcast the SCORE side (the q74 build-side argument): unhinted,
+      // the planner re-broadcast the static corpus-sized edge table twice
+      // per round; the node-sized score frames are the sides that change.
+      auth = e.join(broadcast(hub), e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
       // final round: auth feeds BOTH the closing join and hub's lineage —
       // materialize once so the last authority pass doesn't run twice.
       if (i == HitsIters) auth = auth.trackedCheckpoint
-      hub = e.join(auth, e("dst") === auth("node"))
+      hub = e.join(broadcast(auth), e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
       if (i % 2 == 0 && i < HitsIters) {

@@ -199,7 +199,13 @@ object TextQueries {
   val Bm25TopK = 20
 
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    // the docs parquet is one row group (one scan task) — spread the docs
+    // BEFORE the expensive per-term array-filter projection (the sigsDf
+    // justification; guide §2.5 unsplittable-input fix). Measured 2.09 s →
+    // 0.70 s at sf0.1/local[32]: the tf pass was the sweep's largest
+    // SERIAL map stage.
     val toks = docs(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
     // persisted: tf feeds BOTH the stats aggregate and the scoring side of
     // the crossJoin — without it Spark plans two independent corpus

@@ -117,6 +117,57 @@ class SinglePassPlanSpec extends SparkTestBase {
     GraftCheckpoints.releaseAll()
   }
 
+  test("q47 repetition quality: words AND bigrams ride one explode") {
+    // pre-rollup: the concatenated (doc_id, kind, g1, g2) struct stream —
+    // one corpus scan, ONE Generate for both repetition units, one
+    // exchange (the pair-dedup groupBy)
+    val g = QualityQueries.repetitionCountsOf(
+      graft.model.Pages.documentsPages(spark, sf))
+    assert(docScans(g) === 1, "gram pass must scan documents once")
+    assert(generates(g) === 1, "both repetition units must share one explode")
+    val gEx = allPlanNodes(g.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(gEx === 1, s"expected exactly the pair-dedup exchange, got $gEx")
+
+    // full query: the per-doc rollup consumes the SAME single stream —
+    // one scan, one Generate, no Expand (conditional aggs, zero distinct
+    // aggregates), ≤3 exchanges (pair dedup, doc rollup, output sort)
+    val df = QualityQueries.repetitionQuality(spark, sf)
+    assert(docScans(df) === 1, "the corpus must be scanned once")
+    assert(generates(df) === 1, "the gram stream must explode once")
+    val expands = allPlanNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+    assert(expands === 0, "the rollup must not plan via Expand")
+    val exchanges = allPlanNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges")
+    assert(df.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+
+  test("q106 boilerplate census: block df pass explodes once; consumers ride the checkpoint") {
+    // the expensive pre-checkpoint pass: one corpus scan, one block
+    // explode, exactly the two documented keyed exchanges (pair-dedup,
+    // then the (host, blk) doc-frequency rollup)
+    val g = QualityQueries.boilerDfreqOf(
+      graft.model.Pages.documentsPages(spark, sf))
+    assert(docScans(g) === 1, "block pass must scan documents once")
+    assert(generates(g) === 1, "block stream must explode once")
+    val gEx = allPlanNodes(g.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(gEx === 2, s"expected pair-dedup + df exchanges, got $gEx")
+
+    // full query: stats, broll and btop all read the materialized df
+    // table and every npages reference reads the materialized host
+    // counts, so a regression that re-runs the block explode (or the
+    // corpus scan) per consumer cannot pass silently (ADVICE r5 #1)
+    val df = QualityQueries.boilerplateCensus(spark, sf)
+    assert(docScans(df) === 0, "all consumers must read the materialized df/npages tables")
+    assert(generates(df) === 0, "the block explode must be materialized, not replayed")
+    assert(df.count() > 0)
+    GraftCheckpoints.releaseAll()
+  }
+
   test("q81 collocations: unigrams AND bigrams ride one explode") {
     // pre-checkpoint: the concatenated (kind, g1, g2) struct stream —
     // one corpus scan, ONE Generate for both gram kinds, one exchange
