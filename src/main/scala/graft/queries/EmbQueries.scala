@@ -54,7 +54,13 @@ object EmbQueries {
     (0 until Dim).map(i => (((j * Dim + i) * Pages.M1) % Pages.P % 2001L - 1000L).toDouble)
 
   /** exact left-fold dot product: zip_with + aggregate mirrors the
-    * sequential i-order accumulation of the SQL oracle bit-for-bit. */
+    * sequential i-order accumulation of the SQL oracle bit-for-bit.
+    * (Optimization round note: a static 64-term element_at chain with the
+    * same addition order was tried and measured STRICTLY WORSE — 0.49 s →
+    * 0.95 s on q42, 1.4 s → 18.5 s on q22's 4096-term bucket projection —
+    * the giant Add trees defeat whole-stage codegen and fall back to
+    * per-node interpreted evaluation, while this HOF fold is one tight
+    * loop over the array. Keep the fold.) */
   private[graft] def dotCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

