@@ -53,20 +53,25 @@ object EmbQueries {
   def planeWeights(j: Int): Seq[Double] =
     (0 until Dim).map(i => (((j * Dim + i) * Pages.M1) % Pages.P % 2001L - 1000L).toDouble)
 
-  /** exact left-fold dot product: zip_with + aggregate mirrors the
-    * sequential i-order accumulation of the SQL oracle bit-for-bit.
-    * (Optimization round note: a static 64-term element_at chain with the
-    * same addition order was tried and measured STRICTLY WORSE — 0.49 s →
-    * 0.95 s on q42, 1.4 s → 18.5 s on q22's 4096-term bucket projection —
-    * the giant Add trees defeat whole-stage codegen and fall back to
-    * per-node interpreted evaluation, while this HOF fold is one tight
-    * loop over the array. Keep the fold.) */
+  /** exact dot product — the [[graft.sql.VecDot]] primitive kernel: a
+    * sequential left-to-right double accumulation, bit-identical to the
+    * SQL oracle's `list_sum(list_transform(…))` AND to the
+    * zip_with+aggregate fold it replaces, but a compiled while-loop
+    * entered from generated code instead of an interpreted lambda per
+    * element. (A static 64-term element_at chain with the same addition
+    * order was also tried and measured STRICTLY WORSE — 0.49 s → 0.95 s
+    * on q42, 1.4 s → 18.5 s on q22 — giant Add trees defeat whole-stage
+    * codegen; the custom-Expression kernel is the CLAUDE.md hot-path
+    * vehicle.) */
   private[graft] def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def dotLit(a: Column, w: Seq[Double]): Column =
-    dotCols(a, array(w.map(lit): _*))
+  /** dot products against `count` consecutive [[planeWeights]] planes
+    * starting at `base` — ONE [[graft.sql.PlaneDots]] primitive pass
+    * computes all of them (the weight matrix materializes once per plan,
+    * never per row). */
+  private[graft] def planeDots(a: Column, base: Int, count: Int): Column =
+    call_function("plane_dots", a, lit(base), lit(count))
 
   /** Brute-force cosine top-k: probes (vec_id < NumProbes) broadcast against
     * all vectors; rank by exact cosine desc, vec_id asc. */
@@ -85,22 +90,22 @@ object EmbQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Random-hyperplane LSH bucket histogram (the ANN scale path). */
+  /** Random-hyperplane LSH bucket histogram (the ANN scale path). The
+    * plane dots project to a column FIRST so the 8-plane kernel runs once
+    * per row; the bit-pack then reads the materialized array. */
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val bucket = (0 until LshBits).map { j =>
-      when(dotLit(col("embedding"), planeWeights(j)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket"))
+    emb.select(col("vec_id"), planeDots(col("embedding"), 0, LshBits).as("d"))
+      .select(col("vec_id"), signBits(col("d"), LshBits).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("bucket"))
   }
 
-  /** table-t bucket: 16 sign bits over planes t·16+i. */
-  def tableBucket(emb: Column, t: Int): Column =
-    (0 until TableBits).map { i =>
-      when(dotLit(emb, planeWeights(t * TableBits + i)) > 0, lit(1L << i)).otherwise(lit(0L))
+  /** bucket id from a plane-dot array: bit i set iff dot_i > 0. */
+  private def signBits(dots: Column, n: Int): Column =
+    (0 until n).map { i =>
+      when(element_at(dots, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** q22 input: embeddings ∪ planted near-duplicates. Every vec_id % 97
@@ -136,8 +141,15 @@ object EmbQueries {
     bucketedOf(spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
   def bucketedOf(embIn: DataFrame): DataFrame = {
-    val triples = embIn.select(col("vec_id"),
-      posexplode(array((0 until Tables).map(t => tableBucket(col("embedding"), t)): _*))
+    // two-step projection: the per-table 16-plane kernel lands in its own
+    // column (one [[graft.sql.PlaneDots]] pass per table per row), then
+    // the bit-pack reads the materialized arrays — the bucket expression
+    // never re-enters the 64-dot kernel per bit
+    val withDots = embIn.select(col("vec_id") +:
+      (0 until Tables).map(t =>
+        planeDots(col("embedding"), t * TableBits, TableBits).as(s"d$t")): _*)
+    val triples = withDots.select(col("vec_id"),
+      posexplode(array((0 until Tables).map(t => signBits(col(s"d$t"), TableBits)): _*))
         .as(Seq("t", "bucket")))
       .trackedCheckpoint // N·tables ints — one hyperplane pass, two readers
     val sizes = triples.groupBy(col("t"), col("bucket"))
@@ -303,8 +315,8 @@ object EmbQueries {
 
     // --- seed assignment (max dot with the fixed directions) ...
     val seedDots = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until IvfCells).map(j =>
-        dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("j", "dot")))
+      posexplode(planeDots(col("embedding"), IvfSeedOffset, IvfCells))
+        .as(Seq("j", "dot")))
     val w0 = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("j"))
     val assign0 = seedDots.withColumn("crank", row_number().over(w0))
       .where(col("crank") === 1)
@@ -388,8 +400,8 @@ object EmbQueries {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("norm", sqrt(dotCols(col("embedding"), col("embedding"))))
     val seedDots = emb.select(col("vec_id"), col("embedding"), col("norm"),
-      posexplode(array((0 until IvfCells).map(j =>
-        dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("cell", "dot")))
+      posexplode(planeDots(col("embedding"), IvfSeedOffset, IvfCells))
+        .as(Seq("cell", "dot")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
     seedDots.withColumn("crank", row_number().over(w))
       .where(col("crank") === 1)
@@ -403,8 +415,8 @@ object EmbQueries {
     val dots = emb.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("norm").as("qnorm"),
-        posexplode(array((0 until IvfCells).map(j =>
-          dotLit(col("embedding"), planeWeights(IvfSeedOffset + j))): _*)).as(Seq("cell", "dot")))
+        posexplode(planeDots(col("embedding"), IvfSeedOffset, IvfCells))
+          .as(Seq("cell", "dot")))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cell"))
     dots.withColumn("crank", row_number().over(w))
       .where(col("crank") <= IvfNProbe)
@@ -495,7 +507,7 @@ object EmbQueries {
     * double array, so tie-breaks agree bit-for-bit). */
   def semCell(emb: Column): Column =
     SemOffsets.map { off =>
-      val dots = array((0 until SemSubCells).map(j => dotLit(emb, planeWeights(off + j))): _*)
+      val dots = planeDots(emb, off, SemSubCells)
       array_position(dots, array_max(dots)) - 1L
     }.reduce((hi, lo) => hi * SemSubCells + lo)
 

@@ -98,6 +98,9 @@ object GraftFunctions {
     "tiles_for" -> (a => TilesFor(a(0), a(1))),
     "cell_ring" -> (a => CellRing(a(0), a(1))),
     "grid_cells" -> (a => GridCells(a(0), a(1), a(2))),
+    // vector kernels (primitive-loop dot products — see VecExpressions)
+    "vec_dot" -> (a => VecDot(a(0), a(1))),
+    "plane_dots" -> (a => PlaneDots(a(0), a(1), a(2))),
     // text
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),
