@@ -86,13 +86,18 @@ object QualityQueries {
     * grams shared with any other occurrence. Two shuffles: the global
     * count on the gram hash, the per-doc re-aggregation on doc_id. */
   def corpusNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    // position-explode, then build each gram from the carried array: the
+    // previous `transform(sequence, …)` lambda materialized the full gram
+    // ARRAY per doc through interpreted HOF evaluation (CodegenFallback);
+    // explode(sequence) + element_at/concat stays codegen'd end to end
+    // (the q59 shape; same rows, same hashes)
     val grams = docs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(a) - 2, 0)),
-          |  g -> concat(element_at(a, g), ' ', element_at(a, g + 1), ' ',
-          |              element_at(a, g + 2)))""".stripMargin)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("h"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(a) - 2, 0))")).as("g"), col("a"))
+      .select(col("doc_id"), md5(expr(
+        "concat(element_at(a, g), ' ', element_at(a, g + 1), ' ', element_at(a, g + 2))"))
+        .as("h"))
     // materialize the DISTINCT-gram rollup (bounded by vocabulary^3, far
     // below the N×L occurrence stream at corpus scale), recompute the
     // cheap explode for the probe side — occurrences are never persisted
@@ -714,18 +719,46 @@ object QualityQueries {
     val global = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).trackedCheckpoint
     val dup = grams.join(global, Seq("h"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val spans = dup
-      .withColumn("brk",
-        when(col("p") - lag(col("p"), 1).over(byPos) <= k - 1, 0L).otherwise(1L))
-      .withColumn("island", sum(col("brk")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
+    // interval union (gaps-and-islands) as ONE doc_id exchange: collect
+    // the doc's duplicated window starts (doc-bounded state, the q82
+    // collect_list precedent), sort, and fold islands in a single pass —
+    // a span closes when the next start is > k−1 away; span_len =
+    // prev + k − start. The previous shape ran a lag window + a running-
+    // sum window + TWO groupBys over the same dup stream (two sorts and
+    // an extra exchange for the same doc-local computation).
+    val spans = dup.groupBy(col("doc_id"))
       .agg(max(col("n_words")).as("n_words"),
-        (max(col("p")) + lit(k - 1) - min(col("p")) + lit(1)).as("span_len"))
-    spans.groupBy(col("doc_id"))
-      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_spans"),
-        sum(col("span_len")).as("dup_words"), max(col("span_len")).as("max_span"))
+        sort_array(collect_list(col("p").cast("long"))).as("ps"))
+    val zero = struct(lit(0L).as("prev"), lit(0L).as("start"),
+      lit(0L).as("n"), lit(0L).as("dup"), lit(0L).as("mx"))
+    val folded = aggregate(col("ps"), zero,
+      (acc, p) => {
+        val closedLen = acc.getField("prev") - acc.getField("start") + k
+        when(acc.getField("start") === 0L,
+            struct(p.as("prev"), p.as("start"), lit(1L).as("n"),
+              lit(0L).as("dup"), lit(0L).as("mx")))
+          .when(p - acc.getField("prev") <= k - 1,
+            struct(p.as("prev"), acc.getField("start").as("start"),
+              acc.getField("n").as("n"), acc.getField("dup").as("dup"),
+              acc.getField("mx").as("mx")))
+          .otherwise(
+            struct(p.as("prev"), p.as("start"),
+              (acc.getField("n") + 1L).as("n"),
+              (acc.getField("dup") + closedLen).as("dup"),
+              greatest(acc.getField("mx"), closedLen).as("mx")))
+      },
+      acc => {
+        // close the final island (dup is non-empty per doc by construction)
+        val lastLen = acc.getField("prev") - acc.getField("start") + k
+        struct(acc.getField("n").as("n_spans"),
+          (acc.getField("dup") + lastLen).as("dup_words"),
+          greatest(acc.getField("mx"), lastLen).as("max_span"))
+      })
+    spans.select(col("doc_id"), col("n_words"), folded.as("f"))
+      .select(col("doc_id"), col("n_words"),
+        col("f.n_spans").as("n_spans"), col("f.dup_words").as("dup_words"),
+        // int, matching the previous max-of-int-span-lengths schema
+        col("f.max_span").cast("int").as("max_span"))
       .orderBy(col("doc_id"))
   }
 
@@ -1160,11 +1193,15 @@ object QualityQueries {
     * decontamination stage share it; a tokenization change cannot diverge
     * them). Explodes once; distinctness is the consumer's job. */
   def kgramHashes(d: DataFrame, k: Int): DataFrame =
+    // position-explode + codegen'd slice/array_join (the q59 shape): the
+    // previous `transform(sequence, …)` lambda built the full gram ARRAY
+    // per doc through interpreted HOF evaluation. Same rows, same hashes.
     d.select(col("doc_id"), split(col("text"), " ").as("a"))
       .where(size(col("a")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(a) - ${k - 1}), g -> array_join(slice(a, g, $k), ' '))")).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(a) - ${k - 1})")).as("g"), col("a"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice(a, g, $k), ' ')")).as("h"))
 
   /** Distinct (eval_doc, h) eval gram set — a fixed-size benchmark
     * artifact (~10^6-10^7 grams — megabytes at any corpus scale), so the
@@ -1383,12 +1420,16 @@ object QualityQueries {
   def lmFluency(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir)
     val isTarget = col("source").isin(DsirTargetSources: _*)
-    def bigrams(d: DataFrame): DataFrame = d
-      .where(size(col("a")) >= 2)
-      .withColumn("b", explode(graft.ops.TextOps.adjacentPairs(col("a"))(
-        (x, y) => struct(x.as("w1"), y.as("w2")))))
-      .select((d.columns.filter(c => c != "a" && c != "b").map(col) :+
-        col("b.w1") :+ col("b.w2")): _*)
+    // position-explode + element_at (codegen'd) instead of exploding an
+    // interpreted zip_with struct array (the kgramHashes rewrite)
+    def bigrams(d: DataFrame): DataFrame = {
+      val keep = d.columns.filter(_ != "a").map(col)
+      d.where(size(col("a")) >= 2)
+        .select(keep :+ col("a") :+
+          explode(expr("sequence(1, size(a) - 1)")).as("p"): _*)
+        .select(keep :+ element_at(col("a"), col("p")).as("w1") :+
+          element_at(col("a"), col("p") + 1).as("w2"): _*)
+    }
 
     val tgt = base.where(isTarget).select(split(col("text"), " ").as("a"))
     val cb = bigrams(tgt).groupBy(col("w1"), col("w2"))

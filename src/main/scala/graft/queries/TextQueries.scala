@@ -365,15 +365,23 @@ object TextQueries {
     * bigram arm uses the zip_with-of-slices shape (q47's) so a 1-token
     * doc contributes an empty bigram array, never a reversed sequence. */
   private[graft] def colloGramCountsOf(d: DataFrame): DataFrame = {
-    val a = col("a")
-    val uniArr = transform(a, t =>
-      struct(lit(1).as("kind"), t.as("g1"), lit("").as("g2")))
-    val bigArr = graft.ops.TextOps.adjacentPairs(a)(
-      (x, y) => struct(lit(2).as("kind"), x.as("g1"), y.as("g2")))
+    // ONE position-explode covers both gram kinds: p ≤ n is unigram p,
+    // p > n is bigram p−n — element_at/when are codegen'd, where the
+    // previous transform+zip_with struct arrays were built per doc
+    // through interpreted HOF evaluation (CodegenFallback). Rows and
+    // grouping keys are unchanged (a 1-token doc contributes exactly its
+    // unigram: sequence(1, 2·1−1) = [1]).
+    val n = size(col("a"))
+    val q = col("p") - n
     d.select(split(col("text"), " ").as("a"))
-      .select(explode(concat(uniArr, bigArr)).as("s"))
-      .groupBy(col("s.kind").as("kind"), col("s.g1").as("g1"),
-        col("s.g2").as("g2"))
+      .select(explode(expr("sequence(1, 2 * size(a) - 1)")).as("p"), col("a"))
+      .select(
+        when(col("p") <= n, lit(1)).otherwise(lit(2)).as("kind"),
+        when(col("p") <= n, element_at(col("a"), col("p")))
+          .otherwise(element_at(col("a"), q)).as("g1"),
+        when(col("p") <= n, lit(""))
+          .otherwise(element_at(col("a"), q + 1)).as("g2"))
+      .groupBy(col("kind"), col("g1"), col("g2"))
       .agg(count(lit(1)).as("c"))
   }
 
@@ -398,10 +406,14 @@ object TextQueries {
     * oracle runs (sketch error can only admit extra candidates, which the
     * refine removes). */
   def cmHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    // position-explode + element_at (codegen'd) — the kgramHashes rewrite;
+    // `size ≥ 2` reproduces the empty-pair-array drop of adjacentPairs
     val grams = docs(spark, sfDir)
       .select(split(col("text"), " ").as("a"))
-      .select(explode(graft.ops.TextOps.adjacentPairs(col("a"))(
-        (x, y) => concat_ws(" ", x, y))).as("g"))
+      .where(size(col("a")) >= 2)
+      .select(explode(expr("sequence(1, size(a) - 1)")).as("p"), col("a"))
+      .select(concat_ws(" ", element_at(col("a"), col("p")),
+        element_at(col("a"), col("p") + 1)).as("g"))
     // bounded driver collect: ONE 32 KB model artifact, never data rows
     val sk = grams.agg(call_function("cm_sketch_agg", col("g")))
       .collect()(0).getAs[Array[Byte]](0)

@@ -77,6 +77,11 @@ class RegistrySweepSpec extends SparkTestBase {
       "tiles_for" -> s"tiles_for($g, array(4, 5))",
       "cell_ring" -> "cell_ring(st_tile(1.0d, 2.0d, 6), 1)",
       "grid_cells" -> s"grid_cells($g, 2, 2)",
+      "vec_dot" ->
+        ("vec_dot(transform(sequence(1, 64), i -> cast(i as double)), " +
+          "transform(sequence(1, 64), i -> cast(i as double)))"),
+      "plane_dots" ->
+        "plane_dots(transform(sequence(1, 64), i -> cast(i as double)), 0, 4)",
       "simhash64" -> "simhash64('hello world of tiles')",
       "minhash128" -> "minhash128('hello world of tiles and shingles')",
       "winnow_fp" -> "winnow_fp('hello world of tiles and shingles')",
