@@ -130,9 +130,11 @@ object TextOps {
   /** band keys: array of 32 "s_{4k},..,s_{4k+3}" strings over the packed
     * signature array (slice is 1-based). */
   def bandKeys(sigs: Column): Column =
+    // codegen'd element_at/concat_ws instead of a per-band interpreted
+    // transform lambda (CodegenFallback) — same comma-joined key strings
     array((0 until Bands).map { k =>
-      array_join(transform(slice(sigs, k * BandRows + 1, BandRows),
-        s => s.cast("string")), ",")
+      concat_ws(",", (0 until BandRows).map(r =>
+        element_at(sigs, k * BandRows + r + 1).cast("string")): _*)
     }: _*)
 
   /** matching-signature count between two packed signature arrays —

@@ -1205,7 +1205,10 @@ object QualityQueries {
 
   /** Distinct (eval_doc, h) eval gram set — a fixed-size benchmark
     * artifact (~10^6-10^7 grams — megabytes at any corpus scale), so the
-    * distinct exchange here is over the tiny eval slice only. */
+    * distinct exchange here is over the tiny eval slice only. The eager
+    * checkpoint stays even for q60's single consumer: dropping it was
+    * measured a wash (1.10 s either way) and puts a second documents
+    * scan in the plan. */
   private def evalGramSet(spark: SparkSession, sfDir: String): DataFrame =
     decontGramStream(spark, sfDir)
       .where(col("doc_id") % EvalMod === 0)
