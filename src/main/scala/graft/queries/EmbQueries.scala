@@ -580,49 +580,33 @@ object EmbQueries {
     * from the LSH planes (j < 64) and the IVF centroids (7000). */
   val JlSeedOffset = 23000L
 
-  /** symmetric int codes from a per-dim max-|value| scale array. */
-  private def jlCodes(emb: Column, s: Column): Column =
-    transform(sequence(lit(1), lit(Dim)), i =>
-      floor(element_at(emb, i).cast("double") * JlLevels / element_at(s, i)
-        + lit(0.5)).cast("long"))
-
-  /** 16 integer projections; weight(i, j) is the planeWeights integer
-    * chain on plane index JlSeedOffset + j — every product and sum stays
-    * in BIGINT (|y_j| ≤ 64·63·1000 ≈ 4.0e6, norm2 ≤ 2.6e14 < 2^53, so
-    * the final double cast is exact). */
-  private def jlProj(codes: Column): Column =
-    transform(sequence(lit(0), lit(JlDim - 1)), j =>
-      aggregate(sequence(lit(1), lit(Dim)), lit(0L), (acc, i) =>
-        acc + (((lit(JlSeedOffset) + j.cast("long")) * Dim.toLong
-          + i.cast("long") - 1L) * Pages.M1 % Pages.P % 2001L - 1000L)
-          * element_at(codes, i)))
-
   /** projected frame (vec_id, proj, norm2) for any embeddings input —
     * the spec hook ([[jlTopK]] runs it on planted fixtures).
     *
-    * The two `trackedCheckpoint`s are load-bearing (the q22 lesson, at
-    * expression granularity): HOF lambdas are interpreted and Catalyst
-    * inlines a projected expression into every consumer, so an
-    * UN-materialized `codes` would be re-evaluated (full 64-element
-    * transform) inside each of the 16×64 `element_at` reads of
-    * [[jlProj]], and an un-materialized `proj` re-evaluated inside
-    * `norm2`, the probe leg, AND the corpus side of the self-join —
-    * a multiplicative blowup measured at 46 s for 5k vectors. With the
-    * codes row then the (vec_id, proj, norm2) row stored, every
-    * downstream read is an O(1) array access and the self-join reuses
-    * one materialization for both legs. */
+    * Quantization + all 16 integer plane dots run as ONE
+    * [[graft.sql.JlProject]] primitive pass (optimization round: the
+    * previous shape was a 64-element `transform` into a checkpointed
+    * `codes` row, then a 16×64 interpreted `aggregate` fold — two eager
+    * jobs and every element interpreted; the kernel is bit-identical
+    * because every product and sum stays in BIGINT — |y_j| ≤ 64·63·1000
+    * ≈ 4.0e6, norm2 ≤ 2.6e14 < 2^53 — so accumulation order cannot
+    * matter). The one remaining `trackedCheckpoint` is load-bearing (the
+    * q22 lesson): an un-materialized `proj` would be re-evaluated inside
+    * `norm2`, the probe leg, AND the corpus side of the self-join; with
+    * the (vec_id, proj, norm2) row stored, every downstream read is an
+    * O(1) array access and the self-join reuses one materialization for
+    * both legs. */
   private[graft] def jlProjected(emb: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.ensure(emb.sparkSession)
     val stats = emb.agg(array((1 to Dim).map(i =>
       greatest(
         abs(min(element_at(col("embedding"), lit(i)).cast("double"))),
         abs(max(element_at(col("embedding"), lit(i)).cast("double"))),
         lit(1e-12))): _*).as("s"))
-    val coded = emb.crossJoin(broadcast(stats))
-      .select(col("vec_id"), jlCodes(col("embedding"), col("s")).as("codes"))
-      .trackedCheckpoint
-    coded
-      .select(col("vec_id"), jlProj(col("codes")).as("proj"))
-      .withColumn("norm2", aggregate(col("proj"), lit(0L), (acc, y) => acc + y * y))
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        call_function("jl_project", col("embedding"), col("s")).as("proj"))
+      .withColumn("norm2", call_function("vec_dot", col("proj"), col("proj")))
       .where(col("norm2") > 0)
       .trackedCheckpoint
   }
@@ -638,8 +622,9 @@ object EmbQueries {
     val coded = jlProjected(emb)
     val probes = coded.where(probe)
       .select(col("vec_id").as("qid"), col("proj").as("qproj"))
-    val dot = aggregate(zip_with(col("proj"), col("qproj"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    // BIGINT dot of two 16-long integer arrays — exact under any order,
+    // so the primitive kernel replaces the zip_with+aggregate fold
+    val dot = call_function("vec_dot", col("proj"), col("qproj"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
     coded.join(broadcast(probes), col("vec_id") =!= col("qid"))

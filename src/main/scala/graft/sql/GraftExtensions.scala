@@ -101,6 +101,7 @@ object GraftFunctions {
     // vector kernels (primitive-loop dot products — see VecExpressions)
     "vec_dot" -> (a => VecDot(a(0), a(1))),
     "plane_dots" -> (a => PlaneDots(a(0), a(1), a(2))),
+    "jl_project" -> (a => JlProject(a(0), a(1))),
     // text
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),

@@ -34,9 +34,14 @@ object VecKernels {
 /** vec_dot(a, b): exact sequential-order dot product of two numeric
   * arrays. Mirrors the zip_with+aggregate semantics it replaces: unequal
   * lengths or any null element yield NULL (zip_with pads with null and a
-  * null poisons the fold). */
+  * null poisons the fold). Two array<bigint> inputs dot in pure Long
+  * arithmetic and return BIGINT (the q99 integer-projection dot — exact
+  * under any accumulation order, so the kernel IS the fold it replaces). */
 case class VecDot(left: Expression, right: Expression) extends GraftBinary {
-  override def dataType: DataType = DoubleType
+  @transient private lazy val bothLong =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+      right.dataType.asInstanceOf[ArrayType].elementType == LongType
+  override def dataType: DataType = if (bothLong) LongType else DoubleType
   @transient private lazy val leftFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val rightFloat =
@@ -47,10 +52,15 @@ case class VecDot(left: Expression, right: Expression) extends GraftBinary {
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType))
+    def lng(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if ((ok(left.dataType) && ok(right.dataType)) ||
+        (lng(left.dataType) && lng(right.dataType)))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+      s"vec_dot expects two array<float|double> or two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
   def compute(a: Any, b: Any): Any = {
@@ -58,16 +68,112 @@ case class VecDot(left: Expression, right: Expression) extends GraftBinary {
     val bd = b.asInstanceOf[ArrayData]
     val n = ad.numElements()
     if (bd.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (ad.isNullAt(i) || bd.isNullAt(i)) return null
-      acc += VecKernels.elem(ad, leftFloat, i) * VecKernels.elem(bd, rightFloat, i)
-      i += 1
+    if (bothLong) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+        acc += ad.getLong(i) * bd.getLong(i)
+        i += 1
+      }
+      acc
+    } else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+        acc += VecKernels.elem(ad, leftFloat, i) * VecKernels.elem(bd, rightFloat, i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
   override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** jl_project(emb, s): the q99 Johnson–Lindenstrauss projection as ONE
+  * primitive pass — quantize each of the Dim doubles to a symmetric int
+  * code (`floor(emb[i]·levels / s[i] + 0.5)`, the exact IEEE op order of
+  * the jlCodes transform and the DuckDB oracle), then all JlDim integer
+  * plane dots over the planeWeights chain at JlSeedOffset. Replaces two
+  * interpreted HOF stages (a 64-element `transform` + a 16×64
+  * `aggregate`) AND the intermediate `codes` checkpoint: every product
+  * and sum is BIGINT (|y_j| ≤ 64·63·1000 ≈ 4e6 — no overflow), so the
+  * result is independent of accumulation order and bit-identical to the
+  * fold it replaces. Null handling mirrors the HOF chain's observable
+  * behavior: a null element poisons every projection (the row's norm2
+  * goes null and the `norm2 > 0` filter drops it either way). */
+case class JlProject(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def dbl(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (dbl(left.dataType) && dbl(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jl_project expects (array<float|double>, array<double>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  @transient private lazy val embFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val sFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** flattened [plane][dim] LONG weight matrix — the planeWeights integer
+    * chain at JlSeedOffset, computed once per expression instance. */
+  @transient private lazy val weights: Array[Long] = {
+    val dim = graft.queries.EmbQueries.Dim
+    val nPlanes = graft.queries.EmbQueries.JlDim
+    val base = graft.queries.EmbQueries.JlSeedOffset
+    val w = new Array[Long](nPlanes * dim)
+    var j = 0
+    while (j < nPlanes) {
+      var i = 0
+      while (i < dim) {
+        w(j * dim + i) = ((base + j) * dim + i) * graft.model.Pages.M1 %
+          graft.model.Pages.P % 2001L - 1000L
+        i += 1
+      }
+      j += 1
+    }
+    w
+  }
+
+  def compute(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val sd = b.asInstanceOf[ArrayData]
+    val dim = graft.queries.EmbQueries.Dim
+    val nPlanes = graft.queries.EmbQueries.JlDim
+    val levels = graft.queries.EmbQueries.JlLevels
+    if (ad.numElements() != dim || sd.numElements() != dim) return null
+    val codes = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (ad.isNullAt(i) || sd.isNullAt(i)) return null
+      codes(i) = math.floor(VecKernels.elem(ad, embFloat, i) * levels /
+        VecKernels.elem(sd, sFloat, i) + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](nPlanes)
+    var j = 0
+    while (j < nPlanes) {
+      var acc = 0L
+      val off = j * dim
+      i = 0
+      while (i < dim) {
+        acc += weights(off + i) * codes(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "jl_project"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
