@@ -138,10 +138,12 @@ object TextOps {
     }: _*)
 
   /** matching-signature count between two packed signature arrays —
-    * n_match/128 estimates Jaccard. */
+    * n_match/128 estimates Jaccard. The [[graft.sql.SigMatches]]
+    * primitive kernel (optimization round): an integer COUNT, so the
+    * compiled loop is bit-identical to the interpreted
+    * aggregate(zip_with(…)) fold it replaced. */
   def sigMatches(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    call_function("sig_matches", a, b)
 
   // ---- ANSI-SQL mirrors (DuckDB oracle) ----
 

@@ -102,6 +102,7 @@ object GraftFunctions {
     "vec_dot" -> (a => VecDot(a(0), a(1))),
     "plane_dots" -> (a => PlaneDots(a(0), a(1), a(2))),
     "jl_project" -> (a => JlProject(a(0), a(1))),
+    "sig_matches" -> (a => SigMatches(a(0), a(1))),
     // text
     "simhash64" -> (a => graft.ops.SimHash64(a.head)),
     "minhash128" -> (a => graft.ops.MinHash128(a.head)),

@@ -93,6 +93,46 @@ case class VecDot(left: Expression, right: Expression) extends GraftBinary {
     copy(left = l, right = r)
 }
 
+/** sig_matches(a, b): count of positions where two packed signature
+  * arrays agree — n_match/128 estimates Jaccard (the q18 refine). An
+  * integer count, so accumulation order cannot matter: the kernel is
+  * bit-identical to the `aggregate(zip_with(a, b, eq?1:0))` fold it
+  * replaces. Null semantics mirror that fold exactly: zip_with pads the
+  * shorter array with null and `when(x === y, 1).otherwise(0)` sends any
+  * null comparison to 0, so the count runs over i < min(len) and skips
+  * null elements — never returning null for non-null array inputs. */
+case class SigMatches(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def lng(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (lng(left.dataType) && lng(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sig_matches expects two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  def compute(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!ad.isNullAt(i) && !bd.isNullAt(i) && ad.getLong(i) == bd.getLong(i))
+        acc += 1L
+      i += 1
+    }
+    acc
+  }
+  override def prettyName: String = "sig_matches"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** jl_project(emb, s): the q99 Johnson–Lindenstrauss projection as ONE
   * primitive pass — quantize each of the Dim doubles to a symmetric int
   * code (`floor(emb[i]·levels / s[i] + 0.5)`, the exact IEEE op order of
