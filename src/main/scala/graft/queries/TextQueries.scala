@@ -808,14 +808,26 @@ object TextQueries {
             .cast("bigint") % lit(TextOps.MinhashP)).as("h"))
         .distinct()
     }
-    val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(shc.select(col("doc_id").as("a"), col("h")), Seq("a"))
-      .join(shc.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    // per-candidate-doc shingle SET in ONE exchange (the same doc_id
+    // aggregation the separate `counts` frame already paid), then the
+    // pair overlap is a codegen'd array_intersect over the two ≤L-element
+    // sets — the previous shape shuffled the exploded (b, h) stream into
+    // an equi-join plus a (a, b) count exchange, i.e. two corpus-sliver
+    // exchanges more, to compute the same integers. `shc` is distinct per
+    // (doc_id, h) by construction, so set size ≡ the old count(*) and
+    // |A∩B| ≡ the old join-count; zero-overlap pairs now surface with
+    // common = 0 where the inner join dropped them — every consumer
+    // filters on a common-positive predicate, so outputs are unchanged
+    // (gated by ShingleContainmentSpec's exhaustive all-pairs
+    // recomputation and the q46/q92/q115 oracle rows).
+    val sets = shc.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("common"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
   }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
