@@ -762,20 +762,6 @@ object TextQueries {
       .trackedCheckpoint // read by the staging build AND the count joins
   }
 
-  /** q18's signature-agreement refine over a PREBUILT candidate frame
-    * (same logic as [[pairsFromSigs]]'s tail — q115 shares the candidate
-    * build between this and the exact-Jaccard refine). */
-  private def sigRefine(spark: SparkSession, sfDir: String,
-                        cand: DataFrame): DataFrame = {
-    val sigs = sigsDf(spark, sfDir)
-    cand
-      .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
-      .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
-      .withColumn("n_match", TextOps.sigMatches(col("sa"), col("sb")))
-      .where(col("n_match") >= TextOps.MatchThreshold)
-      .select(col("a"), col("b"), col("n_match"))
-  }
-
   private def shingleOverlap(spark: SparkSession, sfDir: String): DataFrame =
     shingleOverlapFrom(spark, sfDir, bandedCandidates(spark, sfDir))
 
@@ -917,18 +903,25 @@ object TextQueries {
     * frames only. */
   def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE candidate build feeds both refines (the shared heavy step —
-    // running each leg's public query would execute it twice)
+    // running each leg's public query would execute it twice), and both
+    // verdicts are evaluated as FLAGS on one pass over the candidate
+    // pairs (optimization round: the previous shape materialized each
+    // leg's surviving pairs separately and full-outer-joined them — one
+    // extra pair-frame shuffle plus duplicated candidate-join chains to
+    // compute the same three counts; a pair is "in" a leg iff its flag
+    // holds, so the flag sums are the leg counts by construction).
     val cand = bandedCandidates(spark, sfDir)
-    val lsh = sigRefine(spark, sfDir, cand)
-      .select(col("a"), col("b"), lit(1L).as("in_lsh"))
-    val ex = shingleOverlapFrom(spark, sfDir, cand)
-      .where(col("common") * 3 >= col("na") + col("nb"))
-      .select(col("a"), col("b"), lit(1L).as("in_ex"))
-    lsh.join(ex, Seq("a", "b"), "full_outer")
-      .agg(sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
-        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
-        sum(when(col("in_lsh").isNotNull && col("in_ex").isNotNull, 1L)
-          .otherwise(0L)).as("n_both"))
+    val sigs = sigsDf(spark, sfDir)
+    shingleOverlapFrom(spark, sfDir, cand) // every cand pair, with common/na/nb
+      .join(sigs.select(col("doc_id").as("a"), col("sigs").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sigs").as("sb")), Seq("b"))
+      .select(
+        (TextOps.sigMatches(col("sa"), col("sb")) >= TextOps.MatchThreshold)
+          .as("lsh"),
+        (col("common") * 3 >= col("na") + col("nb")).as("ex"))
+      .agg(sum(when(col("lsh"), 1L).otherwise(0L)).as("n_lsh"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("lsh") && col("ex"), 1L).otherwise(0L)).as("n_both"))
       .select(col("n_lsh"), col("n_exact"), col("n_both"),
         expr("n_both * 10000 DIV n_lsh").as("precision_bp"),
         expr("n_both * 10000 DIV n_exact").as("recall_bp"))
