@@ -82,6 +82,11 @@ class RegistrySweepSpec extends SparkTestBase {
           "transform(sequence(1, 64), i -> cast(i as double)))"),
       "plane_dots" ->
         "plane_dots(transform(sequence(1, 64), i -> cast(i as double)), 0, 4)",
+      "jl_project" ->
+        ("jl_project(transform(sequence(1, 64), i -> cast(i as double)), " +
+          "transform(sequence(1, 64), i -> cast(64 as double)))"),
+      "sig_matches" ->
+        "sig_matches(array(1L, 2L, 3L), array(1L, 9L, 3L))",
       "simhash64" -> "simhash64('hello world of tiles')",
       "minhash128" -> "minhash128('hello world of tiles and shingles')",
       "winnow_fp" -> "winnow_fp('hello world of tiles and shingles')",
