@@ -744,22 +744,27 @@ object TextQueries {
     * join is an equi-join on (hash), both shuffle-partitioned. */
   /** (a, b, common, na, nb) shingle overlap over the LSH shortlist — the
     * shared engine of q46 (Jaccard) and q92 (containment). */
-  /** The banded-LSH candidate pair frame over the staged signatures,
-    * `trackedCheckpoint`'d — the band explode + self-join is the heavy
-    * shared step: q46's exact engine starts from it, and q115 builds it
-    * ONCE and feeds both of its refines (review: the eval used to run
-    * this twice, once inside each leg). */
+  /** The banded-LSH candidate pair frame over the staged signatures —
+    * the shared step of q46's exact engine and q115's eval (built ONCE
+    * per query; review: the eval used to run it twice, once inside each
+    * leg). LAZY on the warm path (optimization round): both sides of the
+    * band self-join are the SAME canonical subplan over the staged
+    * parquet, so ReuseExchange computes the (band, key) shuffle once —
+    * the previous two eager `trackedCheckpoint`s bought nothing the
+    * reused exchange doesn't, at the cost of two driver barriers per
+    * query (the q18 `pairsFromSigs` path has always run this shape
+    * checkpoint-free). The cold shingle-stage build, which reads the
+    * frame three times, checkpoints its OWN handle inside the closure
+    * ([[shingleOverlapFrom]]). */
   private def bandedCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     GraftRegistrar.ensure(spark)
     val bands = sigsDf(spark, sfDir)
       .select(col("doc_id"),
         posexplode(TextOps.bandKeys(col("sigs"))).as(Seq("band", "key")))
-      .trackedCheckpoint
     bands.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
-      .trackedCheckpoint // read by the staging build AND the count joins
   }
 
   private def shingleOverlap(spark: SparkSession, sfDir: String): DataFrame =
@@ -783,8 +788,12 @@ object TextQueries {
     // candidate join plus three joins over parquet.
     val shc = StageCache.getOrPublish(spark,
         stageCacheDir(sfDir, "jaccard_shingles")) {
-      val candDocs = cand.select(col("a").as("doc_id"))
-        .union(cand.select(col("b").as("doc_id"))).distinct()
+      // ONE-TIME cold build: materialize a local candidate handle so the
+      // two union branches below read rows, not two more band self-joins
+      // (the warm path stays lazy — see bandedCandidates)
+      val candCk = cand.trackedCheckpoint
+      val candDocs = candCk.select(col("a").as("doc_id"))
+        .union(candCk.select(col("b").as("doc_id"))).distinct()
       docs(spark, sfDir)
         .join(candDocs.hint("broadcast"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
