@@ -906,10 +906,10 @@ object TextQueries {
     * signature-only path at full scale.
     *
     * Scale shape: the banded candidate frame is built ONCE
-    * ([[bandedCandidates]], checkpointed) and feeds BOTH refines; the
-    * signature and shingle inputs are staged tables shared with q17/q46;
-    * the full-outer join and the one-row rollup run over pair-table-sized
-    * frames only. */
+    * ([[bandedCandidates]]) and BOTH verdicts are evaluated as flags on
+    * one pass over it; the signature and shingle inputs are staged
+    * tables shared with q17/q46; every join and the one-row rollup run
+    * over pair-table-sized frames only. */
   def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE candidate build feeds both refines (the shared heavy step —
     // running each leg's public query would execute it twice), and both
